@@ -1,0 +1,179 @@
+// C ABI exposed to Python via ctypes.
+//
+// The reference bound its C++ orchestrator to Python with pybind11 + ATen
+// from_blob (src/Wrappers/WrapperPython.cpp:458-524); here the boundary is
+// a plain C ABI: Python owns NumPy-backed NV12 buffers, the library fills
+// them, and the JAX VPP turns them into device arrays. ctypes releases the
+// GIL for every call, which gives the same concurrency behavior as the
+// reference's py::gil_scoped_release on start/get/dump.
+#include <cstdint>
+#include <cstring>
+#include <string>
+
+#include "bitreader.h"
+#include "analyzer.h"
+#include "parser.h"
+#include "pipeline.h"
+
+using ts::BitReader;
+using ts::H264Analyzer;
+using ts::Parser;
+using ts::Pipeline;
+
+extern "C" {
+
+// ---------------------------------------------------------------- pipeline
+
+void* ts_pipeline_create() { return new Pipeline(); }
+
+int ts_pipeline_init(void* p, const char* url, int max_consumers, int buffer_size,
+                     int framerate_mode, int enable_dumps, int decode_threads) {
+  ts::PipelineParams params;
+  params.input = url ? url : "";
+  params.max_consumers = max_consumers;
+  params.buffer_size = buffer_size;
+  params.framerate_mode = framerate_mode;
+  params.enable_dumps = enable_dumps != 0;
+  params.decode_threads = decode_threads;
+  return static_cast<Pipeline*>(p)->Init(params);
+}
+
+int ts_pipeline_start(void* p) { return static_cast<Pipeline*>(p)->Start(); }
+int ts_pipeline_step(void* p) { return static_cast<Pipeline*>(p)->Step(); }
+
+int ts_pipeline_get(void* p, const char* consumer, int index, uint8_t* out_y,
+                    uint8_t* out_uv) {
+  return static_cast<Pipeline*>(p)->GetFrame(consumer ? consumer : "default", index,
+                                             out_y, out_uv);
+}
+
+void ts_pipeline_stop(void* p) { static_cast<Pipeline*>(p)->Stop(); }
+void ts_pipeline_destroy(void* p) { delete static_cast<Pipeline*>(p); }
+
+int ts_pipeline_width(void* p) { return static_cast<Pipeline*>(p)->width(); }
+int ts_pipeline_height(void* p) { return static_cast<Pipeline*>(p)->height(); }
+int ts_pipeline_fps_num(void* p) { return static_cast<Pipeline*>(p)->fpsNum(); }
+int ts_pipeline_fps_den(void* p) { return static_cast<Pipeline*>(p)->fpsDen(); }
+int ts_pipeline_delay_ms(void* p) { return static_cast<Pipeline*>(p)->realTimeDelayMs(); }
+int ts_pipeline_frame_index(void* p) { return static_cast<Pipeline*>(p)->frameIndex(); }
+int ts_pipeline_analyze_errors(void* p) {
+  return static_cast<Pipeline*>(p)->analyzeErrorMask();
+}
+void ts_pipeline_skip_analyze(void* p) { static_cast<Pipeline*>(p)->skipAnalyze(); }
+void ts_pipeline_enable_logs(void* p, int level) {
+  static_cast<Pipeline*>(p)->enableLogs(level);
+}
+void ts_pipeline_enable_trace(void* p) { static_cast<Pipeline*>(p)->enableTrace(); }
+
+// Process-global read timeout, like the reference's timeoutFrame global
+// (src/Common.cpp:4).
+void ts_set_timeout_ms(int ms) { ts::g_timeout_ms.store(ms); }
+int ts_get_timeout_ms() { return ts::g_timeout_ms.load(); }
+
+// -------------------------------------------------- bitreader (test hooks)
+
+struct BitReaderHandle {
+  std::string data;
+  BitReader reader;
+};
+
+void* ts_bitreader_create(const uint8_t* data, int size) {
+  auto* h = new BitReaderHandle();
+  h->data.assign(reinterpret_cast<const char*>(data), size);
+  h->reader = BitReader(reinterpret_cast<const uint8_t*>(h->data.data()), size);
+  return h;
+}
+void ts_bitreader_destroy(void* r) { delete static_cast<BitReaderHandle*>(r); }
+unsigned ts_bitreader_read_bits(void* r, int n) {
+  return static_cast<BitReaderHandle*>(r)->reader.readBits(n);
+}
+int ts_bitreader_skip_bits(void* r, int n) {
+  return static_cast<BitReaderHandle*>(r)->reader.skipBits(n) ? 1 : 0;
+}
+unsigned ts_bitreader_read_golomb(void* r) {
+  return static_cast<BitReaderHandle*>(r)->reader.readGolomb();
+}
+int ts_bitreader_read_sgolomb(void* r) {
+  return static_cast<BitReaderHandle*>(r)->reader.readSignedGolomb();
+}
+int ts_bitreader_skip_golomb(void* r) {
+  return static_cast<BitReaderHandle*>(r)->reader.skipGolomb() ? 1 : 0;
+}
+unsigned ts_bitreader_find_nal_type(void* r) {
+  return static_cast<BitReaderHandle*>(r)->reader.findNALType();
+}
+int ts_bitreader_byte_index(void* r) {
+  return static_cast<BitReaderHandle*>(r)->reader.byteIndex();
+}
+int ts_bitreader_shift_in_bits(void* r) {
+  return static_cast<BitReaderHandle*>(r)->reader.shiftInBits();
+}
+
+// --------------------------------------------------- analyzer (test hooks)
+
+void* ts_analyzer_create() { return new H264Analyzer(); }
+void ts_analyzer_destroy(void* a) { delete static_cast<H264Analyzer*>(a); }
+int ts_analyzer_analyze(void* a, const uint8_t* data, int size) {
+  return static_cast<H264Analyzer*>(a)->analyze(data, size);
+}
+
+// ----------------------------------------------------- parser (test hooks)
+
+struct ParserHandle {
+  Parser parser;
+  AVPacket* pkt = nullptr;
+};
+
+void* ts_parser_create() { return new ParserHandle(); }
+void ts_parser_destroy(void* p) {
+  auto* h = static_cast<ParserHandle*>(p);
+  if (h->pkt) av_packet_free(&h->pkt);
+  delete h;
+}
+int ts_parser_init(void* p, const char* url, int keep_buffer, int enable_dumps) {
+  auto* h = static_cast<ParserHandle*>(p);
+  ts::ParserParams params{url ? url : "", keep_buffer != 0, enable_dumps != 0};
+  auto logger = std::make_shared<ts::Logger>();
+  int sts = h->parser.Init(params, logger);
+  if (sts == ts::TS_OK) h->pkt = av_packet_alloc();
+  return sts == ts::TS_OK ? ts::TS_OK : ts::TS_ERROR;
+}
+int ts_parser_width(void* p) { return static_cast<ParserHandle*>(p)->parser.width(); }
+int ts_parser_height(void* p) { return static_cast<ParserHandle*>(p)->parser.height(); }
+int ts_parser_fps_num(void* p) {
+  auto* h = static_cast<ParserHandle*>(p);
+  AVRational fr = h->parser.frameRate();
+  if (!fr.num) fr = h->parser.guessedFrameRate();
+  return fr.num;
+}
+int ts_parser_fps_den(void* p) {
+  auto* h = static_cast<ParserHandle*>(p);
+  AVRational fr = h->parser.frameRate();
+  if (!fr.num) fr = h->parser.guessedFrameRate();
+  return fr.den;
+}
+// Reads the next video packet; copies up to `cap` bytes into buf. Returns
+// the packet size, TS_EOF, TS_TIMEOUT or a negative error.
+int ts_parser_next_packet(void* p, uint8_t* buf, int cap, long long* dts,
+                          long long* pts) {
+  auto* h = static_cast<ParserHandle*>(p);
+  int sts = h->parser.Read();
+  if (sts != ts::TS_OK) return sts;
+  av_packet_unref(h->pkt);
+  h->parser.Get(h->pkt);
+  if (dts) *dts = h->pkt->dts;
+  if (pts) *pts = h->pkt->pts;
+  if (buf && cap > 0) {
+    int n = h->pkt->size < cap ? h->pkt->size : cap;
+    std::memcpy(buf, h->pkt->data, n);
+  }
+  return h->pkt->size;
+}
+// Analyzes the packet fetched by the last ts_parser_next_packet call.
+int ts_parser_analyze_last(void* p) {
+  auto* h = static_cast<ParserHandle*>(p);
+  if (!h->pkt || !h->pkt->data) return ts::TS_ERROR;
+  return h->parser.Analyze(h->pkt);
+}
+
+}  // extern "C"

@@ -1,0 +1,190 @@
+#include "decoder.h"
+
+#include <thread>
+
+namespace ts {
+
+int Decoder::Init(const DecoderParams& params, const Parser& parser,
+                  std::shared_ptr<Logger> logger) {
+  Span span(logger.get(), "Decoder::Init");
+  params_ = params;
+  logger_ = std::move(logger);
+  const AVCodecParameters* par = parser.codecpar();
+  if (!par) return TS_ERROR;
+  const AVCodec* codec = avcodec_find_decoder(par->codec_id);
+  if (!codec) return TS_UNSUPPORTED;
+  ctx_ = avcodec_alloc_context3(codec);
+  if (!ctx_) return TS_ERROR;
+  int sts = avcodec_parameters_to_context(ctx_, par);
+  if (sts < 0) return sts;
+  int threads = params_.threads;
+  if (threads <= 0) {
+    threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (threads <= 0) threads = 1;
+    if (threads > 16) threads = 16;
+  }
+  ctx_->thread_count = threads;
+  ctx_->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+  sts = avcodec_open2(ctx_, codec, nullptr);
+  if (sts < 0) return sts;
+
+  width_ = par->width;
+  height_ = par->height;
+  ring_.resize(params_.buffer_deep > 0 ? params_.buffer_deep : 1);
+  decoded_ = av_frame_alloc();
+  nv12_ = av_frame_alloc();
+  if (params_.enable_dumps) dump_file_ = fopen("NV12.yuv", "wb+");
+  closed_ = false;
+  return TS_OK;
+}
+
+// Converts `frame` to tightly-packed NV12 and stores it into the next ring
+// slot; wakes every consumer (reference: src/Decoder.cpp:149-162).
+int Decoder::storeFrame(AVFrame* frame) {
+  int w = frame->width, h = frame->height;
+  width_ = w;
+  height_ = h;
+  size_t y_size = static_cast<size_t>(w) * h;
+  size_t uv_size = static_cast<size_t>(w) * (h / 2);
+
+  std::unique_lock<std::mutex> lk(sync_);
+  Slot& slot = ring_[current_frame_ % ring_.size()];
+  if (slot.y.size() != y_size) slot.y.resize(y_size);
+  if (slot.uv.size() != uv_size) slot.uv.resize(uv_size);
+
+  if (frame->format == AV_PIX_FMT_YUV420P || frame->format == AV_PIX_FMT_YUVJ420P) {
+    // Fast path: copy Y rows, interleave U/V into the UV plane.
+    const uint8_t* sy = frame->data[0];
+    for (int i = 0; i < h; i++)
+      std::memcpy(slot.y.data() + static_cast<size_t>(i) * w, sy + static_cast<size_t>(i) * frame->linesize[0], w);
+    const uint8_t* su = frame->data[1];
+    const uint8_t* sv = frame->data[2];
+    for (int i = 0; i < h / 2; i++) {
+      uint8_t* dst = slot.uv.data() + static_cast<size_t>(i) * w;
+      const uint8_t* u = su + static_cast<size_t>(i) * frame->linesize[1];
+      const uint8_t* v = sv + static_cast<size_t>(i) * frame->linesize[2];
+      for (int j = 0; j < w / 2; j++) {
+        dst[2 * j] = u[j];
+        dst[2 * j + 1] = v[j];
+      }
+    }
+  } else if (frame->format == AV_PIX_FMT_NV12) {
+    for (int i = 0; i < h; i++)
+      std::memcpy(slot.y.data() + static_cast<size_t>(i) * w,
+                  frame->data[0] + static_cast<size_t>(i) * frame->linesize[0], w);
+    for (int i = 0; i < h / 2; i++)
+      std::memcpy(slot.uv.data() + static_cast<size_t>(i) * w,
+                  frame->data[1] + static_cast<size_t>(i) * frame->linesize[1], w);
+  } else {
+    // Non-4:2:0 sources (e.g. YUV444): swscale to NV12 so the whole VPP
+    // stays in the NV12 domain, like the reference's pipeline contract.
+    sws_ = sws_getCachedContext(sws_, w, h, static_cast<AVPixelFormat>(frame->format),
+                                w, h, AV_PIX_FMT_NV12, SWS_POINT, nullptr, nullptr,
+                                nullptr);
+    if (!sws_) return TS_ERROR;
+    uint8_t* dst_data[2] = {slot.y.data(), slot.uv.data()};
+    int dst_linesize[2] = {w, w};
+    sws_scale(sws_, frame->data, frame->linesize, 0, h, dst_data, dst_linesize);
+  }
+  slot.valid = true;
+  current_frame_++;
+  for (auto& kv : consumer_status_) kv.second = true;
+  lk.unlock();
+  consumer_cv_.notify_all();
+
+  if (dump_file_) {
+    fwrite(slot.y.data(), 1, y_size, dump_file_);
+    fwrite(slot.uv.data(), 1, uv_size, dump_file_);
+    fflush(dump_file_);
+  }
+  return TS_OK;
+}
+
+int Decoder::Decode(AVPacket* pkt) {
+  Span span(logger_ ? logger_.get() : nullptr, "Decoder::Decode");
+  int sts = avcodec_send_packet(ctx_, pkt);
+  av_packet_unref(pkt);
+  if (sts < 0) return sts;
+  sts = avcodec_receive_frame(ctx_, decoded_);
+  if (sts == AVERROR(EAGAIN) || sts == AVERROR_EOF) return sts;
+  if (sts < 0) return sts;
+  sts = storeFrame(decoded_);
+  av_frame_unref(decoded_);
+  return sts;
+}
+
+int Decoder::Drain() {
+  if (!ctx_) return 0;
+  avcodec_send_packet(ctx_, nullptr);
+  int drained = 0;
+  while (true) {
+    int sts = avcodec_receive_frame(ctx_, decoded_);
+    if (sts < 0) break;
+    storeFrame(decoded_);
+    av_frame_unref(decoded_);
+    drained++;
+  }
+  return drained;
+}
+
+int Decoder::GetFrame(int index, const std::string& consumer, uint8_t* out_y,
+                      uint8_t* out_uv) {
+  Span span(logger_ ? logger_.get() : nullptr, "Decoder::GetFrame");
+  std::unique_lock<std::mutex> lk(sync_);
+  auto it = consumer_status_.find(consumer);
+  if (it == consumer_status_.end()) {
+    // First call from this consumer: if frames exist already, return the
+    // latest immediately instead of waiting for a fresh one.
+    consumer_status_[consumer] = current_frame_ > 0;
+    it = consumer_status_.find(consumer);
+  }
+  if (!is_finished_) {
+    consumer_cv_.wait(lk, [&] { return it->second || is_finished_; });
+  }
+  if (is_finished_) return TS_FINISHED;
+
+  it->second = false;
+  if (index > 0) {
+    if (logger_)
+      logger_->log("WARNING: Frame number is greater than zero: " + std::to_string(index),
+                   LOG_LOW);
+    index = 0;
+  }
+  // Reference quirk preserved: the look-back is applied to the ring
+  // position *after* the modulo, so early in the stream negative indexes
+  // fall off the front and repeat (src/Decoder.cpp:122-124).
+  int aligned = (current_frame_ - 1) % static_cast<int>(ring_.size()) + index;
+  if (aligned < 0 || !ring_[aligned].valid) return TS_REPEAT;
+  const Slot& slot = ring_[aligned];
+  std::memcpy(out_y, slot.y.data(), slot.y.size());
+  std::memcpy(out_uv, slot.uv.data(), slot.uv.size());
+  return current_frame_;
+}
+
+void Decoder::notifyConsumers() {
+  {
+    std::lock_guard<std::mutex> lk(sync_);
+    for (auto& kv : consumer_status_) kv.second = true;
+    is_finished_ = true;
+  }
+  consumer_cv_.notify_all();
+}
+
+void Decoder::Close() {
+  if (closed_) return;
+  if (ctx_) avcodec_free_context(&ctx_);
+  if (sws_) {
+    sws_freeContext(sws_);
+    sws_ = nullptr;
+  }
+  if (decoded_) av_frame_free(&decoded_);
+  if (nv12_) av_frame_free(&nv12_);
+  if (dump_file_) {
+    fclose(dump_file_);
+    dump_file_ = nullptr;
+  }
+  ring_.clear();
+  closed_ = true;
+}
+
+}  // namespace ts

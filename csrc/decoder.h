@@ -1,0 +1,104 @@
+// Software decoder -> host NV12 ring buffer.
+//
+// TPU-native re-design of the reference's Decoder (reference:
+// src/Decoder.cpp:12-188). There is no NVDEC on a TPU VM, so decode runs
+// on host CPUs via libavcodec with frame/slice threading; decoded frames
+// are converted to tightly-packed NV12 (Y plane h*w + interleaved UV plane
+// (h/2)*w) in a fixed ring of host buffers that consumers copy from.
+//
+// The GetFrame consumer contract is behavior-compatible with the
+// reference (src/Decoder.cpp:97-131): per-consumer "new frame" flags under
+// one mutex + condvar; first call returns immediately if anything was
+// decoded; index in [-buffer, 0] with the reference's non-modular
+// alignedIndex quirk; TS_REPEAT on empty/negative slots; TS_FINISHED once
+// the producer is done. Unlike the reference (which aliased NVDEC DPB
+// surfaces), GetFrame *copies* the NV12 planes out under the lock — a
+// consumer can never observe a ring slot being overwritten mid-read,
+// which is a hard requirement once frames feed XLA's async dispatch.
+#pragma once
+
+#include <condition_variable>
+#include <cstring>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libswscale/swscale.h>
+}
+
+#include "parser.h"
+#include "ts_common.h"
+
+namespace ts {
+
+struct DecoderParams {
+  int buffer_deep = 10;
+  bool enable_dumps = false;
+  int threads = 0;  // 0 = auto (hardware concurrency)
+};
+
+class Decoder {
+ public:
+  ~Decoder() { Close(); }
+
+  int Init(const DecoderParams& params, const Parser& parser,
+           std::shared_ptr<Logger> logger);
+
+  // Sends one packet and stores any resulting frame into the ring.
+  // Returns TS_OK when a frame was produced, AVERROR(EAGAIN) when the
+  // decoder needs more input, TS_EOF at end of stream, <0 on error.
+  int Decode(AVPacket* pkt);
+
+  // Flushes the decoder at end of stream, draining frames into the ring.
+  // Returns the number of frames drained.
+  int Drain();
+
+  // Blocks until a frame this consumer has not seen is available, then
+  // copies NV12 planes of ring slot (latest + index) into out_y / out_uv
+  // (sized w*h and w*(h/2)). Returns the absolute frame counter (1-based),
+  // TS_REPEAT when the requested slot is not available, or TS_FINISHED.
+  int GetFrame(int index, const std::string& consumer, uint8_t* out_y,
+               uint8_t* out_uv);
+
+  // Wakes all consumers and makes subsequent GetFrame return TS_FINISHED.
+  void notifyConsumers();
+
+  int frameIndex() const { return current_frame_; }
+  int width() const { return width_; }
+  int height() const { return height_; }
+  bool finished() const { return is_finished_; }
+
+  void Close();
+
+ private:
+  struct Slot {
+    std::vector<uint8_t> y, uv;
+    bool valid = false;
+  };
+
+  int storeFrame(AVFrame* frame);
+
+  DecoderParams params_;
+  std::shared_ptr<Logger> logger_;
+  AVCodecContext* ctx_ = nullptr;
+  SwsContext* sws_ = nullptr;
+  AVFrame* decoded_ = nullptr;
+  AVFrame* nv12_ = nullptr;
+  int width_ = 0, height_ = 0;
+
+  std::vector<Slot> ring_;
+  int current_frame_ = 0;  // absolute count of frames stored
+  std::map<std::string, bool> consumer_status_;
+  bool is_finished_ = false;
+  std::mutex sync_;
+  std::condition_variable consumer_cv_;
+
+  FILE* dump_file_ = nullptr;
+  bool closed_ = true;
+};
+
+}  // namespace ts

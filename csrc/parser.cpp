@@ -1,0 +1,167 @@
+#include "parser.h"
+
+namespace ts {
+
+std::atomic<int> g_timeout_ms{-1};
+
+int Parser::interruptCallback(void* opaque) {
+  int timeout = g_timeout_ms.load(std::memory_order_relaxed);
+  if (timeout < 0) return 0;
+  auto* self = static_cast<Parser*>(opaque);
+  auto elapsed = std::chrono::duration_cast<std::chrono::milliseconds>(
+                     std::chrono::steady_clock::now() - self->last_packet_time_)
+                     .count();
+  return elapsed > timeout ? 1 : 0;
+}
+
+int Parser::Init(const ParserParams& params, std::shared_ptr<Logger> logger) {
+  Span span(logger.get(), "Parser::Init");
+  params_ = params;
+  logger_ = std::move(logger);
+
+  AVDictionary* opts = nullptr;
+  av_dict_set(&opts, "rtsp_transport", "tcp", 0);
+  fmt_ = avformat_alloc_context();
+  if (!fmt_) return TS_ERROR;
+  if (!params_.keep_buffer) fmt_->flags |= AVFMT_FLAG_NOBUFFER;
+  last_packet_time_ = std::chrono::steady_clock::now();
+  fmt_->interrupt_callback.callback = &Parser::interruptCallback;
+  fmt_->interrupt_callback.opaque = this;
+
+  int sts = avformat_open_input(&fmt_, params_.input.c_str(), nullptr, &opts);
+  av_dict_free(&opts);
+  if (sts < 0) {
+    if (logger_) logger_->log("Parser: cannot open input " + params_.input, LOG_LOW);
+    return sts;
+  }
+  sts = avformat_find_stream_info(fmt_, nullptr);
+  if (sts < 0) return sts;
+  const AVCodec* codec = nullptr;
+  video_index_ = av_find_best_stream(fmt_, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+  if (video_index_ < 0) return TS_ERROR;
+  video_stream_ = fmt_->streams[video_index_];
+  is_h264_ = video_stream_->codecpar->codec_id == AV_CODEC_ID_H264;
+
+  if (params_.enable_dumps) {
+    const char* dump_name = "bitstream.h264";
+    sts = avformat_alloc_output_context2(&dump_ctx_, nullptr, nullptr, dump_name);
+    if (sts < 0) return sts;
+    AVStream* out = avformat_new_stream(dump_ctx_, nullptr);
+    if (!out) return TS_ERROR;
+    avcodec_parameters_copy(out->codecpar, video_stream_->codecpar);
+    if (!(dump_ctx_->oformat->flags & AVFMT_NOFILE)) {
+      sts = avio_open(&dump_ctx_->pb, dump_name, AVIO_FLAG_WRITE);
+      if (sts < 0) return sts;
+    }
+    sts = avformat_write_header(dump_ctx_, nullptr);
+    if (sts < 0) return sts;
+  }
+
+  if (is_h264_) {
+    const AVBitStreamFilter* filter = av_bsf_get_by_name("h264_mp4toannexb");
+    if (filter) {
+      sts = av_bsf_alloc(filter, &bsf_);
+      if (sts < 0) return sts;
+      avcodec_parameters_copy(bsf_->par_in, video_stream_->codecpar);
+      bsf_->time_base_in = video_stream_->time_base;
+      sts = av_bsf_init(bsf_);
+      if (sts < 0) return sts;
+    }
+  }
+  annexb_ = av_packet_alloc();
+  last_ = av_packet_alloc();
+  last_taken_ = true;
+  closed_ = false;
+  return TS_OK;
+}
+
+int Parser::Read() {
+  Span span(logger_ ? logger_.get() : nullptr, "Parser::Read");
+  while (true) {
+    int sts = av_read_frame(fmt_, last_);
+    last_packet_time_ = std::chrono::steady_clock::now();
+    if (sts == AVERROR_EOF) return TS_EOF;
+    if (sts == AVERROR_EXIT) return TS_TIMEOUT;
+    if (sts < 0) return sts;
+    if (last_->stream_index != video_index_) {
+      av_packet_unref(last_);
+      continue;
+    }
+    frames_read_++;
+    last_taken_ = false;
+    if (dump_ctx_) {
+      last_->stream_index = 0;
+      av_write_frame(dump_ctx_, last_);
+      last_->stream_index = video_index_;
+    }
+    return TS_OK;
+  }
+}
+
+int Parser::Get(AVPacket* output) {
+  if (!last_taken_ && last_->stream_index == video_index_) {
+    av_packet_ref(output, last_);
+    av_packet_unref(last_);
+    last_taken_ = true;
+  }
+  return TS_OK;
+}
+
+int Parser::Analyze(const AVPacket* pkt) {
+  Span span(logger_ ? logger_.get() : nullptr, "Parser::Analyze");
+  const uint8_t* data = pkt->data;
+  int size = pkt->size;
+  if (bsf_) {
+    AVPacket* clone = av_packet_clone(pkt);
+    int sts = av_bsf_send_packet(bsf_, clone);
+    av_packet_free(&clone);
+    if (sts < 0) return sts;
+    sts = av_bsf_receive_packet(bsf_, annexb_);
+    if (sts < 0) return sts;
+    if (annexb_->data) {
+      data = annexb_->data;
+      size = annexb_->size;
+    }
+  }
+  if (!is_h264_ || !data) return TS_OK;
+  int result = analyzer_.analyze(data, size);
+  if (bsf_) av_packet_unref(annexb_);
+  if (result > 0 && logger_) {
+    logger_->log("[PARSING] bitstream issue detected, mask=" + std::to_string(result),
+                 LOG_LOW);
+  }
+  return result;
+}
+
+int Parser::width() const { return video_stream_ ? video_stream_->codecpar->width : 0; }
+int Parser::height() const { return video_stream_ ? video_stream_->codecpar->height : 0; }
+const AVCodecParameters* Parser::codecpar() const {
+  return video_stream_ ? video_stream_->codecpar : nullptr;
+}
+AVRational Parser::frameRate() const {
+  return video_stream_ ? video_stream_->avg_frame_rate : AVRational{0, 1};
+}
+AVRational Parser::guessedFrameRate() const {
+  return video_stream_ ? video_stream_->r_frame_rate : AVRational{0, 1};
+}
+AVRational Parser::timeBase() const {
+  return video_stream_ ? video_stream_->time_base : AVRational{1, 1000};
+}
+
+void Parser::Close() {
+  if (closed_) return;
+  if (bsf_) av_bsf_free(&bsf_);
+  if (dump_ctx_) {
+    av_write_trailer(dump_ctx_);
+    if (!(dump_ctx_->oformat->flags & AVFMT_NOFILE) && dump_ctx_->pb)
+      avio_closep(&dump_ctx_->pb);
+    avformat_free_context(dump_ctx_);
+    dump_ctx_ = nullptr;
+  }
+  if (fmt_) avformat_close_input(&fmt_);
+  if (last_) av_packet_free(&last_);
+  if (annexb_) av_packet_free(&annexb_);
+  closed_ = true;
+}
+
+}  // namespace ts

@@ -1,0 +1,77 @@
+// Demuxer: network/file ingest -> one-deep video packet handoff.
+//
+// Behavior-compatible re-design of the reference's Parser
+// (reference: src/Parser.cpp:311-465, include/Parser.h:70-175): FFmpeg
+// avformat open with rtsp-over-tcp, optional demuxer-buffer drop
+// (NATIVE_LOW_DELAY), interrupt-callback read timeout against the
+// process-global g_timeout_ms, h264_mp4toannexb BSF for the analyzer, and
+// optional bitstream dump.
+#pragma once
+
+#include <chrono>
+#include <memory>
+#include <string>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavcodec/bsf.h>
+#include <libavformat/avformat.h>
+}
+
+#include "analyzer.h"
+#include "ts_common.h"
+
+namespace ts {
+
+struct ParserParams {
+  std::string input;
+  bool keep_buffer = true;
+  bool enable_dumps = false;
+};
+
+class Parser {
+ public:
+  ~Parser() { Close(); }
+
+  int Init(const ParserParams& params, std::shared_ptr<Logger> logger);
+  // Reads the next *video* packet from the container (skips other
+  // streams). Returns TS_OK, AVERROR(EAGAIN), TS_TIMEOUT or TS_EOF.
+  int Read();
+  // Hands the buffered packet to the caller (one-deep, taken-flag).
+  int Get(AVPacket* output);
+  // Runs the annexb BSF over `pkt` and the H.264 health analyzer.
+  // Returns an AnalyzeErrors bitmask or TS_REPEAT.
+  int Analyze(const AVPacket* pkt);
+  void Close();
+
+  int width() const;
+  int height() const;
+  int videoIndex() const { return video_index_; }
+  AVStream* stream() const { return video_stream_; }
+  const AVCodecParameters* codecpar() const;
+  AVRational frameRate() const;
+  AVRational guessedFrameRate() const;
+  AVRational timeBase() const;
+  int64_t framesRead() const { return frames_read_; }
+
+ private:
+  static int interruptCallback(void* opaque);
+
+  ParserParams params_;
+  std::shared_ptr<Logger> logger_;
+  AVFormatContext* fmt_ = nullptr;
+  AVFormatContext* dump_ctx_ = nullptr;
+  AVBSFContext* bsf_ = nullptr;
+  AVPacket* last_ = nullptr;
+  bool last_taken_ = true;
+  AVPacket* annexb_ = nullptr;
+  int video_index_ = -1;
+  AVStream* video_stream_ = nullptr;
+  H264Analyzer analyzer_;
+  bool is_h264_ = false;
+  int64_t frames_read_ = 0;
+  bool closed_ = true;
+  std::chrono::steady_clock::time_point last_packet_time_;
+};
+
+}  // namespace ts

@@ -1,0 +1,232 @@
+#include "pipeline.h"
+
+#include <chrono>
+
+extern "C" {
+#include <libavutil/log.h>
+}
+
+namespace ts {
+
+namespace {
+// Silence FFmpeg chatter below error level, like the reference's
+// logCallback (WrapperPython.cpp:4-7).
+void quietLogOnce() {
+  static bool done = false;
+  if (!done) {
+    av_log_set_level(AV_LOG_ERROR);
+    done = true;
+  }
+}
+}  // namespace
+
+Pipeline::~Pipeline() { Stop(); }
+
+int Pipeline::Init(const PipelineParams& params) {
+  quietLogOnce();
+  params_ = params;
+  should_work_ = true;
+  skip_analyze_ = false;
+  analyze_errors_ = 0;
+  framerate_mode_ = params.framerate_mode;
+  bool keep_buffer = true;
+  if (framerate_mode_ == FR_NATIVE_LOW_DELAY) {
+    keep_buffer = false;
+    framerate_mode_ = FR_NATIVE;
+  }
+
+  Span span(logger_.get(), "Pipeline::Init");
+  parser_ = std::make_unique<Parser>();
+  ParserParams pp{params.input, keep_buffer, params.enable_dumps};
+  int sts = parser_->Init(pp, logger_);
+  if (sts != TS_OK) return sts == TS_OK ? TS_OK : TS_ERROR;
+
+  decoder_ = std::make_unique<Decoder>();
+  DecoderParams dp{params.buffer_size, params.enable_dumps, params.decode_threads};
+  sts = decoder_->Init(dp, *parser_, logger_);
+  if (sts != TS_OK) return TS_ERROR;
+
+  parsed_ = av_packet_alloc();
+
+  AVRational fr = parser_->frameRate();
+  if (!fr.num || !fr.den) {
+    logger_->log("Frame rate in bitstream hasn't been found, using guessed value", LOG_LOW);
+    fr = parser_->guessedFrameRate();
+  }
+  if (!fr.num || !fr.den) return TS_ERROR;
+  if (fr.num / fr.den > kFrameRateConstraint) return TS_ERROR;
+  fps_num_ = fr.num;
+  fps_den_ = fr.den;
+  real_time_delay_ms_ = static_cast<int>(static_cast<float>(fps_den_) /
+                                         static_cast<float>(fps_num_) * 1000);
+
+  AVRational tb = parser_->timeBase();
+  AVRational rfr = parser_->guessedFrameRate();
+  if (rfr.num && tb.num) {
+    // frame index -> DTS ticks (reference: WrapperC.cpp:82-88).
+    index_to_dts_ = static_cast<double>(rfr.den) * tb.den /
+                    (static_cast<int64_t>(rfr.num) * tb.num);
+  }
+  if (tb.den) dts_to_ms_ = static_cast<double>(tb.num) / tb.den * 1000.0;
+  initialized_ = true;
+  return TS_OK;
+}
+
+int Pipeline::loopIteration(
+    std::pair<int64_t, bool>& start_dts,
+    std::pair<std::chrono::steady_clock::time_point, bool>& start_time) {
+  auto wait_time = std::chrono::steady_clock::now();
+  int sts = parser_->Read();
+  if (sts == AVERROR(EAGAIN)) return TS_REPEAT;
+  if (sts == TS_EOF) {
+    if (decoder_->Drain() > 0) return TS_EOF;  // drained frames still reach consumers
+    return TS_EOF;
+  }
+  if (sts == TS_TIMEOUT) return TS_TIMEOUT;
+  if (sts != TS_OK) return TS_ERROR;
+  parser_->Get(parsed_);
+
+  int64_t frame_dts = parsed_->dts;
+  if (frame_dts == AV_NOPTS_VALUE && framerate_mode_ == FR_NATIVE) {
+    frame_dts = static_cast<int64_t>(decoder_->frameIndex() * index_to_dts_);
+  }
+
+  if (!skip_analyze_) {
+    int mask = parser_->Analyze(parsed_);
+    if (mask > 0) analyze_errors_.fetch_or(mask);
+  }
+
+  sts = decoder_->Decode(parsed_);
+  if (sts == AVERROR(EAGAIN)) return TS_REPEAT;
+  if (sts == AVERROR_EOF) return TS_EOF;
+  if (sts != TS_OK) return TS_ERROR;
+
+  // Pacing (reference: WrapperPython.cpp:186-216).
+  int sleep_ms = 0;
+  if (framerate_mode_ == FR_NATIVE_SIMPLE) {
+    auto elapsed = std::chrono::duration_cast<std::chrono::milliseconds>(
+                       std::chrono::steady_clock::now() - wait_time)
+                       .count();
+    sleep_ms = real_time_delay_ms_ - static_cast<int>(elapsed);
+  } else if (framerate_mode_ == FR_NATIVE) {
+    if (!start_dts.second) {
+      start_dts = {frame_dts, true};
+    }
+    int64_t rel_ms = static_cast<int64_t>((frame_dts - start_dts.first) * dts_to_ms_);
+    if (!start_time.second) {
+      start_time = {std::chrono::steady_clock::now(), true};
+    }
+    int64_t now = std::chrono::duration_cast<std::chrono::milliseconds>(
+                      std::chrono::steady_clock::now() - start_time.first)
+                      .count();
+    if (rel_ms > now) sleep_ms = static_cast<int>(rel_ms - now);
+  }
+  if (sleep_ms > 0) std::this_thread::sleep_for(std::chrono::milliseconds(sleep_ms));
+
+  if (framerate_mode_ == FR_BLOCKING) {
+    std::unique_lock<std::mutex> lk(blocking_sync_);
+    blocking_cv_.wait(lk, [&] { return checkGetComplete() || !should_work_; });
+  }
+  return TS_OK;
+}
+
+bool Pipeline::checkGetComplete() {
+  size_t ready = 0;
+  for (auto& kv : blocking_statuses_)
+    if (kv.second) ready++;
+  if (ready != 0 && ready == blocking_statuses_.size()) {
+    for (auto& kv : blocking_statuses_) kv.second = false;
+    return true;
+  }
+  return false;
+}
+
+void Pipeline::processingLoop() {
+  std::unique_lock<std::mutex> lk(close_sync_);
+  std::pair<int64_t, bool> start_dts{0, false};
+  std::pair<std::chrono::steady_clock::time_point, bool> start_time{
+      std::chrono::steady_clock::now(), false};
+  while (should_work_) {
+    Span span(logger_.get(), "Pipeline::processingLoop");
+    int sts = loopIteration(start_dts, start_time);
+    if (sts == TS_REPEAT) continue;
+    if (sts != TS_OK) break;  // EOF / timeout / error -> finish
+  }
+  logger_->log("Processing was interrupted or stream has ended", LOG_LOW);
+  if (decoder_) decoder_->notifyConsumers();
+  logger_->log("All consumers were notified about processing end", LOG_LOW);
+}
+
+int Pipeline::Start() {
+  if (!initialized_) return TS_ERROR;
+  producer_ = std::thread([this] { processingLoop(); });
+  return TS_OK;
+}
+
+int Pipeline::Step() {
+  if (!initialized_) return TS_ERROR;
+  std::pair<int64_t, bool> dts{0, false};
+  std::pair<std::chrono::steady_clock::time_point, bool> t{
+      std::chrono::steady_clock::now(), false};
+  int saved_mode = framerate_mode_;
+  framerate_mode_ = FR_FAST;  // manual stepping never paces or blocks
+  int sts = loopIteration(dts, t);
+  framerate_mode_ = saved_mode;
+  if (sts == TS_EOF && decoder_) decoder_->notifyConsumers();
+  return sts;
+}
+
+int Pipeline::GetFrame(const std::string& consumer, int index, uint8_t* out_y,
+                       uint8_t* out_uv) {
+  if (!initialized_ || !decoder_) return TS_ERROR;
+  {
+    std::lock_guard<std::mutex> lk(consumers_mu_);
+    auto it = consumers_.find(consumer);
+    if (it == consumers_.end()) {
+      if (static_cast<int>(consumers_.size()) >= params_.max_consumers) {
+        logger_->log("Max consumers exceeded for: " + consumer, LOG_LOW);
+        return TS_ERROR;
+      }
+      consumers_[consumer] = true;
+    }
+  }
+  if (framerate_mode_ == FR_BLOCKING) {
+    std::lock_guard<std::mutex> lk(blocking_sync_);
+    blocking_statuses_.emplace(consumer, false);
+  }
+  Span span(logger_.get(), "Pipeline::GetFrame");
+  int frame_index = TS_REPEAT;
+  while (frame_index == TS_REPEAT) {
+    frame_index = decoder_->GetFrame(index, consumer, out_y, out_uv);
+  }
+  if (framerate_mode_ == FR_BLOCKING && frame_index > 0) {
+    {
+      std::lock_guard<std::mutex> lk(blocking_sync_);
+      blocking_statuses_[consumer] = true;
+    }
+    blocking_cv_.notify_all();
+  }
+  return frame_index;
+}
+
+void Pipeline::Stop() {
+  should_work_ = false;
+  if (framerate_mode_ == FR_BLOCKING) {
+    {
+      std::lock_guard<std::mutex> lk(blocking_sync_);
+      for (auto& kv : blocking_statuses_) kv.second = true;
+    }
+    blocking_cv_.notify_all();
+  }
+  if (decoder_) decoder_->notifyConsumers();
+  if (producer_.joinable()) producer_.join();
+  {
+    std::lock_guard<std::mutex> lk(close_sync_);
+    if (parser_) parser_->Close();
+    if (decoder_) decoder_->Close();
+    if (parsed_) av_packet_free(&parsed_);
+    initialized_ = false;
+  }
+}
+
+}  // namespace ts

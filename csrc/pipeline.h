@@ -1,0 +1,116 @@
+// Pipeline orchestrator: producer thread + multi-consumer frame fan-out.
+//
+// Behavior-compatible re-design of the reference's TensorStream
+// orchestrator (reference: src/Wrappers/WrapperPython.cpp:9-263 and
+// src/Wrappers/WrapperC.cpp:14-241) minus everything CUDA/ATen:
+//  * producer loop: Read -> Get -> (Analyze unless skipped) -> Decode,
+//    EAGAIN continues, with the same five FrameRateMode pacing behaviors;
+//  * consumer GetFrame: spin on TS_REPEAT, copy NV12 out of the ring;
+//    the VPP + tensor creation happen on the JAX side (Python), so this
+//    class ends at the NV12 handoff;
+//  * BLOCKING mode: strict lockstep with every registered consumer;
+//  * shutdown: Stop() wakes everyone, joins the producer, closes all.
+//
+// Differences by design (documented in docs/PARITY.md): the producer
+// thread lives here (std::thread) instead of a Python thread holding a
+// released GIL; the ATen tensor-GC loop is gone (JAX owns device buffers);
+// analyzer error masks are accumulated and queryable instead of
+// log-only.
+#pragma once
+
+#include <atomic>
+#include <condition_variable>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+
+#include "decoder.h"
+#include "parser.h"
+#include "ts_common.h"
+
+namespace ts {
+
+struct PipelineParams {
+  std::string input;
+  int max_consumers = 5;
+  int buffer_size = 10;
+  int framerate_mode = FR_NATIVE;
+  bool enable_dumps = false;
+  int decode_threads = 0;
+};
+
+class Pipeline {
+ public:
+  ~Pipeline();
+
+  int Init(const PipelineParams& params);
+
+  // Spawns the producer thread running the processing loop.
+  int Start();
+
+  // Manual mode (testing): runs one producer iteration synchronously.
+  // Returns TS_OK when a frame reached the ring, TS_REPEAT when the
+  // decoder needs more input, TS_EOF after end-of-stream drain.
+  int Step();
+
+  // Copies the NV12 planes of the (latest + index) frame for `consumer`.
+  // Returns the absolute frame counter (>=1), or TS_FINISHED / TS_ERROR.
+  // Spins internally while the decoder reports TS_REPEAT, exactly like the
+  // reference's getFrame (WrapperPython.cpp:299-307).
+  int GetFrame(const std::string& consumer, int index, uint8_t* out_y,
+               uint8_t* out_uv);
+
+  void Stop();
+
+  int width() const { return parser_ ? parser_->width() : 0; }
+  int height() const { return parser_ ? parser_->height() : 0; }
+  int fpsNum() const { return fps_num_; }
+  int fpsDen() const { return fps_den_; }
+  int realTimeDelayMs() const { return real_time_delay_ms_; }
+  int frameIndex() const { return decoder_ ? decoder_->frameIndex() : 0; }
+  int analyzeErrorMask() const { return analyze_errors_.load(); }
+  bool running() const { return should_work_.load(); }
+
+  void skipAnalyze() { skip_analyze_ = true; }
+  void enableLogs(int level) { logger_->initialize(level); }
+  void enableTrace() { logger_->enableTrace(); }
+  Logger* logger() { return logger_.get(); }
+
+ private:
+  int loopIteration(std::pair<int64_t, bool>& start_dts,
+                    std::pair<std::chrono::steady_clock::time_point, bool>& start_time);
+  void processingLoop();
+  bool checkGetComplete();
+
+  PipelineParams params_;
+  std::shared_ptr<Logger> logger_ = std::make_shared<Logger>();
+  std::unique_ptr<Parser> parser_;
+  std::unique_ptr<Decoder> decoder_;
+  AVPacket* parsed_ = nullptr;
+
+  int framerate_mode_ = FR_NATIVE;
+  int fps_num_ = 0, fps_den_ = 1;
+  int real_time_delay_ms_ = 0;
+  double index_to_dts_ = 0.0;
+  double dts_to_ms_ = 0.0;
+  bool skip_analyze_ = false;
+  std::atomic<int> analyze_errors_{0};
+
+  std::atomic<bool> should_work_{false};
+  std::thread producer_;
+  std::mutex close_sync_;
+
+  // BLOCKING-mode lockstep state (reference: WrapperPython.cpp:115-130).
+  std::mutex blocking_sync_;
+  std::condition_variable blocking_cv_;
+  std::map<std::string, bool> blocking_statuses_;
+
+  std::mutex consumers_mu_;
+  std::map<std::string, bool> consumers_;
+
+  bool initialized_ = false;
+};
+
+}  // namespace ts
