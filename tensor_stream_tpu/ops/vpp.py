@@ -1,0 +1,133 @@
+"""VPP: crop -> NV12-domain resize -> color conversion -> tensor shaping.
+
+TPU re-design of the reference's VideoProcessor::Convert
+(reference: src/VideoProcessor.cpp:94-166) plus the output tensor shape
+contract of its Python wrapper (src/Wrappers/WrapperPython.cpp:315-343).
+
+Where the reference launched 2-4 CUDA kernels with a cudaMalloc per stage,
+here the whole chain is a single jitted XLA program per parameter
+combination: static shapes, all gather tables baked in as constants, fully
+fused by the compiler, one HBM round trip. Compiled programs are cached per
+`VPPConfig` the way the reference cached per-consumer CUDA streams.
+"""
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..enums import FourCC, Planes, ResizeType, channels_by_fourcc
+from . import color as color_ops
+from .crop import crop_nv12
+from .resize import resize_nv12
+
+
+@dataclass(frozen=True)
+class VPPConfig:
+    """Static parameters of one conversion — the jit cache key."""
+    src_width: int
+    src_height: int
+    crop: tuple = (0, 0, 0, 0)  # (left, top, right, bottom); zeros = off
+    width: int = 0              # resize target; 0 = native
+    height: int = 0
+    resize_type: ResizeType = ResizeType.NEAREST
+    fourcc: FourCC = FourCC.RGB24
+    planes: Planes = Planes.MERGED
+    normalization: bool = False
+
+    def __post_init__(self):
+        # HSV output is always normalized float (VideoProcessor.h:39-52).
+        if self.fourcc == FourCC.HSV:
+            object.__setattr__(self, "normalization", True)
+
+    def output_size(self):
+        """Final (width, height) after crop/resize defaulting
+        (reference: VideoProcessor.cpp:106-135)."""
+        w, h = self.src_width, self.src_height
+        cw = self.crop[2] - self.crop[0]
+        ch = self.crop[3] - self.crop[1]
+        if 0 < cw < self.src_width and 0 < ch < self.src_height:
+            w, h = cw, ch
+        if self.width and self.height:
+            w, h = self.width, self.height
+        return w, h
+
+    def output_shape(self):
+        """Tensor shape contract (WrapperPython.cpp:318-341)."""
+        w, h = self.output_size()
+        c = channels_by_fourcc(self.fourcc)
+        if self.fourcc in (FourCC.RGB24, FourCC.BGR24):
+            return (3, h, w) if self.planes == Planes.PLANAR else (h, w, 3)
+        if self.fourcc in (FourCC.YUV444, FourCC.HSV):
+            return (h, w, 3)
+        return (1, int(h * c), w)
+
+    def output_dtype(self):
+        return jnp.float32 if self.normalization else jnp.uint8
+
+
+def make_vpp_fn(cfg: VPPConfig):
+    """Builds the (un-jitted) NV12 -> tensor conversion for `cfg`."""
+    cw = cfg.crop[2] - cfg.crop[0]
+    ch = cfg.crop[3] - cfg.crop[1]
+    do_crop = 0 < cw < cfg.src_width and 0 < ch < cfg.src_height
+    cur_w, cur_h = (cw, ch) if do_crop else (cfg.src_width, cfg.src_height)
+    do_resize = bool(cfg.width and cfg.height and
+                     (cfg.width != cur_w or cfg.height != cur_h))
+    out_w, out_h = cfg.output_size()
+
+    def fn(y, uv):
+        if do_crop:
+            y, uv = crop_nv12(y, uv, *cfg.crop)
+        if do_resize:
+            y, uv = resize_nv12(y, uv, cur_w, cur_h, cfg.width, cfg.height,
+                                cfg.resize_type)
+        four = cfg.fourcc
+        if four in (FourCC.RGB24, FourCC.BGR24):
+            return color_ops.nv12_to_rgb(y, uv, swap_rb=(four == FourCC.BGR24),
+                                         planar=(cfg.planes == Planes.PLANAR),
+                                         normalization=cfg.normalization)
+        if four == FourCC.Y800:
+            return color_ops.nv12_to_y800(y, cfg.normalization)
+        if four == FourCC.UYVY:
+            out = color_ops.nv12_to_uyvy(y, uv, cfg.normalization)
+            return out.reshape(1, out_h * 2, out_w)
+        if four == FourCC.YUV444:
+            uyvy = color_ops.nv12_to_uyvy(y, uv, normalization=False,
+                                          as_float=cfg.normalization)
+            return color_ops.uyvy_to_yuv444(uyvy, out_w, out_h,
+                                            cfg.normalization,
+                                            float_mode=cfg.normalization)
+        if four == FourCC.NV12:
+            return color_ops.nv12_merge(y, uv, cfg.normalization)
+        if four == FourCC.HSV:
+            return color_ops.nv12_to_hsv(y, uv)
+        raise ValueError(f"unsupported FourCC {four}")
+
+    return fn
+
+
+@lru_cache(maxsize=256)
+def build_vpp(cfg: VPPConfig, device_index: int = 0):
+    """Jitted single-frame VPP: (y [H,W] u8, uv [H/2,W] u8) -> jax.Array."""
+    device = jax.devices()[device_index]
+    return jax.jit(make_vpp_fn(cfg), device=device)
+
+
+@lru_cache(maxsize=64)
+def build_vpp_batched(cfg: VPPConfig, device_index: int = 0):
+    """Jitted batched VPP: (y [N,H,W], uv [N,H/2,W]) -> [N, ...].
+
+    The batch dimension is how the TPU earns its keep: one dispatch
+    processes many frames, amortizing host->HBM transfer and kernel launch
+    (the reference processed one frame per CUDA launch chain).
+    """
+    device = jax.devices()[device_index]
+    fn = make_vpp_fn(cfg)
+    return jax.jit(jax.vmap(fn), device=device)
+
+
+def vpp_numpy(cfg: VPPConfig, y: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """Convenience: run the VPP on host arrays and return a NumPy copy."""
+    return np.asarray(build_vpp(cfg)(y, uv))
