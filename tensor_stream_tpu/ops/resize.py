@@ -255,7 +255,11 @@ def generate_resize_pattern(scale: np.float32):
             rest = np.float32(1 - dyn)
         while len(row) < width:
             row.append(np.float32(0))
-        pattern.append(row)
+        # Rows can come out one entry longer than ceil(scale) (a leading
+        # `rest` plus a trailing fraction); the reference's kernel only
+        # ever reads the first ceil(scale) taps (src/Resize.cu:162-166),
+        # so the tail weight is dead — truncate to match.
+        pattern.append(row[:width])
         current += 1
         if current > 8192:  # safety bound; the reference could spin forever
             break
