@@ -1,0 +1,23 @@
+"""tensor-stream-tpu: a TPU-native video-to-tensor streaming framework.
+
+A ground-up rebuild of the capabilities of osai-ai/tensor-stream for TPU:
+RTMP/RTSP/local H.264 streams are demuxed and software-decoded on the TPU
+VM host (native C++ runtime), kept in an NV12 ring buffer, and converted
+on-device by fused XLA/Pallas programs (crop -> NV12-domain resize ->
+color conversion -> normalization -> planar/merged layout) into
+device-resident jax.Arrays.
+
+Public API mirrors the reference package (tensor_stream/__init__.py):
+
+    from tensor_stream_tpu import TensorStreamConverter, FourCC, Planes
+"""
+from .enums import (FourCC, FrameRate, LogsLevel, LogsType, Planes,
+                    ResizeType, StatusLevel)
+from .tensor_stream import FrameParameters, TensorStreamConverter
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "TensorStreamConverter", "FrameParameters", "StatusLevel", "LogsLevel",
+    "LogsType", "FourCC", "ResizeType", "Planes", "FrameRate",
+]

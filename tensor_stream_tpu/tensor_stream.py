@@ -1,0 +1,320 @@
+"""TensorStreamConverter — the user-facing API.
+
+Verbatim re-creation of the reference's Python surface
+(reference: tensor_stream/tensor_stream.py:100-341): the same constructor
+arguments, the same ``initialize/start/read/param_read/dump/stop/
+enable_logs/enable_nvtx/skip_analyze/set_timeout`` methods, the same
+``(tensor, index)`` return convention and tensor shape rules — except the
+returned tensor is a device-resident ``jax.Array`` instead of a CUDA
+``torch.Tensor``.
+
+TPU-native internals: the native ingest runtime (demux + host software
+decode + NV12 ring) runs its producer thread in C++; each ``read`` copies
+the latest NV12 frame into a per-consumer host buffer and dispatches one
+fused, cached XLA program (crop -> resize -> convert -> normalize) that
+leaves the result in HBM. Per-consumer buffers replace the reference's
+use_count-scavenging tensor GC (WrapperPython.cpp:168-185) — JAX owns the
+device memory, so no manual lifetime tracking is needed.
+"""
+import logging
+import threading
+
+import jax
+import numpy as np
+
+from . import _native
+from .enums import (FourCC, FrameRate, LogsLevel, LogsType, Planes,
+                    ResizeType, StatusLevel, channels_by_fourcc)
+from .ops.vpp import VPPConfig, build_vpp, build_vpp_batched
+
+
+class FrameParameters:
+    """Per-read frame parameters (reference: tensor_stream.py:101-149)."""
+
+    def __init__(self,
+                 width=0,
+                 height=0,
+                 crop_coords=(0, 0, 0, 0),
+                 resize_type=ResizeType.NEAREST,
+                 pixel_format=FourCC.RGB24,
+                 planes_pos=Planes.MERGED,
+                 normalization=None):
+        self.width = width
+        self.height = height
+        self.crop_coords = tuple(crop_coords)
+        self.resize_type = resize_type
+        self.pixel_format = pixel_format
+        self.planes_pos = planes_pos
+        # None means "library decides": False everywhere except HSV, which
+        # forces normalization (reference: VideoProcessor.h:39-52).
+        self.normalization = normalization
+
+    def to_config(self, src_width: int, src_height: int) -> VPPConfig:
+        norm = self.normalization
+        if norm is None:
+            norm = self.pixel_format == FourCC.HSV
+        return VPPConfig(src_width=src_width, src_height=src_height,
+                         crop=self.crop_coords, width=self.width,
+                         height=self.height, resize_type=self.resize_type,
+                         fourcc=self.pixel_format, planes=self.planes_pos,
+                         normalization=bool(norm))
+
+    def __repr__(self):
+        return (f"FrameParameters(\n"
+                f"    width={self.width},\n"
+                f"    height={self.height},\n"
+                f"    crop_coords={self.crop_coords},\n"
+                f"    resize_type={self.resize_type},\n"
+                f"    pixel_format={self.pixel_format},\n"
+                f"    planes_pos={self.planes_pos},\n"
+                f"    normalization={self.normalization}\n"
+                ")")
+
+
+class TensorStreamConverter:
+    """Starts the decode pipeline and serves post-processed frames as
+    device-resident jax.Arrays (reference: tensor_stream.py:153-339)."""
+
+    def __init__(self,
+                 stream_url,
+                 max_consumers=5,
+                 cuda_device=None,
+                 buffer_size=5,
+                 framerate_mode=FrameRate.NATIVE,
+                 timeout=None,
+                 decode_threads=0):
+        self.log = logging.getLogger(__name__)
+        self.log.info("Create TensorStream")
+        self._lib = _native.load()
+        self._handle = None
+        self.thread = None
+        ## Frames per second probed from the bitstream (set by initialize()).
+        self.fps = None
+        ## (width, height) of input frames (set by initialize()).
+        self.frame_size = None
+
+        self.stream_url = stream_url
+        self.max_consumers = max_consumers
+        # `cuda_device` is kept for API compatibility; it selects the index
+        # into jax.devices() (the reference selected the CUDA ordinal).
+        self.device_index = int(cuda_device) if cuda_device is not None else 0
+        self.buffer_size = buffer_size
+        self.framerate_mode = framerate_mode
+        self.decode_threads = decode_threads
+        self._buffers = {}  # consumer -> (y, uv) pinned host staging
+        self._started = False
+        self.set_timeout(timeout=timeout)
+        self._pending_logs = None
+        self._pending_trace = False
+        self._skip_analyze = False
+
+    # ------------------------------------------------------------ lifecycle
+
+    def initialize(self, repeat_number=1):
+        """Builds the native pipeline, retrying up to repeat_number times
+        (reference: tensor_stream.py:187-206)."""
+        self.log.info("Initialize TensorStream")
+        status = StatusLevel.REPEAT.value
+        repeat = repeat_number
+        while status != StatusLevel.OK.value and repeat > 0:
+            self._handle = self._lib.ts_pipeline_create()
+            status_native = self._lib.ts_pipeline_init(
+                self._handle, str(self.stream_url).encode(),
+                int(self.max_consumers), int(self.buffer_size),
+                int(self.framerate_mode.value
+                    if isinstance(self.framerate_mode, FrameRate)
+                    else self.framerate_mode),
+                0, int(self.decode_threads))
+            status = (StatusLevel.OK.value if status_native == _native.TS_OK
+                      else StatusLevel.ERROR.value)
+            if status != StatusLevel.OK.value:
+                self.stop()
+                repeat -= 1
+
+        if repeat == 0:
+            raise RuntimeError("Can't initialize TensorStream")
+        if self._pending_logs is not None:
+            self._lib.ts_pipeline_enable_logs(self._handle, self._pending_logs)
+        if self._pending_trace:
+            self._lib.ts_pipeline_enable_trace(self._handle)
+        if self._skip_analyze:
+            self._lib.ts_pipeline_skip_analyze(self._handle)
+        num = self._lib.ts_pipeline_fps_num(self._handle)
+        den = self._lib.ts_pipeline_fps_den(self._handle)
+        self.fps = num / den if den else None
+        self.frame_size = (self._lib.ts_pipeline_width(self._handle),
+                           self._lib.ts_pipeline_height(self._handle))
+
+    def start(self):
+        """Starts the producer (parse -> analyze -> decode) loop. The loop
+        runs in a native thread; ``self.thread`` is kept for API parity."""
+        if self._handle is None:
+            raise RuntimeError("TensorStream is not initialized")
+        self._lib.ts_pipeline_start(self._handle)
+        self._started = True
+        self.thread = threading.Thread(target=lambda: None)
+        self.thread.start()
+
+    def stop(self):
+        self.log.info("Stop TensorStream")
+        if self._handle is not None:
+            self._lib.ts_pipeline_stop(self._handle)
+            self._lib.ts_pipeline_destroy(self._handle)
+            self._handle = None
+        self._started = False
+        if self.thread is not None:
+            self.thread.join()
+            self.thread = None
+        self._buffers.clear()
+
+    # ---------------------------------------------------------------- config
+
+    def enable_logs(self, level, log_type):
+        """Positive level -> file logs.txt, negative -> console
+        (reference: tensor_stream.py:211-216)."""
+        if level == LogsLevel.NONE:
+            return
+        value = level.value if log_type == LogsType.FILE else -level.value
+        self._pending_logs = value
+        if self._handle is not None:
+            self._lib.ts_pipeline_enable_logs(self._handle, value)
+
+    def enable_nvtx(self):
+        """Host tracing equivalent of the reference's NVTX switch: spans go
+        to trace_host.json (chrome://tracing); device-side timelines come
+        from jax.profiler."""
+        self._pending_trace = True
+        if self._handle is not None:
+            self._lib.ts_pipeline_enable_trace(self._handle)
+
+    def set_timeout(self, timeout):
+        """Read timeout in seconds; None disables. Process-global, exactly
+        like the reference's timeoutFrame (tensor_stream.py:224-229)."""
+        if timeout is None:
+            self._lib.ts_set_timeout_ms(-1)
+        else:
+            self._lib.ts_set_timeout_ms(int(timeout * 1000))
+
+    def skip_analyze(self):
+        self._skip_analyze = True
+        if self._handle is not None:
+            self._lib.ts_pipeline_skip_analyze(self._handle)
+
+    @property
+    def stream_errors(self):
+        """Accumulated bitstream-health bitmask from the analyzer
+        (B_POC=1 | FRAME_NUM=2; reference logs these, we also expose them)."""
+        if self._handle is None:
+            return 0
+        return self._lib.ts_pipeline_analyze_errors(self._handle)
+
+    # ----------------------------------------------------------------- read
+
+    def _consumer_buffers(self, name):
+        buf = self._buffers.get(name)
+        w, h = self.frame_size
+        if buf is None or buf[0].shape != (h, w):
+            buf = (np.empty((h, w), np.uint8), np.empty((h // 2, w), np.uint8))
+            self._buffers[name] = buf
+        return buf
+
+    def _get_nv12(self, name, delay):
+        if self._handle is None or self.frame_size is None:
+            raise RuntimeError("TensorStream is not initialized")
+        if not self._started:
+            raise RuntimeError("TensorStream is not started")
+        y, uv = self._consumer_buffers(name)
+        index = self._lib.ts_pipeline_get(self._handle, name.encode(),
+                                          int(delay), y.ctypes.data,
+                                          uv.ctypes.data)
+        if index == _native.TS_FINISHED:
+            raise RuntimeError("Decoding finished")
+        if index < 0:
+            raise RuntimeError(f"TensorStream error: {index}")
+        return y, uv, index
+
+    def read(self,
+             name="default",
+             width=0,
+             height=0,
+             resize_type=ResizeType.NEAREST,
+             crop_coords=(0, 0, 0, 0),
+             pixel_format=FourCC.RGB24,
+             planes_pos=Planes.MERGED,
+             normalization=None,
+             delay=0,
+             return_index=False):
+        """Reads the next decoded frame as a jax.Array
+        (reference: tensor_stream.py:248-273)."""
+        frame_parameters = FrameParameters(
+            width=width, height=height, crop_coords=crop_coords,
+            resize_type=resize_type, pixel_format=pixel_format,
+            planes_pos=planes_pos, normalization=normalization)
+        return self.param_read(frame_parameters, name=name, delay=delay,
+                               return_index=return_index)
+
+    def param_read(self,
+                   frame_parameters: FrameParameters,
+                   name="default",
+                   delay=0,
+                   return_index=False):
+        y, uv, index = self._get_nv12(name, delay)
+        w, h = self.frame_size
+        cfg = frame_parameters.to_config(w, h)
+        tensor = build_vpp(cfg, self.device_index)(y, uv)
+        if return_index:
+            return tensor, index
+        return tensor
+
+    def read_batch(self,
+                   batch,
+                   name="default",
+                   **kwargs):
+        """TPU extension: reads `batch` consecutive new frames and converts
+        them in ONE device dispatch, returning a leading-batch jax.Array
+        (and the index list). Amortizes host->HBM transfer and launch
+        overhead — the main throughput lever on TPU."""
+        return_index = kwargs.pop("return_index", False)
+        frame_parameters = FrameParameters(**kwargs)
+        w, h = self.frame_size
+        ys = np.empty((batch, h, w), np.uint8)
+        uvs = np.empty((batch, h // 2, w), np.uint8)
+        indices = []
+        buf_y, buf_uv = self._consumer_buffers(name)
+        for i in range(batch):
+            y, uv, idx = self._get_nv12(name, 0)
+            ys[i] = y
+            uvs[i] = uv
+            indices.append(idx)
+        cfg = frame_parameters.to_config(w, h)
+        tensors = build_vpp_batched(cfg, self.device_index)(ys, uvs)
+        if return_index:
+            return tensors, indices
+        return tensors
+
+    # ----------------------------------------------------------------- dump
+
+    def dump(self,
+             tensor,
+             name="default",
+             width=0,
+             height=0,
+             crop_coords=(0, 0, 0, 0),
+             resize_type=ResizeType.NEAREST,
+             pixel_format=FourCC.RGB24,
+             planes_pos=Planes.MERGED,
+             normalization=None):
+        """Appends the raw tensor bytes to <name>.yuv, byte-identical to
+        the reference's D2H dump (reference: WrapperPython.cpp:421-456 +
+        VideoProcessor.cpp:28-72). Width/height are inferred from the
+        tensor shape when not given."""
+        arr = np.asarray(tensor)
+        channels = channels_by_fourcc(pixel_format)
+        if not width:
+            width = arr.shape[1] if channels == 3 else arr.shape[2]
+        if not height:
+            height = (arr.shape[0] if channels == 3
+                      else int(arr.shape[1] / channels))
+        count = int(width * height * channels)
+        with open(f"{name}.yuv", "ab") as f:
+            f.write(arr.reshape(-1)[:count].tobytes())
