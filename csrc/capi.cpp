@@ -38,6 +38,22 @@ int ts_pipeline_init(void* p, const char* url, int max_consumers, int buffer_siz
   return static_cast<Pipeline*>(p)->Init(params);
 }
 
+// Like ts_pipeline_init with an extra replay flag: loop=1 seeks back to
+// the stream start on EOF (benchmark / infinite-replay mode).
+int ts_pipeline_init_ex(void* p, const char* url, int max_consumers,
+                        int buffer_size, int framerate_mode, int enable_dumps,
+                        int decode_threads, int loop) {
+  ts::PipelineParams params;
+  params.input = url ? url : "";
+  params.max_consumers = max_consumers;
+  params.buffer_size = buffer_size;
+  params.framerate_mode = framerate_mode;
+  params.enable_dumps = enable_dumps != 0;
+  params.decode_threads = decode_threads;
+  params.loop = loop != 0;
+  return static_cast<Pipeline*>(p)->Init(params);
+}
+
 int ts_pipeline_start(void* p) { return static_cast<Pipeline*>(p)->Start(); }
 int ts_pipeline_step(void* p) { return static_cast<Pipeline*>(p)->Step(); }
 
@@ -45,6 +61,18 @@ int ts_pipeline_get(void* p, const char* consumer, int index, uint8_t* out_y,
                     uint8_t* out_uv) {
   return static_cast<Pipeline*>(p)->GetFrame(consumer ? consumer : "default", index,
                                              out_y, out_uv);
+}
+
+int ts_pipeline_try_get(void* p, const char* consumer, int index, uint8_t* out_y,
+                        uint8_t* out_uv) {
+  return static_cast<Pipeline*>(p)->TryGetFrame(consumer ? consumer : "default",
+                                                index, out_y, out_uv);
+}
+
+int ts_pipeline_get_batch(void* p, const char* consumer, int count,
+                          uint8_t* out_y, uint8_t* out_uv, int* first_index) {
+  return static_cast<Pipeline*>(p)->GetFrameBatch(
+      consumer ? consumer : "default", count, out_y, out_uv, first_index);
 }
 
 void ts_pipeline_stop(void* p) { static_cast<Pipeline*>(p)->Stop(); }

@@ -48,6 +48,18 @@ int Decoder::storeFrame(AVFrame* frame) {
   size_t uv_size = static_cast<size_t>(w) * (h / 2);
 
   std::unique_lock<std::mutex> lk(sync_);
+  if (!cursors_.empty()) {
+    // Bounded-queue back-pressure: never overwrite a ring slot a cursor
+    // consumer has not read yet (frame current_frame_ - deep lives in the
+    // slot this store will reuse).
+    producer_cv_.wait(lk, [&] {
+      if (is_finished_) return true;
+      int64_t min_cursor = INT64_MAX;
+      for (auto& kv : cursors_) min_cursor = std::min(min_cursor, kv.second);
+      return min_cursor > current_frame_ - static_cast<int64_t>(ring_.size());
+    });
+    if (is_finished_) return TS_FINISHED;
+  }
   Slot& slot = ring_[current_frame_ % ring_.size()];
   if (slot.y.size() != y_size) slot.y.resize(y_size);
   if (slot.uv.size() != uv_size) slot.uv.resize(uv_size);
@@ -161,6 +173,41 @@ int Decoder::GetFrame(int index, const std::string& consumer, uint8_t* out_y,
   return current_frame_;
 }
 
+int Decoder::GetFramesBulk(const std::string& consumer, int count,
+                           uint8_t* out_y, uint8_t* out_uv, int* first_index) {
+  size_t y_size = static_cast<size_t>(width_) * height_;
+  size_t uv_size = static_cast<size_t>(width_) * (height_ / 2);
+  std::unique_lock<std::mutex> lk(sync_);
+  auto it = cursors_.find(consumer);
+  if (it == cursors_.end()) {
+    // A new cursor consumer starts at the oldest frame still in the ring.
+    int64_t oldest = std::max<int64_t>(0, current_frame_ -
+                                              static_cast<int64_t>(ring_.size()) + 1);
+    it = cursors_.emplace(consumer, oldest).first;
+  }
+  int copied = 0;
+  if (first_index) *first_index = static_cast<int>(it->second) + 1;
+  while (copied < count) {
+    consumer_cv_.wait(lk, [&] {
+      return it->second < current_frame_ || is_finished_;
+    });
+    if (it->second >= current_frame_) break;  // finished and drained
+    const Slot& slot = ring_[it->second % ring_.size()];
+    if (slot.valid) {
+      std::memcpy(out_y + static_cast<size_t>(copied) * y_size, slot.y.data(),
+                  y_size);
+      std::memcpy(out_uv + static_cast<size_t>(copied) * uv_size,
+                  slot.uv.data(), uv_size);
+      copied++;
+    } else if (first_index) {
+      *first_index = static_cast<int>(it->second) + 2;
+    }
+    it->second++;
+    producer_cv_.notify_all();
+  }
+  return copied;
+}
+
 void Decoder::notifyConsumers() {
   {
     std::lock_guard<std::mutex> lk(sync_);
@@ -168,6 +215,7 @@ void Decoder::notifyConsumers() {
     is_finished_ = true;
   }
   consumer_cv_.notify_all();
+  producer_cv_.notify_all();
 }
 
 void Decoder::Close() {

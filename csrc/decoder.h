@@ -64,6 +64,17 @@ class Decoder {
   int GetFrame(int index, const std::string& consumer, uint8_t* out_y,
                uint8_t* out_uv);
 
+  // Bulk cursor-mode read (TPU throughput path): copies up to `count`
+  // *consecutive* frames starting at this consumer's cursor into the
+  // contiguous batch buffers (frame-major). Unlike GetFrame's
+  // latest-frame contract, cursor consumers see every frame: the
+  // producer back-pressures instead of overwriting unread ring slots,
+  // and the ring drains even after end-of-stream. Returns the number of
+  // frames copied (0 => finished), sets *first_index to the absolute
+  // index (1-based) of the first copied frame.
+  int GetFramesBulk(const std::string& consumer, int count, uint8_t* out_y,
+                    uint8_t* out_uv, int* first_index);
+
   // Wakes all consumers and makes subsequent GetFrame return TS_FINISHED.
   void notifyConsumers();
 
@@ -93,9 +104,12 @@ class Decoder {
   std::vector<Slot> ring_;
   int current_frame_ = 0;  // absolute count of frames stored
   std::map<std::string, bool> consumer_status_;
+  // Cursor-mode consumers: name -> next absolute frame (0-based) to read.
+  std::map<std::string, int64_t> cursors_;
   bool is_finished_ = false;
   std::mutex sync_;
   std::condition_variable consumer_cv_;
+  std::condition_variable producer_cv_;  // back-pressure for cursor mode
 
   FILE* dump_file_ = nullptr;
   bool closed_ = true;

@@ -80,6 +80,13 @@ int Parser::Read() {
   while (true) {
     int sts = av_read_frame(fmt_, last_);
     last_packet_time_ = std::chrono::steady_clock::now();
+    if (sts == AVERROR_EOF && params_.loop) {
+      if (av_seek_frame(fmt_, video_index_, 0,
+                        AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_BYTE) < 0 &&
+          av_seek_frame(fmt_, video_index_, 0, AVSEEK_FLAG_BACKWARD) < 0)
+        return TS_EOF;
+      continue;
+    }
     if (sts == AVERROR_EOF) return TS_EOF;
     if (sts == AVERROR_EXIT) return TS_TIMEOUT;
     if (sts < 0) return sts;

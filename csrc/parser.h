@@ -27,6 +27,7 @@ struct ParserParams {
   std::string input;
   bool keep_buffer = true;
   bool enable_dumps = false;
+  bool loop = false;  // seek back to the start on EOF (bench/replay mode)
 };
 
 class Parser {

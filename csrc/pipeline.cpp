@@ -37,7 +37,7 @@ int Pipeline::Init(const PipelineParams& params) {
 
   Span span(logger_.get(), "Pipeline::Init");
   parser_ = std::make_unique<Parser>();
-  ParserParams pp{params.input, keep_buffer, params.enable_dumps};
+  ParserParams pp{params.input, keep_buffer, params.enable_dumps, params.loop};
   int sts = parser_->Init(pp, logger_);
   if (sts != TS_OK) return sts == TS_OK ? TS_OK : TS_ERROR;
 
@@ -207,6 +207,18 @@ int Pipeline::GetFrame(const std::string& consumer, int index, uint8_t* out_y,
     blocking_cv_.notify_all();
   }
   return frame_index;
+}
+
+int Pipeline::TryGetFrame(const std::string& consumer, int index, uint8_t* out_y,
+                          uint8_t* out_uv) {
+  if (!initialized_ || !decoder_) return TS_ERROR;
+  return decoder_->GetFrame(index, consumer, out_y, out_uv);
+}
+
+int Pipeline::GetFrameBatch(const std::string& consumer, int count,
+                            uint8_t* out_y, uint8_t* out_uv, int* first_index) {
+  if (!initialized_ || !decoder_) return TS_ERROR;
+  return decoder_->GetFramesBulk(consumer, count, out_y, out_uv, first_index);
 }
 
 void Pipeline::Stop() {

@@ -39,6 +39,7 @@ struct PipelineParams {
   int framerate_mode = FR_NATIVE;
   bool enable_dumps = false;
   int decode_threads = 0;
+  bool loop = false;
 };
 
 class Pipeline {
@@ -61,6 +62,16 @@ class Pipeline {
   // reference's getFrame (WrapperPython.cpp:299-307).
   int GetFrame(const std::string& consumer, int index, uint8_t* out_y,
                uint8_t* out_uv);
+
+  // Single decoder GetFrame attempt: may return TS_REPEAT instead of
+  // spinning. Test/manual-mode companion of Step().
+  int TryGetFrame(const std::string& consumer, int index, uint8_t* out_y,
+                  uint8_t* out_uv);
+
+  // Bulk no-drop read into contiguous [count, H, W] batch buffers (see
+  // Decoder::GetFramesBulk). Returns frames copied; 0 => stream drained.
+  int GetFrameBatch(const std::string& consumer, int count, uint8_t* out_y,
+                    uint8_t* out_uv, int* first_index);
 
   void Stop();
 

@@ -60,10 +60,17 @@ def load():
         sig("ts_pipeline_create", c_void_p, [])
         sig("ts_pipeline_init", c_int,
             [c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_int])
+        sig("ts_pipeline_init_ex", c_int,
+            [c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_int, c_int])
         sig("ts_pipeline_start", c_int, [c_void_p])
         sig("ts_pipeline_step", c_int, [c_void_p])
         sig("ts_pipeline_get", c_int,
             [c_void_p, c_char_p, c_int, c_void_p, c_void_p])
+        sig("ts_pipeline_try_get", c_int,
+            [c_void_p, c_char_p, c_int, c_void_p, c_void_p])
+        sig("ts_pipeline_get_batch", c_int,
+            [c_void_p, c_char_p, c_int, c_void_p, c_void_p,
+             ctypes.POINTER(ctypes.c_int)])
         sig("ts_pipeline_stop", None, [c_void_p])
         sig("ts_pipeline_destroy", None, [c_void_p])
         for name in ("width", "height", "fps_num", "fps_den", "delay_ms",

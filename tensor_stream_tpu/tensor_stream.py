@@ -82,7 +82,8 @@ class TensorStreamConverter:
                  buffer_size=5,
                  framerate_mode=FrameRate.NATIVE,
                  timeout=None,
-                 decode_threads=0):
+                 decode_threads=0,
+                 loop=False):
         self.log = logging.getLogger(__name__)
         self.log.info("Create TensorStream")
         self._lib = _native.load()
@@ -101,6 +102,8 @@ class TensorStreamConverter:
         self.buffer_size = buffer_size
         self.framerate_mode = framerate_mode
         self.decode_threads = decode_threads
+        # TPU extension: replay the stream from the start on EOF.
+        self.loop = loop
         self._buffers = {}  # consumer -> (y, uv) pinned host staging
         self._started = False
         self.set_timeout(timeout=timeout)
@@ -118,13 +121,13 @@ class TensorStreamConverter:
         repeat = repeat_number
         while status != StatusLevel.OK.value and repeat > 0:
             self._handle = self._lib.ts_pipeline_create()
-            status_native = self._lib.ts_pipeline_init(
+            status_native = self._lib.ts_pipeline_init_ex(
                 self._handle, str(self.stream_url).encode(),
                 int(self.max_consumers), int(self.buffer_size),
                 int(self.framerate_mode.value
                     if isinstance(self.framerate_mode, FrameRate)
                     else self.framerate_mode),
-                0, int(self.decode_threads))
+                0, int(self.decode_threads), 1 if self.loop else 0)
             status = (StatusLevel.OK.value if status_native == _native.TS_OK
                       else StatusLevel.ERROR.value)
             if status != StatusLevel.OK.value:
@@ -261,33 +264,56 @@ class TensorStreamConverter:
         y, uv, index = self._get_nv12(name, delay)
         w, h = self.frame_size
         cfg = frame_parameters.to_config(w, h)
-        tensor = build_vpp(cfg, self.device_index)(y, uv)
+        # Explicit device_put: the PJRT argument-donation path for numpy
+        # args is several times slower than a direct H2D copy here.
+        dy, duv = self._device_put(y, uv)
+        tensor = build_vpp(cfg, self.device_index)(dy, duv)
         if return_index:
             return tensor, index
         return tensor
+
+    def _device_put(self, *arrays):
+        import jax
+        device = jax.devices()[self.device_index]
+        return tuple(jax.device_put(a, device) for a in arrays)
 
     def read_batch(self,
                    batch,
                    name="default",
                    **kwargs):
-        """TPU extension: reads `batch` consecutive new frames and converts
-        them in ONE device dispatch, returning a leading-batch jax.Array
-        (and the index list). Amortizes host->HBM transfer and launch
-        overhead — the main throughput lever on TPU."""
+        """TPU extension: reads `batch` *consecutive* frames (no-drop
+        cursor semantics with producer back-pressure, unlike read()'s
+        latest-frame contract) and converts them in ONE device dispatch,
+        returning a leading-batch jax.Array (and the first frame's index).
+        Amortizes host->HBM transfer and dispatch overhead — the main
+        throughput lever on TPU. Raises "Decoding finished" once the
+        stream is fully drained."""
+        import ctypes
+        if self._handle is None or self.frame_size is None:
+            raise RuntimeError("TensorStream is not initialized")
+        if not self._started:
+            raise RuntimeError("TensorStream is not started")
         return_index = kwargs.pop("return_index", False)
         frame_parameters = FrameParameters(**kwargs)
         w, h = self.frame_size
         ys = np.empty((batch, h, w), np.uint8)
         uvs = np.empty((batch, h // 2, w), np.uint8)
-        indices = []
-        buf_y, buf_uv = self._consumer_buffers(name)
-        for i in range(batch):
-            y, uv, idx = self._get_nv12(name, 0)
-            ys[i] = y
-            uvs[i] = uv
-            indices.append(idx)
+        first = ctypes.c_int(0)
+        got = self._lib.ts_pipeline_get_batch(self._handle, name.encode(),
+                                              int(batch), ys.ctypes.data,
+                                              uvs.ctypes.data,
+                                              ctypes.byref(first))
+        if got <= 0:
+            raise RuntimeError("Decoding finished")
+        indices = list(range(first.value, first.value + got))
         cfg = frame_parameters.to_config(w, h)
-        tensors = build_vpp_batched(cfg, self.device_index)(ys, uvs)
+        dys, duvs = self._device_put(ys, uvs)
+        tensors = build_vpp_batched(cfg, self.device_index)(dys, duvs)
+        if got < batch:
+            # Partial final batch: the unfilled rows were converted from
+            # stale buffer contents; slice them off on device (cheaper
+            # than recompiling the VPP for a new batch shape).
+            tensors = tensors[:got]
         if return_index:
             return tensors, indices
         return tensors

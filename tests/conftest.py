@@ -1,0 +1,110 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh by default (set TS_TEST_TPU=1 to
+run on real TPU hardware instead). The environment must be set before jax
+imports, hence the os.environ writes at module import time.
+
+Fixture videos live in the read-only reference checkout; tests that need
+them skip cleanly when it is absent.
+"""
+import os
+import sys
+
+if not os.environ.get("TS_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # The axon TPU plugin registers itself from sitecustomize whenever
+    # PALLAS_AXON_POOL_IPS is set, overriding JAX_PLATFORMS — clear it so
+    # CPU really is CPU here.
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (xla_flags +
+                               " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import ctypes  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+RESOURCES = os.environ.get("TS_REF_RESOURCES",
+                           "/root/reference/tests/resources")
+
+BBB = os.path.join(RESOURCES, "bbb_1080x608_420_10.h264")
+BILLIARD = os.path.join(RESOURCES, "billiard_1920x1080_420_100.h264")
+BUNNY = os.path.join(RESOURCES, "bunny.mp4")
+
+
+def resource(name: str) -> str:
+    path = os.path.join(RESOURCES, name)
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {name} not available")
+    return path
+
+
+@pytest.fixture(scope="session")
+def native():
+    from tensor_stream_tpu import _native
+    return _native.load()
+
+
+@pytest.fixture(scope="session")
+def bbb_frame0(native):
+    """Decoded frame 0 of bbb_1080x608_420_10.h264 as (y, uv, w, h)."""
+    if not os.path.exists(BBB):
+        pytest.skip("bbb fixture not available")
+    p = native.ts_pipeline_create()
+    assert native.ts_pipeline_init(p, BBB.encode(), 5, 10, 3, 0, 0) == 0
+    w, h = native.ts_pipeline_width(p), native.ts_pipeline_height(p)
+    for _ in range(10):
+        native.ts_pipeline_step(p)
+        if native.ts_pipeline_frame_index(p) > 0:
+            break
+    y = np.zeros((h, w), np.uint8)
+    uv = np.zeros((h // 2, w), np.uint8)
+    assert native.ts_pipeline_get(p, b"fixture", 0, y.ctypes.data,
+                                  uv.ctypes.data) == 1
+    native.ts_pipeline_stop(p)
+    native.ts_pipeline_destroy(p)
+    return y, uv, w, h
+
+
+class ParserHandle:
+    """Thin helper over the parser C test hooks."""
+
+    def __init__(self, native, path, keep_buffer=True):
+        self.lib = native
+        self.h = native.ts_parser_create()
+        self.status = native.ts_parser_init(self.h, str(path).encode(),
+                                            1 if keep_buffer else 0, 0)
+        self.buf = (ctypes.c_uint8 * (1 << 22))()
+
+    def next_packet(self):
+        dts = ctypes.c_longlong()
+        pts = ctypes.c_longlong()
+        size = self.lib.ts_parser_next_packet(self.h, self.buf, len(self.buf),
+                                              ctypes.byref(dts), ctypes.byref(pts))
+        data = bytes(self.buf[:size]) if size > 0 else b""
+        return size, data, dts.value, pts.value
+
+    def analyze_last(self):
+        return self.lib.ts_parser_analyze_last(self.h)
+
+    def close(self):
+        if self.h:
+            self.lib.ts_parser_destroy(self.h)
+            self.h = None
+
+
+@pytest.fixture
+def make_parser(native):
+    handles = []
+
+    def factory(path, keep_buffer=True):
+        h = ParserHandle(native, path, keep_buffer)
+        handles.append(h)
+        return h
+
+    yield factory
+    for h in handles:
+        h.close()

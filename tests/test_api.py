@@ -1,0 +1,150 @@
+"""Python API tests, ported from the reference's unittest suite
+(reference: tests/python_tests/CommonTests.py:8-191)."""
+import os
+
+import numpy as np
+import pytest
+
+from conftest import resource
+from tensor_stream_tpu import (FourCC, FrameRate, Planes, ResizeType,
+                               TensorStreamConverter)
+
+
+@pytest.fixture
+def billiard():
+    return resource("billiard_1920x1080_420_100.h264")
+
+
+def test_constructor_defaults(billiard):
+    reader = TensorStreamConverter(billiard)
+    assert reader.stream_url == billiard
+    assert reader.max_consumers == 5
+    assert reader.buffer_size == 5
+    assert reader.fps is None
+    assert reader.frame_size is None
+
+
+def test_initialize_probes_stream(billiard):
+    reader = TensorStreamConverter(billiard, framerate_mode=FrameRate.BLOCKING)
+    reader.initialize()
+    assert reader.frame_size == (1920, 1080)
+    assert reader.fps == 25
+    reader.stop()
+
+
+def test_initialize_raises_on_bad_path():
+    reader = TensorStreamConverter("does_not_exist.h264")
+    with pytest.raises(RuntimeError):
+        reader.initialize(repeat_number=2)
+
+
+def test_read_before_initialize_raises(billiard):
+    reader = TensorStreamConverter(billiard)
+    with pytest.raises(RuntimeError):
+        reader.read()
+
+
+def test_read_after_stop_raises(billiard):
+    reader = TensorStreamConverter(billiard, framerate_mode=FrameRate.BLOCKING)
+    reader.initialize()
+    reader.start()
+    reader.read(name="c", width=96, height=64)
+    reader.stop()
+    with pytest.raises(RuntimeError):
+        reader.read(name="c")
+
+
+@pytest.mark.parametrize("fmt,planes,w,h,shape", [
+    (FourCC.RGB24, Planes.MERGED, 320, 240, (240, 320, 3)),
+    (FourCC.RGB24, Planes.PLANAR, 320, 240, (3, 240, 320)),
+    (FourCC.BGR24, Planes.MERGED, 160, 96, (96, 160, 3)),
+    (FourCC.Y800, Planes.MERGED, 320, 240, (1, 240, 320)),
+    (FourCC.UYVY, Planes.MERGED, 320, 240, (1, 480, 320)),
+    (FourCC.YUV444, Planes.MERGED, 320, 240, (240, 320, 3)),
+    (FourCC.NV12, Planes.MERGED, 320, 240, (1, 360, 320)),
+    (FourCC.HSV, Planes.MERGED, 320, 240, (240, 320, 3)),
+])
+def test_read_shapes(billiard, fmt, planes, w, h, shape):
+    """Tensor shape contract (reference: WrapperPython.cpp:318-341)."""
+    reader = TensorStreamConverter(billiard, framerate_mode=FrameRate.BLOCKING)
+    reader.initialize()
+    reader.start()
+    tensor = reader.read(name="c", pixel_format=fmt, planes_pos=planes,
+                         width=w, height=h)
+    reader.stop()
+    assert tuple(tensor.shape) == shape
+    expected_dtype = np.float32 if fmt == FourCC.HSV else np.uint8
+    assert tensor.dtype == expected_dtype
+
+
+def test_normalization_gives_float(billiard):
+    reader = TensorStreamConverter(billiard, framerate_mode=FrameRate.BLOCKING)
+    reader.initialize()
+    reader.start()
+    t = reader.read(name="c", width=96, height=64, normalization=True)
+    assert t.dtype == np.float32
+    assert float(t.max()) <= 1.0
+    t2 = reader.read(name="c", width=96, height=64, normalization=False)
+    assert t2.dtype == np.uint8
+    reader.stop()
+
+
+def test_return_index(billiard):
+    reader = TensorStreamConverter(billiard, framerate_mode=FrameRate.BLOCKING)
+    reader.initialize()
+    reader.start()
+    t, idx = reader.read(name="c", width=96, height=64, return_index=True)
+    assert idx >= 1
+    t2 = reader.read(name="c", width=96, height=64)
+    assert not isinstance(t2, tuple)
+    reader.stop()
+
+
+def test_delay_within_buffer(billiard):
+    """delay in [-buffer_size, 0] selects a look-back frame.
+
+    Note the reference's aligned-index quirk (Decoder.cpp:122-124): the
+    look-back applies to the post-modulo ring position, so the buffer must
+    be deep enough that (current-1) % deep + delay >= 0 — with the
+    BLOCKING producer in lockstep, an unsatisfiable delay REPEATs forever
+    (same hazard as the reference). buffer 12 > frames read keeps it valid."""
+    reader = TensorStreamConverter(billiard, buffer_size=12,
+                                   framerate_mode=FrameRate.BLOCKING)
+    reader.initialize()
+    reader.start()
+    for _ in range(5):
+        reader.read(name="c", width=96, height=64)
+    t, idx = reader.read(name="c", width=96, height=64, delay=-1,
+                         return_index=True)
+    # the returned index is the absolute frame counter, like the reference
+    assert idx == 6
+    reader.stop()
+
+
+def test_dump_file_size(billiard, tmp_path):
+    """Dump appends W*H*C*frames bytes (reference: CommonTests.py
+    dump-size assertion)."""
+    reader = TensorStreamConverter(billiard, framerate_mode=FrameRate.BLOCKING)
+    reader.initialize()
+    reader.start()
+    out = tmp_path / "dumped"
+    frames = 4
+    for _ in range(frames):
+        t = reader.read(name="c", pixel_format=FourCC.RGB24, width=320, height=240)
+        reader.dump(t, str(out), width=320, height=240)
+    reader.stop()
+    assert os.path.getsize(f"{out}.yuv") == 320 * 240 * 3 * frames
+
+
+def test_read_batch_extension(billiard):
+    reader = TensorStreamConverter(billiard, framerate_mode=FrameRate.BLOCKING)
+    reader.initialize()
+    reader.start()
+    batch, idxs = reader.read_batch(4, name="c", pixel_format=FourCC.RGB24,
+                                    planes_pos=Planes.PLANAR, width=224,
+                                    height=224, normalization=True,
+                                    return_index=True)
+    reader.stop()
+    assert batch.shape == (4, 3, 224, 224)
+    assert batch.dtype == np.float32
+    assert idxs == [1, 2, 3, 4]

