@@ -173,6 +173,20 @@ int Decoder::GetFrame(int index, const std::string& consumer, uint8_t* out_y,
   return current_frame_;
 }
 
+void Decoder::registerCursor(const std::string& consumer) {
+  std::lock_guard<std::mutex> lk(sync_);
+  if (cursors_.find(consumer) == cursors_.end()) {
+    int64_t oldest = std::max<int64_t>(0, current_frame_ -
+                                              static_cast<int64_t>(ring_.size()) + 1);
+    cursors_.emplace(consumer, oldest);
+  }
+}
+
+bool Decoder::hasCursorConsumers() {
+  std::lock_guard<std::mutex> lk(sync_);
+  return !cursors_.empty();
+}
+
 int Decoder::GetFramesBulk(const std::string& consumer, int count,
                            uint8_t* out_y, uint8_t* out_uv, int* first_index) {
   size_t y_size = static_cast<size_t>(width_) * height_;

@@ -75,6 +75,12 @@ class Decoder {
   int GetFramesBulk(const std::string& consumer, int count, uint8_t* out_y,
                     uint8_t* out_uv, int* first_index);
 
+  // Registers a cursor consumer (idempotent); used by the pipeline so
+  // the producer's BLOCKING wait can account for bulk consumers before
+  // their first blocking read.
+  void registerCursor(const std::string& consumer);
+  bool hasCursorConsumers();
+
   // Wakes all consumers and makes subsequent GetFrame return TS_FINISHED.
   void notifyConsumers();
 

@@ -124,8 +124,13 @@ int Pipeline::loopIteration(
   if (sleep_ms > 0) std::this_thread::sleep_for(std::chrono::milliseconds(sleep_ms));
 
   if (framerate_mode_ == FR_BLOCKING) {
+    // Cursor (bulk) consumers pace the producer through ring
+    // back-pressure instead of the per-frame handshake.
     std::unique_lock<std::mutex> lk(blocking_sync_);
-    blocking_cv_.wait(lk, [&] { return checkGetComplete() || !should_work_; });
+    blocking_cv_.wait(lk, [&] {
+      return checkGetComplete() || !should_work_ ||
+             (decoder_ && decoder_->hasCursorConsumers());
+    });
   }
   return TS_OK;
 }
@@ -218,6 +223,8 @@ int Pipeline::TryGetFrame(const std::string& consumer, int index, uint8_t* out_y
 int Pipeline::GetFrameBatch(const std::string& consumer, int count,
                             uint8_t* out_y, uint8_t* out_uv, int* first_index) {
   if (!initialized_ || !decoder_) return TS_ERROR;
+  decoder_->registerCursor(consumer);
+  blocking_cv_.notify_all();  // release a producer parked in BLOCKING wait
   return decoder_->GetFramesBulk(consumer, count, out_y, out_uv, first_index);
 }
 

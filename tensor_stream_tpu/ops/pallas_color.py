@@ -1,0 +1,137 @@
+"""Hand-written Pallas/Mosaic TPU kernel for the hot VPP op:
+full-frame NV12 -> RGB24/BGR24 conversion (+normalization, planar/merged).
+
+This is the TPU counterpart of the reference's busiest CUDA kernels
+(reference: src/ColorConversion.cu:41-93). The op is HBM-bandwidth bound
+(1.5 B/px in, 3 or 12 B/px out); the kernel streams row-blocks of the Y
+and UV planes through VMEM once, does the BT.601 math on the VPU with the
+exact constants/rounding of the reference, and writes the channel planes
+— one pass, no intermediate HBM traffic.
+
+The chroma upsample (each UV byte pair serves a 2x2 luma block) is done
+in-register: `pltpu.repeat` doubles the sublane (row) axis, and the
+even/odd lane broadcast is a mask + `pltpu.roll` along lanes — no
+gathers.
+
+Math parity is asserted against the XLA path (itself bit-exact vs the
+CUDA oracles) in tests/test_pallas.py.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .color import _BU, _GU, _GV, _RV, _Y_COEF
+
+# Correctly-rounded x/255 without a table lookup (Mosaic has no >=2D
+# gather): 1/255 = 2^-8 / (1 - 2^-8) = 2^-8 * (1 + 2^-8 + 2^-16 + ...).
+# For integer x in [0, 255], s = x + x*2^-8 + x*2^-16 is EXACT in f32
+# (three non-overlapping 8-bit fields fill the 24-bit mantissa); the
+# series tail x*(2^-24 + 2^-32 + ...) = x * 2^-24 * 256/255 is added as
+# one rounded product, which perturbs the exact s by ~2^-40 relative —
+# far below the half-ulp rounding boundary (x/255 is never exactly a
+# tie: its binary expansion is infinite unless x % 255 == 0, and those
+# cases are exact). Verified bit-identical to the f32 LUT for all 256
+# values on TPU (tests/test_pallas.py).
+_TAIL_255 = np.float32(np.float64(2.0) ** -24 * 256.0 / 255.0)
+
+
+def _div255_exact(x_f32):
+    s = (x_f32 + x_f32 * jnp.float32(2.0 ** -8)) + x_f32 * jnp.float32(2.0 ** -16)
+    return (s + x_f32 * _TAIL_255) * jnp.float32(2.0 ** -8)
+
+
+def _rgb_from_planes(y_f32, u_f32, v_f32):
+    """Exact reference math (src/ColorConversion.cu:23-38) on f32 blocks."""
+    yv = jnp.maximum(jnp.float32(0), y_f32 - jnp.float32(16)) * _Y_COEF
+    vi = v_f32 - jnp.float32(128)
+    ui = u_f32 - jnp.float32(128)
+    r = (yv + (_RV * vi + jnp.float32(0.5))).astype(jnp.int32)
+    b = (yv + (_BU * ui + jnp.float32(0.5))).astype(jnp.int32)
+    g = (yv + (_GV * vi + _GU * ui + jnp.float32(0.5))).astype(jnp.int32)
+    clip = lambda x: jnp.clip(x, 0, 255)
+    return clip(r), clip(g), clip(b)
+
+
+def _u8_to_f32(x):
+    # Mosaic has no direct u8->f32 cast; widen through int32 (bitcast to
+    # i8 then mask keeps the unsigned range).
+    return (x.astype(jnp.int32) & 0xFF).astype(jnp.float32)
+
+
+def _nv12_rgb_kernel(y_ref, uv_ref, out_ref, *, swap_rb,
+                     normalization, planar, block_w):
+    y = _u8_to_f32(y_ref[...])
+    uv = _u8_to_f32(uv_ref[...])
+    # UV row r serves luma rows 2r and 2r+1 — an interleaved doubling
+    # (jnp.repeat lowers to broadcast+reshape on the sublane axis; NOT
+    # pltpu.repeat, which tiles the whole block).
+    uv2 = jnp.repeat(uv, 2, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, uv2.shape, dimension=1)
+    even = (lane % 2) == 0
+    u_even = jnp.where(even, uv2, 0.0)
+    v_odd = jnp.where(even, 0.0, uv2)
+    # broadcast each even-lane U to its odd neighbor, odd-lane V to even.
+    u = u_even + pltpu.roll(u_even, shift=1, axis=1)
+    v = v_odd + pltpu.roll(v_odd, shift=block_w - 1, axis=1)  # roll by -1
+    r, g, b = _rgb_from_planes(y, u, v)
+    if swap_rb:
+        r, b = b, r
+    if normalization:
+        chans = [_div255_exact(c.astype(jnp.float32)) for c in (r, g, b)]
+        dtype = jnp.float32
+    else:
+        chans = [r, g, b]  # keep i32: Mosaic only reshapes 32-bit minor dims
+        dtype = jnp.uint8
+    axis = 0 if planar else -1
+    out_ref[...] = jnp.stack(chans, axis=axis).astype(dtype)
+
+
+@functools.lru_cache(maxsize=32)
+def build_pallas_nv12_to_rgb(height: int, width: int, swap_rb: bool,
+                             planar: bool, normalization: bool,
+                             block_rows: int = 64, interpret: bool = False):
+    """Returns a jitted (y [H,W] u8, uv [H/2,W] u8) -> RGB converter.
+
+    Requires even H and H % (2*block_rows) paddable; rows are processed in
+    `block_rows`-row blocks (UV in block_rows/2). W must be a multiple of
+    2 (NV12) — lane padding to 128 is handled by Mosaic.
+    """
+    assert height % 2 == 0 and width % 2 == 0
+    # Mosaic blocks must have sublane counts divisible by 8 (Y) — and the
+    # UV block is block_rows/2, so block_rows must be a multiple of 16
+    # that divides the height; otherwise fall back to one whole-frame
+    # block (always legal: block == array dims).
+    while block_rows >= 16 and height % block_rows != 0:
+        block_rows //= 2
+    if block_rows < 16:
+        block_rows = height
+    grid = (height // block_rows,)
+    dtype = jnp.float32 if normalization else jnp.uint8
+    if planar:
+        out_shape = jax.ShapeDtypeStruct((3, height, width), dtype)
+        out_spec = pl.BlockSpec((3, block_rows, width),
+                                lambda i: (0, i, 0))
+    else:
+        out_shape = jax.ShapeDtypeStruct((height, width, 3), dtype)
+        out_spec = pl.BlockSpec((block_rows, width, 3),
+                                lambda i: (i, 0, 0))
+
+    kernel = functools.partial(_nv12_rgb_kernel, swap_rb=swap_rb,
+                               normalization=normalization, planar=planar,
+                               block_w=width)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, width), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows // 2, width), lambda i: (i, 0)),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+    return jax.jit(call)

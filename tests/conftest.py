@@ -1,8 +1,13 @@
 """Test configuration.
 
-Tests run on a virtual 8-device CPU mesh by default (set TS_TEST_TPU=1 to
-run on real TPU hardware instead). The environment must be set before jax
-imports, hence the os.environ writes at module import time.
+Tests are backend-agnostic: they run on a virtual 8-device CPU mesh when
+CPU is the backend, and directly on TPU hardware otherwise. NOTE: on this
+dev image the axon TPU plugin registers at *interpreter startup* (from
+sitecustomize, keyed on PALLAS_AXON_POOL_IPS) and wins over any
+JAX_PLATFORMS value set afterwards — to force CPU the variable must be
+cleared before python starts:
+
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m pytest tests/
 
 Fixture videos live in the read-only reference checkout; tests that need
 them skip cleanly when it is absent.
@@ -11,10 +16,9 @@ import os
 import sys
 
 if not os.environ.get("TS_TEST_TPU"):
+    # Effective only when the axon plugin didn't already claim the
+    # process at startup (see module docstring).
     os.environ["JAX_PLATFORMS"] = "cpu"
-    # The axon TPU plugin registers itself from sitecustomize whenever
-    # PALLAS_AXON_POOL_IPS is set, overriding JAX_PLATFORMS — clear it so
-    # CPU really is CPU here.
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in xla_flags:

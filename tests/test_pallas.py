@@ -1,0 +1,62 @@
+"""Pallas NV12->RGB kernel vs the XLA reference path.
+
+The XLA path (ops/color.py) is itself validated bit-exact against the
+CUDA oracles (tests/test_vpp.py), so agreement here chains the Pallas
+kernel to the same oracles. On CPU the kernel runs in interpret mode;
+set TS_TEST_TPU=1 to exercise the compiled Mosaic kernel (validated
+bit-exact on a real v5e chip).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tensor_stream_tpu.ops.color import _DIV255, nv12_to_rgb
+from tensor_stream_tpu.ops.pallas_color import (_div255_exact,
+                                                build_pallas_nv12_to_rgb)
+
+INTERPRET = jax.default_backend() == "cpu"
+
+
+def _rand_nv12(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 256, (h, w), np.uint8),
+            rng.integers(0, 256, (h // 2, w), np.uint8))
+
+
+def test_div255_series_matches_lut_bitwise():
+    """The gather-free x/255 must equal the correctly-rounded f32 LUT for
+    every uint8 value (see the derivation in pallas_color.py)."""
+    x = jnp.arange(256, dtype=jnp.float32)
+    got = np.asarray(jax.jit(_div255_exact)(x))
+    assert np.array_equal(got.view(np.uint32), _DIV255.view(np.uint32))
+
+
+@pytest.mark.parametrize("planar", [False, True])
+@pytest.mark.parametrize("normalization", [False, True])
+@pytest.mark.parametrize("swap_rb", [False, True])
+def test_pallas_nv12_rgb_matches_xla(planar, normalization, swap_rb):
+    h, w = 64, 256
+    y, uv = _rand_nv12(h, w)
+    fn = build_pallas_nv12_to_rgb(h, w, swap_rb, planar, normalization,
+                                  block_rows=16, interpret=INTERPRET)
+    got = np.asarray(fn(y, uv))
+    ref = np.asarray(nv12_to_rgb(jnp.asarray(y), jnp.asarray(uv),
+                                 swap_rb=swap_rb, planar=planar,
+                                 normalization=normalization))
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    assert np.array_equal(got, ref)
+
+
+def test_pallas_odd_block_split():
+    """Heights that don't divide the default block size still work."""
+    h, w = 36, 128  # 36 % 64 != 0 -> block split fallback
+    y, uv = _rand_nv12(h, w, seed=3)
+    fn = build_pallas_nv12_to_rgb(h, w, False, False, False,
+                                  interpret=INTERPRET)
+    got = np.asarray(fn(y, uv))
+    ref = np.asarray(nv12_to_rgb(jnp.asarray(y), jnp.asarray(uv),
+                                 swap_rb=False, planar=False,
+                                 normalization=False))
+    assert np.array_equal(got, ref)
