@@ -56,13 +56,15 @@ def main():
                                    buffer_size=4 * BATCH, loop=True)
     reader.initialize(repeat_number=3)
     reader.start()
-    out = reader.read_batch(BATCH, name="bench", **kwargs)  # warm path
+    out = reader.read_batch(BATCH, name="bench", host_resize=True,
+                            **kwargs)  # warm path
     jax.block_until_ready(out)
     frames = 0
     pending = None
     start = time.perf_counter()
     while time.perf_counter() - start < TARGET_SECONDS:
-        out = reader.read_batch(BATCH, name="bench", **kwargs)
+        out = reader.read_batch(BATCH, name="bench", host_resize=True,
+                                **kwargs)
         pending = out  # async dispatch; don't block inside the loop
         frames += out.shape[0]
     if pending is not None:

@@ -75,6 +75,23 @@ int ts_pipeline_get_batch(void* p, const char* consumer, int count,
       consumer ? consumer : "default", count, out_y, out_uv, first_index);
 }
 
+int ts_pipeline_get_batch_resized(void* p, const char* consumer, int count,
+                                  int dst_w, int dst_h, int algo,
+                                  uint8_t* out_y, uint8_t* out_uv,
+                                  int* first_index) {
+  return static_cast<Pipeline*>(p)->GetFrameBatchResized(
+      consumer ? consumer : "default", count, dst_w, dst_h, algo, out_y,
+      out_uv, first_index);
+}
+
+// Standalone host resize (testing hook): tightly-packed NV12 in/out.
+void ts_resize_nv12_host(const uint8_t* y, const uint8_t* uv, int sw, int sh,
+                         uint8_t* out_y, uint8_t* out_uv, int dw, int dh,
+                         int algo) {
+  ts::ResizeNV12Host(y, uv, sw, sh, out_y, out_uv, dw, dh,
+                     static_cast<ts::HostResizeAlgo>(algo));
+}
+
 void ts_pipeline_stop(void* p) { static_cast<Pipeline*>(p)->Stop(); }
 void ts_pipeline_destroy(void* p) { delete static_cast<Pipeline*>(p); }
 

@@ -187,10 +187,8 @@ bool Decoder::hasCursorConsumers() {
   return !cursors_.empty();
 }
 
-int Decoder::GetFramesBulk(const std::string& consumer, int count,
-                           uint8_t* out_y, uint8_t* out_uv, int* first_index) {
-  size_t y_size = static_cast<size_t>(width_) * height_;
-  size_t uv_size = static_cast<size_t>(width_) * (height_ / 2);
+int Decoder::bulkDrain(const std::string& consumer, int count,
+                       int* first_index, const FrameSink& sink) {
   std::unique_lock<std::mutex> lk(sync_);
   auto it = cursors_.find(consumer);
   if (it == cursors_.end()) {
@@ -208,10 +206,13 @@ int Decoder::GetFramesBulk(const std::string& consumer, int count,
     if (it->second >= current_frame_) break;  // finished and drained
     const Slot& slot = ring_[it->second % ring_.size()];
     if (slot.valid) {
-      std::memcpy(out_y + static_cast<size_t>(copied) * y_size, slot.y.data(),
-                  y_size);
-      std::memcpy(out_uv + static_cast<size_t>(copied) * uv_size,
-                  slot.uv.data(), uv_size);
+      // Safe to read the slot unlocked: the producer's back-pressure
+      // wait (storeFrame) cannot overwrite slot `cursor % size` until
+      // this cursor advances past it, and the cursor only advances
+      // below, after the sink ran.
+      lk.unlock();
+      sink(slot, copied);
+      lk.lock();
       copied++;
     } else if (first_index) {
       *first_index = static_cast<int>(it->second) + 2;
@@ -220,6 +221,36 @@ int Decoder::GetFramesBulk(const std::string& consumer, int count,
     producer_cv_.notify_all();
   }
   return copied;
+}
+
+int Decoder::GetFramesBulk(const std::string& consumer, int count,
+                           uint8_t* out_y, uint8_t* out_uv, int* first_index) {
+  size_t y_size = static_cast<size_t>(width_) * height_;
+  size_t uv_size = static_cast<size_t>(width_) * (height_ / 2);
+  return bulkDrain(consumer, count, first_index,
+                   [&](const Slot& slot, int copied) {
+                     std::memcpy(out_y + static_cast<size_t>(copied) * y_size,
+                                 slot.y.data(), y_size);
+                     std::memcpy(out_uv + static_cast<size_t>(copied) * uv_size,
+                                 slot.uv.data(), uv_size);
+                   });
+}
+
+int Decoder::GetFramesBulkResized(const std::string& consumer, int count,
+                                  int dst_w, int dst_h, int algo,
+                                  uint8_t* out_y, uint8_t* out_uv,
+                                  int* first_index) {
+  size_t y_size = static_cast<size_t>(dst_w) * dst_h;
+  size_t uv_size = static_cast<size_t>(dst_w) * (dst_h / 2);
+  int sw = width_, sh = height_;
+  return bulkDrain(consumer, count, first_index,
+                   [&](const Slot& slot, int copied) {
+                     ResizeNV12Host(slot.y.data(), slot.uv.data(), sw, sh,
+                                    out_y + static_cast<size_t>(copied) * y_size,
+                                    out_uv + static_cast<size_t>(copied) * uv_size,
+                                    dst_w, dst_h,
+                                    static_cast<HostResizeAlgo>(algo));
+                   });
 }
 
 void Decoder::notifyConsumers() {

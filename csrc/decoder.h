@@ -19,6 +19,7 @@
 
 #include <condition_variable>
 #include <cstring>
+#include <functional>
 #include <map>
 #include <memory>
 #include <mutex>
@@ -32,6 +33,7 @@ extern "C" {
 
 #include "parser.h"
 #include "ts_common.h"
+#include "vpp_host.h"
 
 namespace ts {
 
@@ -75,6 +77,15 @@ class Decoder {
   int GetFramesBulk(const std::string& consumer, int count, uint8_t* out_y,
                     uint8_t* out_uv, int* first_index);
 
+  // Bulk cursor-mode read with host-side NV12-domain resize (vpp_host.h)
+  // applied per frame before the copy-out — shrinks the bytes shipped to
+  // the device when the host->HBM link is the bottleneck. Same cursor /
+  // back-pressure semantics as GetFramesBulk; out buffers are sized
+  // count*dst_w*dst_h and count*dst_w*dst_h/2.
+  int GetFramesBulkResized(const std::string& consumer, int count, int dst_w,
+                           int dst_h, int algo, uint8_t* out_y,
+                           uint8_t* out_uv, int* first_index);
+
   // Registers a cursor consumer (idempotent); used by the pipeline so
   // the producer's BLOCKING wait can account for bulk consumers before
   // their first blocking read.
@@ -96,6 +107,14 @@ class Decoder {
     std::vector<uint8_t> y, uv;
     bool valid = false;
   };
+
+  // Shared cursor-drain loop: waits for / walks consecutive frames and
+  // hands each valid slot to `sink(slot, copied)` with the ring lock
+  // RELEASED (the producer back-pressure guarantees the slot cannot be
+  // overwritten until this consumer's cursor advances past it).
+  using FrameSink = std::function<void(const Slot&, int)>;
+  int bulkDrain(const std::string& consumer, int count, int* first_index,
+                const FrameSink& sink);
 
   int storeFrame(AVFrame* frame);
 

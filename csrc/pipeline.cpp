@@ -228,6 +228,17 @@ int Pipeline::GetFrameBatch(const std::string& consumer, int count,
   return decoder_->GetFramesBulk(consumer, count, out_y, out_uv, first_index);
 }
 
+int Pipeline::GetFrameBatchResized(const std::string& consumer, int count,
+                                   int dst_w, int dst_h, int algo,
+                                   uint8_t* out_y, uint8_t* out_uv,
+                                   int* first_index) {
+  if (!initialized_ || !decoder_) return TS_ERROR;
+  decoder_->registerCursor(consumer);
+  blocking_cv_.notify_all();  // release a producer parked in BLOCKING wait
+  return decoder_->GetFramesBulkResized(consumer, count, dst_w, dst_h, algo,
+                                        out_y, out_uv, first_index);
+}
+
 void Pipeline::Stop() {
   should_work_ = false;
   if (framerate_mode_ == FR_BLOCKING) {

@@ -73,6 +73,13 @@ class Pipeline {
   int GetFrameBatch(const std::string& consumer, int count, uint8_t* out_y,
                     uint8_t* out_uv, int* first_index);
 
+  // Bulk no-drop read with host-side NV12 resize before the copy-out
+  // (Decoder::GetFramesBulkResized) — the transfer-byte reducer for
+  // link-bound hosts.
+  int GetFrameBatchResized(const std::string& consumer, int count, int dst_w,
+                           int dst_h, int algo, uint8_t* out_y,
+                           uint8_t* out_uv, int* first_index);
+
   void Stop();
 
   int width() const { return parser_ ? parser_->width() : 0; }

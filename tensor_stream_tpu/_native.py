@@ -71,6 +71,12 @@ def load():
         sig("ts_pipeline_get_batch", c_int,
             [c_void_p, c_char_p, c_int, c_void_p, c_void_p,
              ctypes.POINTER(ctypes.c_int)])
+        sig("ts_pipeline_get_batch_resized", c_int,
+            [c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_void_p,
+             c_void_p, ctypes.POINTER(ctypes.c_int)])
+        sig("ts_resize_nv12_host", None,
+            [c_void_p, c_void_p, c_int, c_int, c_void_p, c_void_p, c_int,
+             c_int, c_int])
         sig("ts_pipeline_stop", None, [c_void_p])
         sig("ts_pipeline_destroy", None, [c_void_p])
         for name in ("width", "height", "fps_num", "fps_den", "delay_ms",

@@ -16,6 +16,7 @@ order — XLA fuses it into one pass over the planes.
 """
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,6 +90,15 @@ def _bilinear_plane(img, row_a, row_c, col_a, col_b, wx, wy):
     d = _take2(img, row_c, col_b).astype(jnp.float32)
     wx = jnp.asarray(wx)[None, :]
     wy = jnp.asarray(wy)[:, None]
+    # NOTE on last-ulp freedom: inside one fused XLA loop the backend may
+    # contract mul+add pairs (FMA) and fold constant weight products,
+    # each skipping one f32 rounding vs this written order. nvcc applied
+    # the same contraction to the reference kernel (-fmad default), so
+    # u8 outputs of ANY two builds of this math can differ by 1 on
+    # truncation-boundary pixels. The committed CUDA oracles pass (see
+    # test_vpp/test_resize_quality); the host resize (csrc/vpp_host.cpp,
+    # strict IEEE order) is documented to match within +-1
+    # (docs/PARITY.md, tests/test_host_resize.py).
     value = (a * (1 - wx) * (1 - wy) + b * wx * (1 - wy)
              + c * wy * (1 - wx) + d * (wx * wy))
     return _trunc_u8(value)

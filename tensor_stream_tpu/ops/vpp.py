@@ -134,6 +134,29 @@ def build_vpp(cfg: VPPConfig, device_index: int = 0):
 
 
 @lru_cache(maxsize=64)
+def build_vpp_batched_flat(cfg: VPPConfig, batch: int, device_index: int = 0):
+    """Jitted batched VPP over ONE flat NV12 staging buffer.
+
+    Takes a single (batch*H*W*3/2,) uint8 array laid out as all Y planes
+    followed by all UV planes and returns [batch, ...] tensors. One
+    contiguous host->HBM transfer per batch instead of two — the
+    transfer is the throughput wall on the consumer side, so the staging
+    buffer is written once by the native ring drain and shipped whole.
+    """
+    device = jax.devices()[device_index]
+    fn = make_vpp_fn(cfg)
+    h, w = cfg.src_height, cfg.src_width
+    y_size = batch * h * w
+
+    def flat_fn(flat):
+        ys = flat[:y_size].reshape(batch, h, w)
+        uvs = flat[y_size:].reshape(batch, h // 2, w)
+        return jax.vmap(fn)(ys, uvs)
+
+    return jax.jit(flat_fn, device=device)
+
+
+@lru_cache(maxsize=64)
 def build_vpp_batched(cfg: VPPConfig, device_index: int = 0):
     """Jitted batched VPP: (y [N,H,W], uv [N,H/2,W]) -> [N, ...].
 

@@ -1,0 +1,85 @@
+"""Native host resize (csrc/vpp_host.cpp) vs the device resize path.
+
+The JAX resize (ops/resize.py) is validated bit-exact against the
+reference CUDA kernels' CRC/raster oracles (test_vpp.py /
+test_resize_quality.py); matching it bit-for-bit chains the native port
+to the same oracles.
+"""
+import numpy as np
+import pytest
+
+from conftest import resource
+
+from tensor_stream_tpu import _native
+from tensor_stream_tpu.enums import FourCC, FrameRate, Planes, ResizeType
+from tensor_stream_tpu.ops.resize import resize_nv12
+
+
+def _host_resize(lib, y, uv, dst_w, dst_h, algo):
+    sh, sw = y.shape
+    out_y = np.empty((dst_h, dst_w), np.uint8)
+    out_uv = np.empty((dst_h // 2, dst_w), np.uint8)
+    lib.ts_resize_nv12_host(y.ctypes.data, uv.ctypes.data, sw, sh,
+                            out_y.ctypes.data, out_uv.ctypes.data,
+                            dst_w, dst_h, algo)
+    return out_y, out_uv
+
+
+@pytest.mark.parametrize("algo,rt", [(0, ResizeType.NEAREST),
+                                     (1, ResizeType.BILINEAR)])
+@pytest.mark.parametrize("src,dst", [((64, 48), (32, 24)),    # downscale
+                                     ((64, 48), (128, 96)),   # upscale
+                                     ((320, 240), (224, 224)),
+                                     ((1920, 1080), (224, 224)),
+                                     ((100, 62), (76, 42))])  # odd ratios
+def test_host_resize_matches_device(native, algo, rt, src, dst):
+    (sw, sh), (dw, dh) = src, dst
+    rng = np.random.default_rng(sw * sh)
+    y = rng.integers(0, 256, (sh, sw), np.uint8)
+    uv = rng.integers(0, 256, (sh // 2, sw), np.uint8)
+    got_y, got_uv = _host_resize(native, y, uv, dw, dh, algo)
+    ref_y, ref_uv = resize_nv12(y, uv, sw, sh, dw, dh, rt)
+    assert np.array_equal(got_y, np.asarray(ref_y))
+    assert np.array_equal(got_uv, np.asarray(ref_uv))
+
+
+def test_read_batch_host_resize_matches_device_path(native):
+    """End-to-end: host_resize=True matches the device-resize batch path
+    on a real stream within one u8 step.
+
+    Exact equality cannot be promised here: inside one fused XLA program
+    the backend contracts mul+add into FMA / folds constant weight
+    products, skipping f32 roundings of the written order; real video has
+    flat regions whose blend lands exactly on truncation boundaries, so a
+    skipped rounding flips the output by 1 (nvcc contracted the reference
+    kernel the same way — see docs/PARITY.md). The host resize follows
+    the strict IEEE order, so agreement is within +-1/255 with the vast
+    majority of pixels exact (the raw-resize tests above ARE exact: on
+    random data no blend lands on a boundary)."""
+    import jax
+    from tensor_stream_tpu import TensorStreamConverter
+
+    path = resource("bbb_1080x608_420_10.h264")
+    kwargs = dict(pixel_format=FourCC.RGB24, planes_pos=Planes.PLANAR,
+                  width=224, height=224, resize_type=ResizeType.BILINEAR,
+                  normalization=True)
+
+    def grab(host_resize):
+        r = TensorStreamConverter(path, framerate_mode=FrameRate.FAST,
+                                  buffer_size=8)
+        r.initialize(repeat_number=3)
+        r.start()
+        t, idx = r.read_batch(4, name="c", host_resize=host_resize,
+                              return_index=True, **kwargs)
+        out = np.asarray(jax.block_until_ready(t))
+        r.stop()
+        return out, idx
+
+    dev, idx_dev = grab(False)
+    host, idx_host = grab(True)
+    assert idx_dev == idx_host
+    assert dev.shape == host.shape == (4, 3, 224, 224)
+    # A +-1 u8 step in the resized NV12 amplifies through the BT.601
+    # matrix (R gain 1.164*dY + 1.596*dV) to at most ~3 RGB steps.
+    assert np.abs(dev - host).max() <= 4.0 / 255 + 1e-7
+    assert (dev == host).mean() > 0.9
