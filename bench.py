@@ -14,7 +14,6 @@ import os
 import sys
 import time
 
-import numpy as np
 
 VIDEO = os.environ.get(
     "TS_BENCH_VIDEO",
@@ -27,50 +26,30 @@ BASELINE_FPS = 2000.0
 def main():
     import jax
 
-    from tensor_stream_tpu import FourCC, FrameRate, Planes, ResizeType
-    from tensor_stream_tpu import TensorStreamConverter
-    from tensor_stream_tpu.ops.vpp import VPPConfig, build_vpp_batched
+    from tensor_stream_tpu import FourCC, FrameLoader, Planes, ResizeType
 
-    kwargs = dict(pixel_format=FourCC.RGB24, planes_pos=Planes.PLANAR,
-                  width=224, height=224, resize_type=ResizeType.BILINEAR,
-                  normalization=True)
-
-    # Warm the compile cache before timing.
-    reader = TensorStreamConverter(VIDEO, framerate_mode=FrameRate.BLOCKING,
-                                   buffer_size=2 * BATCH)
-    reader.initialize(repeat_number=3)
-    w, h = reader.frame_size
-    cfg = VPPConfig(src_width=w, src_height=h, width=224, height=224,
-                    resize_type=ResizeType.BILINEAR, fourcc=FourCC.RGB24,
-                    planes=Planes.PLANAR, normalization=True)
-    vpp = build_vpp_batched(cfg)
-    dummy_y = np.zeros((BATCH, h, w), np.uint8)
-    dummy_uv = np.zeros((BATCH, h // 2, w), np.uint8)
-    jax.block_until_ready(vpp(dummy_y, dummy_uv))
-    reader.stop()
-
-    # Single looped pipeline: the demuxer seeks back to the start on EOF,
-    # the producer decodes flat-out (FAST), and the consumer drains every
-    # frame through batched async device dispatches (no-drop cursor mode).
-    reader = TensorStreamConverter(VIDEO, framerate_mode=FrameRate.FAST,
-                                   buffer_size=4 * BATCH, loop=True)
-    reader.initialize(repeat_number=3)
-    reader.start()
-    out = reader.read_batch(BATCH, name="bench", host_resize=True,
-                            **kwargs)  # warm path
+    # Production input-pipeline shape: looped demux + flat-out decode in
+    # the native producer thread, drain + host NV12 resize in the loader
+    # thread (both GIL-free), batched convert/normalize on the TPU with
+    # async dispatch — decode, transfer, and device compute all overlap.
+    loader = FrameLoader(VIDEO, batch=BATCH, prefetch=3, host_resize=True,
+                         loop=True, width=224, height=224,
+                         resize_type=ResizeType.BILINEAR,
+                         pixel_format=FourCC.RGB24, planes_pos=Planes.PLANAR,
+                         normalization=True)
+    out, _ = next(loader)  # warm the jit cache before timing
     jax.block_until_ready(out)
     frames = 0
     pending = None
     start = time.perf_counter()
     while time.perf_counter() - start < TARGET_SECONDS:
-        out = reader.read_batch(BATCH, name="bench", host_resize=True,
-                                **kwargs)
+        out, _ = next(loader)
         pending = out  # async dispatch; don't block inside the loop
         frames += out.shape[0]
     if pending is not None:
         jax.block_until_ready(pending)
     elapsed = time.perf_counter() - start
-    reader.stop()
+    loader.close()
     fps = frames / elapsed
 
     result = {

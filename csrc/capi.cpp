@@ -75,6 +75,10 @@ int ts_pipeline_get_batch(void* p, const char* consumer, int count,
       consumer ? consumer : "default", count, out_y, out_uv, first_index);
 }
 
+void ts_pipeline_register_cursor(void* p, const char* consumer) {
+  static_cast<Pipeline*>(p)->RegisterCursor(consumer ? consumer : "default");
+}
+
 int ts_pipeline_get_batch_resized(void* p, const char* consumer, int count,
                                   int dst_w, int dst_h, int algo,
                                   uint8_t* out_y, uint8_t* out_uv,

@@ -189,6 +189,11 @@ bool Decoder::hasCursorConsumers() {
 
 int Decoder::bulkDrain(const std::string& consumer, int count,
                        int* first_index, const FrameSink& sink) {
+  // Blocks Close() for the duration of the drain; notifyConsumers (which
+  // Stop() issues first) sets is_finished_ without needing this guard,
+  // so a parked drain wakes, exits the loop, and releases us.
+  std::shared_lock<std::shared_mutex> close_guard(close_guard_);
+  if (closed_) return 0;
   std::unique_lock<std::mutex> lk(sync_);
   auto it = cursors_.find(consumer);
   if (it == cursors_.end()) {
@@ -264,6 +269,8 @@ void Decoder::notifyConsumers() {
 }
 
 void Decoder::Close() {
+  std::unique_lock<std::shared_mutex> close_guard(close_guard_);
+  std::lock_guard<std::mutex> lk(sync_);
   if (closed_) return;
   if (ctx_) avcodec_free_context(&ctx_);
   if (sws_) {

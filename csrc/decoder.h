@@ -23,6 +23,7 @@
 #include <map>
 #include <memory>
 #include <mutex>
+#include <shared_mutex>
 #include <string>
 #include <vector>
 
@@ -135,6 +136,11 @@ class Decoder {
   std::mutex sync_;
   std::condition_variable consumer_cv_;
   std::condition_variable producer_cv_;  // back-pressure for cursor mode
+  // Guards ring storage lifetime against Close(): bulk drains read slot
+  // data with sync_ released (see bulkDrain), so Close must wait for
+  // them. Shared = reader in flight, unique = Close. Acquisition order
+  // is always close_guard_ -> sync_.
+  std::shared_mutex close_guard_;
 
   FILE* dump_file_ = nullptr;
   bool closed_ = true;

@@ -228,6 +228,10 @@ int Pipeline::GetFrameBatch(const std::string& consumer, int count,
   return decoder_->GetFramesBulk(consumer, count, out_y, out_uv, first_index);
 }
 
+void Pipeline::RegisterCursor(const std::string& consumer) {
+  if (decoder_) decoder_->registerCursor(consumer);
+}
+
 int Pipeline::GetFrameBatchResized(const std::string& consumer, int count,
                                    int dst_w, int dst_h, int algo,
                                    uint8_t* out_y, uint8_t* out_uv,

@@ -73,6 +73,12 @@ class Pipeline {
   int GetFrameBatch(const std::string& consumer, int count, uint8_t* out_y,
                     uint8_t* out_uv, int* first_index);
 
+  // Pre-registers a bulk (cursor) consumer so its no-drop window starts
+  // at the CURRENT frame — call before Start() to guarantee delivery
+  // from frame 1 (a cursor created lazily by the first GetFrameBatch
+  // starts at the oldest frame still in the ring instead).
+  void RegisterCursor(const std::string& consumer);
+
   // Bulk no-drop read with host-side NV12 resize before the copy-out
   // (Decoder::GetFramesBulkResized) — the transfer-byte reducer for
   // link-bound hosts.

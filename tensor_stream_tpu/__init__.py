@@ -11,6 +11,7 @@ Public API mirrors the reference package (tensor_stream/__init__.py):
 
     from tensor_stream_tpu import TensorStreamConverter, FourCC, Planes
 """
+from .data import FrameLoader
 from .enums import (FourCC, FrameRate, LogsLevel, LogsType, Planes,
                     ResizeType, StatusLevel)
 from .tensor_stream import FrameParameters, TensorStreamConverter
@@ -18,6 +19,6 @@ from .tensor_stream import FrameParameters, TensorStreamConverter
 __version__ = "0.1.0"
 
 __all__ = [
-    "TensorStreamConverter", "FrameParameters", "StatusLevel", "LogsLevel",
-    "LogsType", "FourCC", "ResizeType", "Planes", "FrameRate",
+    "TensorStreamConverter", "FrameParameters", "FrameLoader", "StatusLevel",
+    "LogsLevel", "LogsType", "FourCC", "ResizeType", "Planes", "FrameRate",
 ]

@@ -71,6 +71,7 @@ def load():
         sig("ts_pipeline_get_batch", c_int,
             [c_void_p, c_char_p, c_int, c_void_p, c_void_p,
              ctypes.POINTER(ctypes.c_int)])
+        sig("ts_pipeline_register_cursor", None, [c_void_p, c_char_p])
         sig("ts_pipeline_get_batch_resized", c_int,
             [c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_void_p,
              c_void_p, ctypes.POINTER(ctypes.c_int)])

@@ -1,0 +1,185 @@
+"""FrameLoader — a prefetching iterator from video stream to device batches.
+
+The reference stopped at per-frame `read()`; training/serving pipelines on
+TPU want an input iterator that keeps the accelerator fed: decode runs in
+the native producer thread, the drain + (optional) host resize runs in a
+loader thread (both GIL-free), and the main thread only dispatches — so
+host decode, host->HBM transfer, and device compute overlap, double-
+buffered like flax's prefetch_to_device idiom.
+
+    loader = FrameLoader("video.mp4", batch=16, width=224, height=224,
+                         resize_type=ResizeType.BILINEAR,
+                         pixel_format=FourCC.RGB24,
+                         planes_pos=Planes.PLANAR, normalization=True,
+                         host_resize=True, loop=True)
+    for tensors, indices in loader:        # [16, 3, 224, 224] f32 on TPU
+        train_step(params, tensors)
+
+Each yielded batch is an independent jax.Array — safe to hold across
+iterations (no buffer aliasing; staging buffers rotate host-side).
+"""
+import ctypes
+import queue
+import threading
+
+import numpy as np
+
+from .enums import FourCC, FrameRate, Planes, ResizeType
+from .tensor_stream import FrameParameters, TensorStreamConverter
+from .ops.vpp import build_vpp_batched_flat
+
+
+class FrameLoader:
+    """Iterates device-resident batches over a stream (TPU extension)."""
+
+    def __init__(self,
+                 stream_url,
+                 batch=16,
+                 prefetch=2,
+                 host_resize=False,
+                 loop=False,
+                 buffer_size=None,
+                 decode_threads=0,
+                 device_index=0,
+                 drop_partial=False,
+                 **frame_kwargs):
+        self.batch = int(batch)
+        self.prefetch = max(1, int(prefetch))
+        self.host_resize = bool(host_resize)
+        self.drop_partial = bool(drop_partial)
+        self.device_index = device_index
+        self.params = FrameParameters(**frame_kwargs)
+        if self.host_resize:
+            if not (self.params.width and self.params.height):
+                raise ValueError("host_resize requires width and height")
+            if any(self.params.crop_coords):
+                raise ValueError("host_resize does not support crop")
+            rt = self.params.resize_type
+            rt = rt if isinstance(rt, ResizeType) else ResizeType(rt)
+            if rt not in (ResizeType.NEAREST, ResizeType.BILINEAR):
+                raise ValueError("host_resize supports NEAREST/BILINEAR")
+            self._algo = 0 if rt == ResizeType.NEAREST else 1
+        self.reader = TensorStreamConverter(
+            stream_url, framerate_mode=FrameRate.FAST,
+            buffer_size=buffer_size or 4 * self.batch,
+            decode_threads=decode_threads, loop=loop)
+        self.reader.initialize(repeat_number=3)
+        # Register the cursor BEFORE the producer starts so the no-drop
+        # window opens at frame 1 (otherwise a fast producer may already
+        # have evicted the head of a short file from the ring).
+        self.reader._lib.ts_pipeline_register_cursor(self.reader._handle,
+                                                     b"loader")
+        self.reader.start()
+        w, h = self.reader.frame_size
+        if self.host_resize:
+            self._w, self._h = self.params.width, self.params.height
+            cfg_params = FrameParameters(
+                pixel_format=self.params.pixel_format,
+                planes_pos=self.params.planes_pos,
+                normalization=self.params.normalization)
+            self._cfg = cfg_params.to_config(self._w, self._h)
+        else:
+            self._w, self._h = w, h
+            self._cfg = self.params.to_config(w, h)
+        self._vpp = build_vpp_batched_flat(self._cfg, self.batch,
+                                           device_index)
+        # Rotating staging pool: one buffer per in-flight batch plus one
+        # being filled, so the drain thread never writes a buffer the
+        # main thread is still shipping.
+        n_bufs = self.prefetch + 2
+        size = self.batch * self._w * self._h * 3 // 2
+        self._pool = queue.Queue()
+        for _ in range(n_bufs):
+            self._pool.put(np.empty(size, np.uint8))
+        self._filled = queue.Queue(maxsize=self.prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- internal
+
+    def _drain(self):
+        lib = self.reader._lib
+        handle = self.reader._handle
+        y_size = self.batch * self._w * self._h
+        first = ctypes.c_int(0)
+        while not self._stop.is_set():
+            buf = self._pool.get()
+            if buf is None or self._stop.is_set():
+                break
+            if self.host_resize:
+                got = lib.ts_pipeline_get_batch_resized(
+                    handle, b"loader", self.batch, self._w, self._h,
+                    self._algo, buf.ctypes.data, buf.ctypes.data + y_size,
+                    ctypes.byref(first))
+            else:
+                got = lib.ts_pipeline_get_batch(
+                    handle, b"loader", self.batch, buf.ctypes.data,
+                    buf.ctypes.data + y_size, ctypes.byref(first))
+            if got <= 0:
+                self._filled.put(None)  # end-of-stream sentinel
+                break
+            self._filled.put((buf, got, first.value))
+
+    # ------------------------------------------------------------ iteration
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import jax
+        while True:
+            item = self._filled.get()
+            if item is None:
+                raise StopIteration
+            buf, got, first = item
+            if got < self.batch and self.drop_partial:
+                self._pool.put(buf)
+                continue
+            device = jax.devices()[self.device_index]
+            flat = jax.device_put(buf, device)
+            # The host buffer's bytes are consumed by device_put; recycle
+            # it for the drain thread immediately.
+            self._pool.put(buf)
+            tensors = self._vpp(flat)
+            if got < self.batch:
+                tensors = tensors[:got]
+            return tensors, list(range(first, first + got))
+
+    def close(self):
+        self._stop.set()
+        try:
+            self._pool.put_nowait(None)  # unblock a drain waiting for a buffer
+        except queue.Full:
+            pass
+        # Stop (but do not yet destroy) the native pipeline: wakes a drain
+        # parked inside the native call, which then exits. Only after the
+        # drain thread is joined is it safe to destroy the handle.
+        if self.reader._handle is not None:
+            self.reader._lib.ts_pipeline_stop(self.reader._handle)
+        self._drain_unblock()
+        self._thread.join(timeout=10)
+        self.reader.stop()
+
+    def _drain_unblock(self):
+        # The drain may be blocked on the bounded _filled queue; pop one
+        # item so its put() completes and it can observe _stop.
+        try:
+            self._filled.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    @property
+    def fps(self):
+        return self.reader.fps
+
+    @property
+    def frame_size(self):
+        return self.reader.frame_size

@@ -1,0 +1,64 @@
+"""FrameLoader: prefetching stream -> device-batch iterator."""
+import numpy as np
+import pytest
+
+from conftest import resource
+
+from tensor_stream_tpu import FourCC, FrameLoader, Planes, ResizeType
+
+
+def test_loader_iterates_whole_stream_in_order():
+    import jax
+    path = resource("bbb_1080x608_420_10.h264")
+    with FrameLoader(path, batch=4, prefetch=2, width=128, height=96,
+                     resize_type=ResizeType.BILINEAR,
+                     pixel_format=FourCC.RGB24, planes_pos=Planes.PLANAR,
+                     normalization=True) as loader:
+        assert loader.frame_size == (1080, 608)
+        seen = []
+        shapes = []
+        for tensors, indices in loader:
+            jax.block_until_ready(tensors)
+            assert tensors.shape[1:] == (3, 96, 128)
+            assert tensors.dtype == np.float32
+            shapes.append(tensors.shape[0])
+            seen.extend(indices)
+    # All 10 frames, consecutively, once.
+    assert seen == list(range(seen[0], seen[0] + len(seen)))
+    assert len(seen) == 10
+    assert sum(shapes) == 10
+
+
+def test_loader_host_resize_matches_device_resize():
+    import jax
+    path = resource("bbb_1080x608_420_10.h264")
+
+    def collect(host_resize):
+        out = []
+        with FrameLoader(path, batch=5, width=224, height=224,
+                         host_resize=host_resize,
+                         resize_type=ResizeType.BILINEAR,
+                         pixel_format=FourCC.RGB24,
+                         planes_pos=Planes.PLANAR,
+                         normalization=True) as loader:
+            for tensors, indices in loader:
+                out.append((np.asarray(jax.block_until_ready(tensors)),
+                            indices))
+        return out
+
+    dev = collect(False)
+    host = collect(True)
+    assert [i for _, i in dev] == [i for _, i in host]
+    for (d, _), (h, _) in zip(dev, host):
+        # +-1 u8 NV12 step through the BT.601 matrix (docs/PARITY.md).
+        assert np.abs(d - h).max() <= 4.0 / 255 + 1e-7
+
+
+def test_loader_close_mid_stream_no_hang():
+    path = resource("bbb_1080x608_420_10.h264")
+    loader = FrameLoader(path, batch=2, width=64, height=64,
+                         pixel_format=FourCC.Y800, loop=True)
+    tensors, indices = next(loader)
+    assert tensors.shape[0] == 2
+    loader.close()  # must unblock the drain thread and join promptly
+    assert not loader._thread.is_alive()
