@@ -33,6 +33,10 @@ import pytest  # noqa: E402
 
 RESOURCES = os.environ.get("TS_REF_RESOURCES",
                            "/root/reference/tests/resources")
+# Regenerated fixtures the reference declares missing
+# (.MISSING_LARGE_BLOBS) live in-repo; see tools/make_fixture.cpp.
+LOCAL_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "fixtures")
 
 BBB = os.path.join(RESOURCES, "bbb_1080x608_420_10.h264")
 BILLIARD = os.path.join(RESOURCES, "billiard_1920x1080_420_100.h264")
@@ -40,10 +44,11 @@ BUNNY = os.path.join(RESOURCES, "bunny.mp4")
 
 
 def resource(name: str) -> str:
-    path = os.path.join(RESOURCES, name)
-    if not os.path.exists(path):
-        pytest.skip(f"fixture {name} not available")
-    return path
+    for base in (RESOURCES, LOCAL_FIXTURES):
+        path = os.path.join(base, name)
+        if os.path.exists(path):
+            return path
+    pytest.skip(f"fixture {name} not available")
 
 
 @pytest.fixture(scope="session")

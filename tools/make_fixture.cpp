@@ -1,0 +1,103 @@
+// Regenerates the reference's missing 720x480 250-frame H.264 fixture
+// (reference: .MISSING_LARGE_BLOBS declares tests/resources/
+// bbb_720x480_RGB24_250.h264 absent; the FrameRate tests need a 250-frame
+// 25 fps stream). Encodes synthetic moving-gradient frames with libx264
+// into a raw Annex-B elementary stream.
+//
+//   g++ -O2 -std=c++20 make_fixture.cpp -lavcodec -lavutil -o make_fixture
+//   ./make_fixture out.h264 [frames=250] [w=720] [h=480] [fps=25]
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+}
+
+static void fill_frame(AVFrame* f, int index) {
+  const int w = f->width, h = f->height;
+  // Smooth moving diagonal gradient + a drifting bright square: cheap to
+  // encode, exercises inter prediction, deterministic.
+  for (int y = 0; y < h; y++) {
+    uint8_t* row = f->data[0] + static_cast<size_t>(y) * f->linesize[0];
+    for (int x = 0; x < w; x++)
+      row[x] = static_cast<uint8_t>((x + y + 2 * index) & 0xFF);
+  }
+  for (int y = 0; y < h / 2; y++) {
+    uint8_t* u = f->data[1] + static_cast<size_t>(y) * f->linesize[1];
+    uint8_t* v = f->data[2] + static_cast<size_t>(y) * f->linesize[2];
+    for (int x = 0; x < w / 2; x++) {
+      u[x] = static_cast<uint8_t>(128 + 40 * std::sin(0.05 * (x + index)));
+      v[x] = static_cast<uint8_t>(128 + 40 * std::cos(0.04 * (y + index)));
+    }
+  }
+  const int sq = 64, sx = (8 * index) % (w - sq), sy = (3 * index) % (h - sq);
+  for (int y = sy; y < sy + sq; y++)
+    std::memset(f->data[0] + static_cast<size_t>(y) * f->linesize[0] + sx, 235, sq);
+}
+
+int main(int argc, char** argv) {
+  if (argc < 2) {
+    std::fprintf(stderr, "usage: %s out.h264 [frames] [w] [h] [fps]\n", argv[0]);
+    return 1;
+  }
+  const char* out_path = argv[1];
+  const int frames = argc > 2 ? std::atoi(argv[2]) : 250;
+  const int w = argc > 3 ? std::atoi(argv[3]) : 720;
+  const int h = argc > 4 ? std::atoi(argv[4]) : 480;
+  const int fps = argc > 5 ? std::atoi(argv[5]) : 25;
+
+  const AVCodec* codec = avcodec_find_encoder_by_name("libx264");
+  if (!codec) {
+    std::fprintf(stderr, "libx264 not available\n");
+    return 1;
+  }
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  ctx->width = w;
+  ctx->height = h;
+  ctx->time_base = {1, fps};
+  ctx->framerate = {fps, 1};
+  ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+  ctx->gop_size = 25;
+  ctx->max_b_frames = 2;  // exercises the analyzer's POC/reorder checks
+  av_opt_set(ctx->priv_data, "preset", "veryfast", 0);
+  av_opt_set(ctx->priv_data, "crf", "23", 0);
+  if (avcodec_open2(ctx, codec, nullptr) < 0) {
+    std::fprintf(stderr, "encoder open failed\n");
+    return 1;
+  }
+
+  FILE* out = std::fopen(out_path, "wb");
+  AVFrame* frame = av_frame_alloc();
+  frame->format = ctx->pix_fmt;
+  frame->width = w;
+  frame->height = h;
+  av_frame_get_buffer(frame, 0);
+  AVPacket* pkt = av_packet_alloc();
+
+  auto drain = [&](AVFrame* f) {
+    avcodec_send_frame(ctx, f);
+    while (avcodec_receive_packet(ctx, pkt) == 0) {
+      std::fwrite(pkt->data, 1, pkt->size, out);
+      av_packet_unref(pkt);
+    }
+  };
+  for (int i = 0; i < frames; i++) {
+    av_frame_make_writable(frame);
+    fill_frame(frame, i);
+    frame->pts = i;
+    drain(frame);
+  }
+  drain(nullptr);  // flush
+
+  std::fclose(out);
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  avcodec_free_context(&ctx);
+  std::printf("wrote %d frames %dx%d@%d to %s\n", frames, w, h, fps, out_path);
+  return 0;
+}
