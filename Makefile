@@ -1,0 +1,31 @@
+# Top-level convenience targets (reference: Makefile drove docker
+# build/run/wheel; same spirit, TPU image).
+NAME ?= tensor-stream-tpu
+
+.PHONY: all native test bench wheel docker fixtures clean
+
+all: native
+
+native:
+	$(MAKE) -C csrc
+
+test: native
+	python -m pytest tests/ -q
+
+bench: native
+	python bench.py
+
+wheel: native
+	python setup.py sdist bdist_wheel
+
+docker:
+	docker build -t $(NAME) .
+
+# Regenerates the fixtures upstream declares missing (needs libx264).
+fixtures:
+	g++ -O2 -std=c++20 tools/make_fixture.cpp -lavcodec -lavutil -o tools/make_fixture
+	./tools/make_fixture tests/fixtures/bbb_720x480_RGB24_250.h264
+
+clean:
+	$(MAKE) -C csrc clean
+	rm -f tools/make_fixture
