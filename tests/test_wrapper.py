@@ -112,8 +112,11 @@ def test_native_pacing_cadence():
 
 def test_fast_mode_faster_than_native():
     """FAST mode must outpace the native frame rate
-    (reference: WrapperTests.cpp:258-317)."""
-    reader = make_reader(resource("billiard_1920x1080_420_100.h264"),
+    (reference: WrapperTests.cpp:258-317). Uses the light 720x480 fixture
+    so the margin survives a contended single-core CI host (1080p decode
+    alone can exceed the 25 fps budget when the suite runs in parallel
+    with compiles)."""
+    reader = make_reader(resource("bbb_720x480_RGB24_250.h264"),
                          mode=FrameRate.BLOCKING)
     reader.read(name="c", pixel_format=FourCC.Y800, width=96, height=64)
     t0 = time.monotonic()
