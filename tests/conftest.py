@@ -17,9 +17,13 @@ import sys
 
 if not os.environ.get("TS_TEST_TPU"):
     # Effective only when the axon plugin didn't already claim the
-    # process at startup (see module docstring).
+    # process at startup (see module docstring). The TPU plugin address
+    # is stashed (not destroyed) so subprocess tests can put a child on
+    # the same backend as the parent (tests/test_cli.py).
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    _pool = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    if _pool:
+        os.environ["TS_STASHED_POOL_IPS"] = _pool
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (xla_flags +

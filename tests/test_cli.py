@@ -1,0 +1,80 @@
+"""Spawned-CLI tests, mirroring the reference's PythonTests fixture
+(reference: tests/src/PythonTests.cpp:41-99 runs python_examples/simple.py
+with an argument matrix and CRC-checks the dumped raster).
+
+The CLI dump must be byte-identical to the same conversion through the
+library API — the strongest equivalence the reference's per-platform CRC
+constants were standing in for.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import resource
+
+from tensor_stream_tpu import (FourCC, FrameRate, Planes, ResizeType,
+                               TensorStreamConverter)
+from tensor_stream_tpu.utils.crc import av_crc32
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SIMPLE = os.path.join(REPO, "python_examples", "simple.py")
+
+
+def run_simple(tmp_path, *extra):
+    out = tmp_path / "cli_dump"
+    cmd = [sys.executable, SIMPLE, "-i", resource(FIXTURE), "-n", "4",
+           "-o", str(out), "--framerate_mode", "BLOCKING", *extra]
+    # Run the child on the SAME backend as this process: conftest's env
+    # mutation (JAX_PLATFORMS=cpu) is inherited by subprocesses and would
+    # otherwise put the child on true CPU while the parent sits on TPU —
+    # different backends contract the float math differently, so their
+    # u8 outputs legitimately differ by +-1 on truncation-boundary pixels
+    # (docs/PARITY.md), which is not what this test is about.
+    import jax
+    env = dict(os.environ)
+    if jax.default_backend() != "cpu":
+        env.pop("JAX_PLATFORMS", None)
+        stashed = env.pop("TS_STASHED_POOL_IPS", None)
+        if stashed:
+            env["PALLAS_AXON_POOL_IPS"] = stashed
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=560,
+                          env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return np.fromfile(f"{out}.yuv", np.uint8)
+
+
+FIXTURE = "bbb_720x480_RGB24_250.h264"
+
+
+@pytest.mark.parametrize("args,pixels_per_frame", [
+    (("-fc", "RGB24", "-w", "320", "-h", "240"), 320 * 240 * 3),
+    (("-fc", "BGR24", "-w", "320", "-h", "240", "--planes", "PLANAR",
+      "--resize_type", "BILINEAR"), 320 * 240 * 3),
+    (("-fc", "Y800", "-w", "160", "-h", "120"), 160 * 120),
+])
+def test_cli_dump_matches_library_path(tmp_path, args, pixels_per_frame):
+    data = run_simple(tmp_path, *args)
+    assert data.size == 4 * pixels_per_frame
+
+    # Re-produce the same bytes through the library directly.
+    reader = TensorStreamConverter(resource(FIXTURE),
+                                   framerate_mode=FrameRate.BLOCKING)
+    reader.initialize(repeat_number=3)
+    reader.start()
+    opt = {args[i].lstrip("-"): args[i + 1] for i in range(0, len(args), 2)}
+    frames = []
+    for _ in range(4):
+        t = reader.read(name="default",
+                        pixel_format=FourCC[opt["fc"]],
+                        width=int(opt["w"]), height=int(opt["h"]),
+                        resize_type=ResizeType[opt.get("resize_type",
+                                                       "NEAREST")],
+                        planes_pos=Planes[opt.get("planes", "MERGED")])
+        frames.append(np.asarray(t).reshape(-1))
+    reader.stop()
+    lib_bytes = np.concatenate(frames)[:data.size]
+    assert av_crc32(data) == av_crc32(lib_bytes)
+    assert np.array_equal(data, lib_bytes)
