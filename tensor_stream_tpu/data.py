@@ -183,3 +183,53 @@ class FrameLoader:
     @property
     def frame_size(self):
         return self.reader.frame_size
+
+
+class MultiStreamLoader:
+    """Batches frames from SEVERAL streams into one device dispatch.
+
+    The reference's scale-out story was one instance per GPU
+    (different_streams.py); the TPU-idiomatic version is the transpose:
+    many streams share one chip by stacking into the batch dimension,
+    where the MXU/VPU want their work. Each stream runs its own native
+    producer + drain; iteration yields
+    ``(tensors [n_streams*per_stream, ...], indices {url_index: [...]})``,
+    stacked on device (no extra host copies).
+
+        loader = MultiStreamLoader(["cam1.mp4", "cam2.mp4"], per_stream=8,
+                                   width=224, height=224, host_resize=True,
+                                   pixel_format=FourCC.RGB24,
+                                   planes_pos=Planes.PLANAR,
+                                   normalization=True, loop=True)
+        for batch, indices in loader:   # [16, 3, 224, 224]
+            logits = model(batch)
+
+    Iteration ends when ANY stream is exhausted (loop=True never ends).
+    """
+
+    def __init__(self, stream_urls, per_stream=8, **loader_kwargs):
+        self.loaders = [FrameLoader(url, batch=per_stream, **loader_kwargs)
+                        for url in stream_urls]
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import jax.numpy as jnp
+        parts, indices = [], {}
+        for k, loader in enumerate(self.loaders):
+            tensors, idx = next(loader)  # StopIteration propagates
+            parts.append(tensors)
+            indices[k] = idx
+        return jnp.concatenate(parts, axis=0), indices
+
+    def close(self):
+        for loader in self.loaders:
+            loader.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

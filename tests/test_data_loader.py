@@ -62,3 +62,21 @@ def test_loader_close_mid_stream_no_hang():
     assert tensors.shape[0] == 2
     loader.close()  # must unblock the drain thread and join promptly
     assert not loader._thread.is_alive()
+
+
+def test_multi_stream_loader_stacks_streams():
+    import jax
+    from tensor_stream_tpu import MultiStreamLoader
+    urls = [resource("bbb_1080x608_420_10.h264"),
+            resource("bbb_720x480_RGB24_250.h264")]
+    with MultiStreamLoader(urls, per_stream=3, width=96, height=96,
+                           resize_type=ResizeType.BILINEAR,
+                           pixel_format=FourCC.RGB24,
+                           planes_pos=Planes.PLANAR,
+                           normalization=True) as loader:
+        batch, indices = next(loader)
+        jax.block_until_ready(batch)
+        assert batch.shape == (6, 3, 96, 96)
+        assert indices[0] == [1, 2, 3] and indices[1] == [1, 2, 3]
+        batch2, indices2 = next(loader)
+        assert indices2[0] == [4, 5, 6] and indices2[1] == [4, 5, 6]
