@@ -21,6 +21,15 @@ wheel: native
 docker:
 	docker build -t $(NAME) .
 
+# Race-detection build: whole native runtime + stress harness under TSAN
+# (the reference shipped no sanitizer coverage; SURVEY §5.2).
+tsan:
+	g++ -O1 -g -std=c++20 -fsanitize=thread -fPIC -pthread \
+	  csrc/parser.cpp csrc/decoder.cpp csrc/pipeline.cpp csrc/vpp_host.cpp \
+	  tools/stress_tsan.cpp -lavformat -lavcodec -lavutil -lswscale \
+	  -o tools/stress_tsan
+	./tools/stress_tsan tests/fixtures/bbb_720x480_RGB24_250.h264 4
+
 # Regenerates the fixtures upstream declares missing (needs libx264).
 fixtures:
 	g++ -O2 -std=c++20 tools/make_fixture.cpp -lavcodec -lavutil -o tools/make_fixture

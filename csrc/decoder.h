@@ -17,6 +17,7 @@
 // which is a hard requirement once frames feed XLA's async dispatch.
 #pragma once
 
+#include <atomic>
 #include <condition_variable>
 #include <cstring>
 #include <functional>
@@ -125,7 +126,9 @@ class Decoder {
   SwsContext* sws_ = nullptr;
   AVFrame* decoded_ = nullptr;
   AVFrame* nv12_ = nullptr;
-  int width_ = 0, height_ = 0;
+  // Atomic: written by the producer on (rare) mid-stream dimension
+  // changes, read by consumers sizing their copies without the ring lock.
+  std::atomic<int> width_{0}, height_{0};
 
   std::vector<Slot> ring_;
   int current_frame_ = 0;  // absolute count of frames stored

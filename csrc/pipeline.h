@@ -119,7 +119,8 @@ class Pipeline {
   int real_time_delay_ms_ = 0;
   double index_to_dts_ = 0.0;
   double dts_to_ms_ = 0.0;
-  bool skip_analyze_ = false;
+  // Atomic: skipAnalyze() may be called while the producer loop runs.
+  std::atomic<bool> skip_analyze_{false};
   std::atomic<int> analyze_errors_{0};
 
   std::atomic<bool> should_work_{false};
@@ -134,7 +135,9 @@ class Pipeline {
   std::mutex consumers_mu_;
   std::map<std::string, bool> consumers_;
 
-  bool initialized_ = false;
+  // Atomic: written by Stop() under close_sync_, read by consumer entry
+  // points without it.
+  std::atomic<bool> initialized_{false};
 };
 
 }  // namespace ts

@@ -1,0 +1,88 @@
+// ThreadSanitizer stress harness for the native runtime.
+//
+// The reference had no sanitizer coverage (SURVEY §5.2: thread-safety by
+// hand + threaded gtests). This drives every concurrent surface at once
+// under TSAN: the producer loop, latest-frame consumers, bulk cursor
+// consumers (with host resize), pacing handshakes, and shutdown storms
+// (Stop racing in-flight reads — the historical UAF window).
+//
+//   make tsan && ./tools/stress_tsan <video> [rounds=3]
+#include <atomic>
+#include <cstdio>
+#include <cstdlib>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include "../csrc/pipeline.h"
+#include "../csrc/ts_common.h"
+
+using ts::Pipeline;
+using ts::PipelineParams;
+
+static void run_round(const std::string& input, int round) {
+  PipelineParams params;
+  params.input = input;
+  params.framerate_mode = (round % 2) ? ts::FR_BLOCKING : ts::FR_FAST;
+  params.buffer_size = 8;
+  params.loop = true;
+
+  Pipeline p;
+  if (p.Init(params) != ts::TS_OK) {
+    std::fprintf(stderr, "init failed\n");
+    std::exit(1);
+  }
+  p.Start();
+  const int w = p.width(), h = p.height();
+  std::atomic<bool> stop{false};
+  std::atomic<int> reads{0};
+
+  auto latest_consumer = [&](std::string name) {
+    std::vector<uint8_t> y(static_cast<size_t>(w) * h);
+    std::vector<uint8_t> uv(static_cast<size_t>(w) * (h / 2));
+    while (!stop.load()) {
+      int sts = p.GetFrame(name, 0, y.data(), uv.data());
+      if (sts == ts::TS_FINISHED || sts == ts::TS_ERROR) break;
+      reads.fetch_add(1);
+    }
+  };
+  auto bulk_consumer = [&](std::string name, bool resized) {
+    const int B = 4, ow = resized ? 128 : w, oh = resized ? 96 : h;
+    std::vector<uint8_t> y(static_cast<size_t>(B) * ow * oh);
+    std::vector<uint8_t> uv(static_cast<size_t>(B) * ow * (oh / 2));
+    int first = 0;
+    while (!stop.load()) {
+      int got = resized
+                    ? p.GetFrameBatchResized(name, B, ow, oh, 1, y.data(),
+                                             uv.data(), &first)
+                    : p.GetFrameBatch(name, B, y.data(), uv.data(), &first);
+      if (got <= 0) break;
+      reads.fetch_add(got);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.emplace_back(latest_consumer, "a");
+  threads.emplace_back(latest_consumer, "b");
+  threads.emplace_back(bulk_consumer, "bulk1", false);
+  threads.emplace_back(bulk_consumer, "bulk2", true);
+
+  // Let everyone race for a while, then slam the door mid-read.
+  std::this_thread::sleep_for(std::chrono::milliseconds(1500));
+  p.Stop();
+  stop.store(true);
+  for (auto& t : threads) t.join();
+  std::printf("round %d (%s): %d reads, clean shutdown\n", round,
+              (round % 2) ? "BLOCKING" : "FAST", reads.load());
+}
+
+int main(int argc, char** argv) {
+  if (argc < 2) {
+    std::fprintf(stderr, "usage: %s <video> [rounds]\n", argv[0]);
+    return 1;
+  }
+  const int rounds = argc > 2 ? std::atoi(argv[2]) : 3;
+  for (int i = 0; i < rounds; i++) run_round(argv[1], i);
+  std::printf("OK\n");
+  return 0;
+}
