@@ -96,11 +96,15 @@ def make_vpp_fn(cfg: VPPConfig):
                                         cfg.normalization)
 
     def fn(y, uv):
+        # named_scope: stage names surface in jax.profiler / XLA metadata,
+        # the device-side counterpart of the reference's NVTX ranges.
         if do_crop:
-            y, uv = crop_nv12(y, uv, *cfg.crop)
+            with jax.named_scope("vpp_crop"):
+                y, uv = crop_nv12(y, uv, *cfg.crop)
         if do_resize:
-            y, uv = resize_nv12(y, uv, cur_w, cur_h, cfg.width, cfg.height,
-                                cfg.resize_type)
+            with jax.named_scope(f"vpp_resize_{cfg.resize_type.name}"):
+                y, uv = resize_nv12(y, uv, cur_w, cur_h, cfg.width,
+                                    cfg.height, cfg.resize_type)
         four = cfg.fourcc
         if four in (FourCC.RGB24, FourCC.BGR24):
             return color_ops.nv12_to_rgb(y, uv, swap_rb=(four == FourCC.BGR24),
@@ -153,7 +157,9 @@ def build_vpp_batched_flat(cfg: VPPConfig, batch: int, device_index: int = 0):
         uvs = flat[y_size:].reshape(batch, h // 2, w)
         return jax.vmap(fn)(ys, uvs)
 
-    return jax.jit(flat_fn, device=device)
+    # The staging buffer is freshly device_put per batch and never read
+    # again — donating it lets XLA reuse its HBM for the outputs.
+    return jax.jit(flat_fn, device=device, donate_argnums=0)
 
 
 @lru_cache(maxsize=64)
