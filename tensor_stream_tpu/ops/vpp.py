@@ -157,9 +157,11 @@ def build_vpp_batched_flat(cfg: VPPConfig, batch: int, device_index: int = 0):
         uvs = flat[y_size:].reshape(batch, h // 2, w)
         return jax.vmap(fn)(ys, uvs)
 
-    # The staging buffer is freshly device_put per batch and never read
-    # again — donating it lets XLA reuse its HBM for the outputs.
-    return jax.jit(flat_fn, device=device, donate_argnums=0)
+    # NOTE: donating `flat` was tried and reverted — the outputs never
+    # match the staging buffer's shape/dtype (u8 planes in, f32 or
+    # differently-sized u8 tensors out), so XLA can alias nothing and
+    # only emits "donated buffer not usable" warnings.
+    return jax.jit(flat_fn, device=device)
 
 
 @lru_cache(maxsize=64)
