@@ -125,11 +125,15 @@ int Pipeline::loopIteration(
 
   if (framerate_mode_ == FR_BLOCKING) {
     // Cursor (bulk) consumers pace the producer through ring
-    // back-pressure instead of the per-frame handshake.
+    // back-pressure instead of the per-frame handshake, so they bypass
+    // this wait — but only when NO per-frame blocking consumer is
+    // registered; with both kinds present the per-frame handshake still
+    // holds (cursor consumers simply don't count toward it).
     std::unique_lock<std::mutex> lk(blocking_sync_);
     blocking_cv_.wait(lk, [&] {
       return checkGetComplete() || !should_work_ ||
-             (decoder_ && decoder_->hasCursorConsumers());
+             (blocking_statuses_.empty() && decoder_ &&
+              decoder_->hasCursorConsumers());
     });
   }
   return TS_OK;
@@ -220,11 +224,21 @@ int Pipeline::TryGetFrame(const std::string& consumer, int index, uint8_t* out_y
   return decoder_->GetFrame(index, consumer, out_y, out_uv);
 }
 
+// Registers `consumer`'s cursor and wakes a producer parked in the
+// BLOCKING wait. The empty lock/unlock of blocking_sync_ orders the
+// cursor registration before the notify: without it the producer could
+// evaluate its predicate (no cursors yet), lose the wakeup fired between
+// predicate and sleep, and park forever.
+void Pipeline::registerCursorAndWake(const std::string& consumer) {
+  decoder_->registerCursor(consumer);
+  { std::lock_guard<std::mutex> lk(blocking_sync_); }
+  blocking_cv_.notify_all();
+}
+
 int Pipeline::GetFrameBatch(const std::string& consumer, int count,
                             uint8_t* out_y, uint8_t* out_uv, int* first_index) {
   if (!initialized_ || !decoder_) return TS_ERROR;
-  decoder_->registerCursor(consumer);
-  blocking_cv_.notify_all();  // release a producer parked in BLOCKING wait
+  registerCursorAndWake(consumer);
   return decoder_->GetFramesBulk(consumer, count, out_y, out_uv, first_index);
 }
 
@@ -237,8 +251,7 @@ int Pipeline::GetFrameBatchResized(const std::string& consumer, int count,
                                    uint8_t* out_y, uint8_t* out_uv,
                                    int* first_index) {
   if (!initialized_ || !decoder_) return TS_ERROR;
-  decoder_->registerCursor(consumer);
-  blocking_cv_.notify_all();  // release a producer parked in BLOCKING wait
+  registerCursorAndWake(consumer);
   return decoder_->GetFramesBulkResized(consumer, count, dst_w, dst_h, algo,
                                         out_y, out_uv, first_index);
 }

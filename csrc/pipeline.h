@@ -103,6 +103,7 @@ class Pipeline {
   Logger* logger() { return logger_.get(); }
 
  private:
+  void registerCursorAndWake(const std::string& consumer);
   int loopIteration(std::pair<int64_t, bool>& start_dts,
                     std::pair<std::chrono::steady_clock::time_point, bool>& start_time);
   void processingLoop();

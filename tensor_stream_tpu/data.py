@@ -25,7 +25,8 @@ import threading
 import numpy as np
 
 from .enums import FourCC, FrameRate, Planes, ResizeType
-from .tensor_stream import FrameParameters, TensorStreamConverter
+from .tensor_stream import (FrameParameters, TensorStreamConverter,
+                            host_resize_algo)
 from .ops.vpp import build_vpp_batched_flat
 
 
@@ -50,15 +51,7 @@ class FrameLoader:
         self.device_index = device_index
         self.params = FrameParameters(**frame_kwargs)
         if self.host_resize:
-            if not (self.params.width and self.params.height):
-                raise ValueError("host_resize requires width and height")
-            if any(self.params.crop_coords):
-                raise ValueError("host_resize does not support crop")
-            rt = self.params.resize_type
-            rt = rt if isinstance(rt, ResizeType) else ResizeType(rt)
-            if rt not in (ResizeType.NEAREST, ResizeType.BILINEAR):
-                raise ValueError("host_resize supports NEAREST/BILINEAR")
-            self._algo = 0 if rt == ResizeType.NEAREST else 1
+            self._algo = host_resize_algo(self.params)
         self.reader = TensorStreamConverter(
             stream_url, framerate_mode=FrameRate.FAST,
             buffer_size=buffer_size or 4 * self.batch,
@@ -138,10 +131,13 @@ class FrameLoader:
                 continue
             device = jax.devices()[self.device_index]
             flat = jax.device_put(buf, device)
-            # The host buffer's bytes are consumed by device_put; recycle
-            # it for the drain thread immediately.
+            tensors = self._vpp(flat)  # async dispatch
+            # device_put is asynchronous: the drain thread must not write
+            # into `buf` until the transfer has actually read it. Blocks
+            # on the TRANSFER only; the VPP dispatch above is already
+            # queued and the drain keeps filling the other pool buffers.
+            flat.block_until_ready()
             self._pool.put(buf)
-            tensors = self._vpp(flat)
             if got < self.batch:
                 tensors = tensors[:got]
             return tensors, list(range(first, first + got))

@@ -79,15 +79,18 @@ def make_vpp_fn(cfg: VPPConfig):
 
     # Full-frame NV12->RGB (no crop/resize) is the hottest op; use the
     # hand-written Pallas kernel there — ~25% faster than the XLA fusion
-    # at 1080p and bit-identical (tests/test_pallas.py). Planar only: a
-    # merged [H,W,3] out block pads its 3-wide lane dim to 128 on TPU and
-    # blows the VMEM budget at HD sizes. Other configs stay on the XLA
-    # path, which fuses the whole chain anyway.
+    # at HD sizes and bit-identical (tests/test_pallas.py). Planar only:
+    # a merged [H,W,3] out block pads its 3-wide lane dim to 128 on TPU
+    # and blows the VMEM budget at HD sizes. Heights must be a multiple
+    # of 16 so the row blocks tile legally (the whole-frame fallback
+    # would exceed VMEM at HD sizes — NB this excludes exactly-1080-row
+    # streams, which stay on XLA). Gated to the TPU backend: the Mosaic
+    # primitives lower nowhere else.
     use_pallas = (not do_crop and not do_resize and
                   cfg.fourcc in (FourCC.RGB24, FourCC.BGR24) and
                   cfg.planes == Planes.PLANAR and
                   cfg.src_height % 16 == 0 and
-                  jax.default_backend() != "cpu")
+                  jax.default_backend() == "tpu")
     if use_pallas:
         from .pallas_color import build_pallas_nv12_to_rgb
         return build_pallas_nv12_to_rgb(cfg.src_height, cfg.src_width,

@@ -71,6 +71,23 @@ class FrameParameters:
                 ")")
 
 
+def host_resize_algo(fp: FrameParameters) -> int:
+    """Validates `fp` for the native host-resize path and returns the
+    HostResizeAlgo value (csrc/vpp_host.h: NEAREST=0, BILINEAR=1). The
+    single source of truth for both read_batch(host_resize=True) and
+    FrameLoader."""
+    if not (fp.width and fp.height):
+        raise ValueError("host_resize requires width and height")
+    if any(fp.crop_coords):
+        raise ValueError("host_resize does not support crop")
+    rt = (fp.resize_type if isinstance(fp.resize_type, ResizeType)
+          else ResizeType(fp.resize_type))
+    algo = {ResizeType.NEAREST: 0, ResizeType.BILINEAR: 1}.get(rt)
+    if algo is None:
+        raise ValueError(f"host_resize supports NEAREST/BILINEAR, got {rt}")
+    return algo
+
+
 class TensorStreamConverter:
     """Starts the decode pipeline and serves post-processed frames as
     device-resident jax.Arrays (reference: tensor_stream.py:153-339)."""
@@ -331,6 +348,12 @@ class TensorStreamConverter:
         (flat,) = self._device_put(staging)
         tensors = build_vpp_batched_flat(cfg, int(batch),
                                          self.device_index)(flat)
+        # device_put is asynchronous: the next call's native drain must
+        # not overwrite `staging` while this transfer is in flight (the
+        # CPU backend demonstrably reads the numpy buffer after
+        # returning). Waits for the TRANSFER only — the VPP dispatch
+        # above stays async.
+        flat.block_until_ready()
         if got < batch:
             # Partial final batch: the unfilled rows were converted from
             # stale buffer contents; slice them off on device (cheaper
@@ -345,17 +368,7 @@ class TensorStreamConverter:
         import ctypes
         fp = frame_parameters
         dst_w, dst_h = fp.width, fp.height
-        if not (dst_w and dst_h):
-            raise ValueError("host_resize requires width and height")
-        if any(fp.crop_coords):
-            raise ValueError("host_resize does not support crop")
-        algo = {ResizeType.NEAREST: 0, ResizeType.BILINEAR: 1}.get(
-            ResizeType(fp.resize_type.value
-                       if isinstance(fp.resize_type, ResizeType)
-                       else fp.resize_type))
-        if algo is None:
-            raise ValueError(f"host_resize supports NEAREST/BILINEAR, "
-                             f"got {fp.resize_type}")
+        algo = host_resize_algo(fp)
         key = (name, int(batch), dst_w, dst_h)
         staging = self._batch_staging.get(key)
         if staging is None:
@@ -379,6 +392,7 @@ class TensorStreamConverter:
         (flat,) = self._device_put(staging)
         tensors = build_vpp_batched_flat(cfg, int(batch),
                                          self.device_index)(flat)
+        flat.block_until_ready()  # see read_batch: staging reuse safety
         if got < batch:
             tensors = tensors[:got]
         if return_index:
