@@ -175,3 +175,41 @@ def test_stream_error_detection_exposed():
     mask = reader.stream_errors
     reader.stop()
     assert mask & 2  # FRAME_NUM discontinuity detected
+
+
+def test_blocking_mixed_perframe_and_bulk_consumers():
+    """BLOCKING with BOTH consumer kinds: the per-frame consumer keeps
+    its strict no-drop handshake (sequential indexes) while a bulk
+    cursor consumer drains concurrently (cursor consumers bypass the
+    handshake only when they are alone)."""
+    reader = make_reader(resource("bbb_720x480_RGB24_250.h264"),
+                         mode=FrameRate.BLOCKING, max_consumers=2,
+                         buffer_size=8)
+    bulk_indices = []
+    done = threading.Event()
+
+    def bulk():
+        try:
+            while True:
+                _, idx = reader.read_batch(4, name="bulk",
+                                           pixel_format=FourCC.Y800,
+                                           width=96, height=64,
+                                           return_index=True)
+                bulk_indices.extend(idx)
+        except RuntimeError:
+            done.set()
+
+    t = threading.Thread(target=bulk)
+    t.start()
+    seq = []
+    for _ in range(12):
+        _, idx = reader.read(name="frame", pixel_format=FourCC.Y800,
+                             width=96, height=64, return_index=True)
+        seq.append(idx)
+    assert seq == list(range(seq[0], seq[0] + 12)), seq
+    reader.stop()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    # The bulk consumer saw a consecutive no-drop prefix as well.
+    assert bulk_indices == list(range(bulk_indices[0],
+                                      bulk_indices[0] + len(bulk_indices)))
