@@ -63,13 +63,20 @@ def _u8_to_f32(x):
 
 
 def _nv12_rgb_kernel(y_ref, uv_ref, out_ref, *, swap_rb,
-                     normalization, planar, block_w):
+                     normalization, planar, block_w, uv_half_select=False):
     y = _u8_to_f32(y_ref[...])
-    uv = _u8_to_f32(uv_ref[...])
     # UV row r serves luma rows 2r and 2r+1 — an interleaved doubling
     # (jnp.repeat lowers to broadcast+reshape on the sublane axis; NOT
     # pltpu.repeat, which tiles the whole block).
-    uv2 = jnp.repeat(uv, 2, axis=0)
+    uv2 = jnp.repeat(_u8_to_f32(uv_ref[...]), 2, axis=0)
+    if uv_half_select:
+        # 8-row-Y-block mode (heights divisible by 8 but not 16): the UV
+        # block spec delivers 8 UV rows covering TWO Y blocks (index_map
+        # i//2). Double to 16 rows, rotate this block's half to the top
+        # (dynamic sublane rotate — value dynamic_slice doesn't lower),
+        # and keep the first 8 rows statically.
+        off = (pl.program_id(0) % 2) * 8
+        uv2 = pltpu.roll(uv2, shift=16 - off, axis=0)[:8]
     lane = jax.lax.broadcasted_iota(jnp.int32, uv2.shape, dimension=1)
     even = (lane % 2) == 0
     u_even = jnp.where(even, uv2, 0.0)
@@ -103,12 +110,20 @@ def build_pallas_nv12_to_rgb(height: int, width: int, swap_rb: bool,
     assert height % 2 == 0 and width % 2 == 0
     # Mosaic blocks must have sublane counts divisible by 8 (Y) — and the
     # UV block is block_rows/2, so block_rows must be a multiple of 16
-    # that divides the height; otherwise fall back to one whole-frame
-    # block (always legal: block == array dims).
+    # that divides the height. Heights divisible by 8 but not 16 (e.g.
+    # exactly-1080-row streams) use 8-row Y blocks with an 8-row UV block
+    # shared by two consecutive Y blocks (uv_half_select). Anything else
+    # falls back to one whole-frame block (always legal: block == array
+    # dims — small frames only, VMEM bounds it).
     while block_rows >= 16 and height % block_rows != 0:
         block_rows //= 2
+    uv_half_select = False
     if block_rows < 16:
-        block_rows = height
+        if height % 16 != 0 and height % 8 == 0:
+            block_rows = 8
+            uv_half_select = True
+        else:
+            block_rows = height
     grid = (height // block_rows,)
     dtype = jnp.float32 if normalization else jnp.uint8
     if planar:
@@ -122,13 +137,17 @@ def build_pallas_nv12_to_rgb(height: int, width: int, swap_rb: bool,
 
     kernel = functools.partial(_nv12_rgb_kernel, swap_rb=swap_rb,
                                normalization=normalization, planar=planar,
-                               block_w=width)
+                               block_w=width, uv_half_select=uv_half_select)
+    if uv_half_select:
+        uv_spec = pl.BlockSpec((8, width), lambda i: (i // 2, 0))
+    else:
+        uv_spec = pl.BlockSpec((block_rows // 2, width), lambda i: (i, 0))
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_rows, width), lambda i: (i, 0)),
-            pl.BlockSpec((block_rows // 2, width), lambda i: (i, 0)),
+            uv_spec,
         ],
         out_specs=out_spec,
         out_shape=out_shape,

@@ -78,18 +78,18 @@ def make_vpp_fn(cfg: VPPConfig):
     out_w, out_h = cfg.output_size()
 
     # Full-frame NV12->RGB (no crop/resize) is the hottest op; use the
-    # hand-written Pallas kernel there — ~25% faster than the XLA fusion
-    # at HD sizes and bit-identical (tests/test_pallas.py). Planar only:
+    # hand-written Pallas kernel there — ~10-25% faster than the XLA
+    # fusion at HD sizes (21.3 vs 24.0 us/frame measured at 1920x1080)
+    # and bit-identical everywhere (tests/test_pallas.py). Planar only:
     # a merged [H,W,3] out block pads its 3-wide lane dim to 128 on TPU
     # and blows the VMEM budget at HD sizes. Heights must be a multiple
-    # of 16 so the row blocks tile legally (the whole-frame fallback
-    # would exceed VMEM at HD sizes — NB this excludes exactly-1080-row
-    # streams, which stay on XLA). Gated to the TPU backend: the Mosaic
+    # of 8 so the row blocks tile legally (8-but-not-16 heights use the
+    # kernel's uv_half_select mode). Gated to the TPU backend: the Mosaic
     # primitives lower nowhere else.
     use_pallas = (not do_crop and not do_resize and
                   cfg.fourcc in (FourCC.RGB24, FourCC.BGR24) and
                   cfg.planes == Planes.PLANAR and
-                  cfg.src_height % 16 == 0 and
+                  cfg.src_height % 8 == 0 and
                   jax.default_backend() == "tpu")
     if use_pallas:
         from .pallas_color import build_pallas_nv12_to_rgb

@@ -60,3 +60,25 @@ def test_pallas_odd_block_split():
                                  swap_rb=False, planar=False,
                                  normalization=False))
     assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("h", [24, 1080])
+def test_pallas_height_mod8_half_select(h):
+    """Heights divisible by 8 but not 16 (exactly-1080-row streams!) use
+    the uv_half_select 8-row-block mode. Bit-exact compiled; interpret
+    mode executes as ordinary XLA-CPU ops whose fusion contraction can
+    flip isolated truncation-boundary pixels by one step
+    (docs/PARITY.md), so it gets a +-1/255 budget."""
+    w = 256
+    y, uv = _rand_nv12(h, w, seed=h)
+    fn = build_pallas_nv12_to_rgb(h, w, False, True, True,
+                                  interpret=INTERPRET)
+    got = np.asarray(fn(y, uv))
+    ref = np.asarray(nv12_to_rgb(jnp.asarray(y), jnp.asarray(uv),
+                                 swap_rb=False, planar=True,
+                                 normalization=True))
+    if INTERPRET:
+        assert np.abs(got - ref).max() <= 1.0 / 255 + 1e-7
+        assert (got == ref).mean() > 0.999
+    else:
+        assert np.array_equal(got, ref)
