@@ -40,6 +40,13 @@ class VPPConfig:
         # HSV output is always normalized float (VideoProcessor.h:39-52).
         if self.fourcc == FourCC.HSV:
             object.__setattr__(self, "normalization", True)
+        # NV12-domain resize interleaves UV at half the target width, so
+        # odd targets would silently corrupt chroma (the reference's CUDA
+        # kernels have the same constraint, unchecked); fail loudly.
+        if (self.width or self.height) and (self.width % 2 or
+                                            self.height % 2):
+            raise ValueError("resize target must have even width/height "
+                             f"(got {self.width}x{self.height})")
 
     def output_size(self):
         """Final (width, height) after crop/resize defaulting
