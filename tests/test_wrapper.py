@@ -95,7 +95,7 @@ def test_native_pacing_cadence():
     interval (reference asserts realTimeDelay ± 4 ms,
     WrapperTests.cpp:173-212; we allow generous slack for a loaded CI
     host but still catch FAST-like behavior)."""
-    reader = make_reader(resource("billiard_1920x1080_420_100.h264"),
+    reader = make_reader(resource("bbb_720x480_RGB24_250.h264"),
                          mode=FrameRate.NATIVE)
     delay_ms = 1000.0 / reader.fps
     # warm the jit cache before timing
