@@ -1,6 +1,8 @@
 #include "vpp_host.h"
 
+#include <algorithm>
 #include <cmath>
+#include <limits>
 #include <cstring>
 #include <map>
 #include <memory>
@@ -44,6 +46,98 @@ AxisTables BuildAxis(int dst_n, int src_n) {
     t.w[j] = w;
   }
   return t;
+}
+
+// Bicubic axis: Catmull-Rom-style spline coefficients computed in double
+// from the f32 center-aligned coordinate, exactly like the reference
+// (src/Resize.cu:45-50, 321-347; mirrored from ops/resize.py).
+struct BicubicAxis {
+  std::vector<int> base;    // clamped floor of the f32 coordinate
+  std::vector<double> c[4];
+};
+
+BicubicAxis BuildBicubicAxis(int dst_n, int src_n) {
+  BicubicAxis t;
+  t.base.resize(dst_n);
+  for (int k = 0; k < 4; k++) t.c[k].resize(dst_n);
+  const double a = -0.75;
+  float r = static_cast<float>(src_n) / static_cast<float>(dst_n);
+  for (int j = 0; j < dst_n; j++) {
+    float f32 = (static_cast<float>(j) + 0.5f) * r - 0.5f;
+    double f = static_cast<double>(f32);
+    int base = static_cast<int>(std::floor(f));
+    double w = f - static_cast<double>(base);
+    if (base < 0) {
+      base = 0;
+      w = 0.0;
+    }
+    if (base > src_n - 1) {
+      base = src_n - 1;
+      w = 0.0;
+    }
+    t.base[j] = base;
+    double w2 = w * w, w3 = w2 * w;
+    t.c[0][j] = a * w - 2 * a * w2 + a * w3;
+    t.c[1][j] = 1 - (a + 3) * w2 + (a + 2) * w3;
+    t.c[2][j] = -a * w + (2 * a + 3) * w2 - (a + 2) * w3;
+    t.c[3][j] = a * w2 - a * w3;
+  }
+  return t;
+}
+
+// Tap positions (-diffTop, 0, +diff, +2diff) with the reference's
+// collapse rules (src/Resize.cu:29-43; ops/resize.py `_bicubic_taps`):
+// +taps collapse when either crosses `bound`, the -tap collapses at 0.
+inline void BicubicTaps(int pos, int diff, int bound, int out[4]) {
+  int d = diff;
+  if (pos + diff >= bound || pos + 2 * diff >= bound) d = 0;
+  int d_top = (pos - diff < 0) ? 0 : diff;
+  out[0] = pos - d_top;
+  out[1] = pos;
+  out[2] = pos + d;
+  out[3] = pos + 2 * d;
+}
+
+// AREA downscale pattern rows (reference host code incl. its f32
+// arithmetic and epsilon loop bound, src/Resize.cu:359-386; mirrored
+// from ops/resize.py `generate_resize_pattern`).
+struct AreaPattern {
+  int taps = 0;     // ceil(scale)
+  int period = 0;   // number of distinct weight rows
+  std::vector<float> rows;  // period x taps
+};
+
+AreaPattern BuildAreaPattern(float scale) {
+  AreaPattern p;
+  p.taps = static_cast<int>(std::ceil(static_cast<double>(scale)));
+  const float eps = std::numeric_limits<float>::epsilon();
+  float rest = 0.0f;
+  int current = 0;
+  while (true) {
+    float prod = static_cast<float>(current) * scale;
+    if (!(prod == 0.0f || (prod - static_cast<float>(static_cast<int>(prod))) > eps))
+      break;
+    float dyn = scale;
+    std::vector<float> row;
+    if (rest != 0.0f) {
+      row.push_back(rest);
+      dyn = dyn - rest;
+    }
+    while (dyn - 1.0f > 0.0f) {
+      row.push_back(1.0f);
+      dyn = dyn - 1.0f;
+    }
+    if (dyn > eps) {
+      row.push_back(dyn);
+      rest = 1.0f - dyn;
+    }
+    row.resize(p.taps, 0.0f);  // pad with zeros / truncate the dead tail
+    p.rows.insert(p.rows.end(), row.begin(), row.end());
+    current++;
+    if (current > 8192) break;  // safety bound, like the device twin
+  }
+  p.period = current;
+  return p;
 }
 
 struct ResizePlan {
@@ -128,6 +222,149 @@ void BilinearUV(const uint8_t* src, int sw, int sh2, uint8_t* dst, int dw,
   }
 }
 
+// Generic bicubic plane: two-pass spline — horizontal blend at each of 4
+// row taps, rounded and clamped per intermediate row, then the vertical
+// blend (src/Resize.cu:47-88; ops/resize.py `_bicubic_plane`, f32
+// accumulation of f64-derived coefficients).
+void BicubicPlane(const uint8_t* src, int src_w, const BicubicAxis& ay,
+                  int row_bound, const BicubicAxis& ax, int ncols,
+                  int col_scale, int col_off, int col_diff, int col_bound,
+                  uint8_t* dst, int dst_w, int nrows, int out_stride,
+                  int out_off) {
+  for (int i = 0; i < nrows; i++) {
+    int rt[4];
+    BicubicTaps(ay.base[i], 1, row_bound, rt);
+    float cy[4];
+    for (int k = 0; k < 4; k++) cy[k] = static_cast<float>(ay.c[k][i]);
+    for (int j = 0; j < ncols; j++) {
+      int ct[4];
+      BicubicTaps(ax.base[j] * col_scale + col_off, col_diff, col_bound, ct);
+      float cx[4];
+      for (int k = 0; k < 4; k++) cx[k] = static_cast<float>(ax.c[k][j]);
+      float rows[4];
+      for (int rk = 0; rk < 4; rk++) {
+        const uint8_t* row = src + static_cast<size_t>(rt[rk]) * src_w;
+        float acc = cx[0] * row[ct[0]] + cx[1] * row[ct[1]] +
+                    cx[2] * row[ct[2]] + cx[3] * row[ct[3]];
+        float b = std::floor(acc + 0.5f);
+        rows[rk] = std::min(std::max(b, 0.0f), 255.0f);
+      }
+      float acc = cy[0] * rows[0] + cy[1] * rows[1] + cy[2] * rows[2] +
+                  cy[3] * rows[3];
+      float v = std::floor(acc + 0.5f);
+      v = std::min(std::max(v, 0.0f), 255.0f);
+      dst[static_cast<size_t>(i) * dst_w + j * out_stride + out_off] =
+          static_cast<uint8_t>(v);
+    }
+  }
+}
+
+// AREA downscale plane: coverage-weighted box sum in the reference's tap
+// order (y outer, x inner; src/Resize.cu:160-212), weights from the
+// periodic pattern rows; `(int)(acc/div)` store (ops/resize.py
+// `_area_down_plane`).
+void AreaDownPlane(const uint8_t* src, int plane_w, int plane_h,
+                   const std::vector<int>& y_base, const AreaPattern& py,
+                   const std::vector<int>& x_base, const AreaPattern& px,
+                   uint8_t* dst, int dst_w, int nrows, int ncols, int stride,
+                   int col_off, int out_stride, int out_off) {
+  for (int i = 0; i < nrows; i++) {
+    const float* wy = &py.rows[static_cast<size_t>(i % py.period) * py.taps];
+    for (int j = 0; j < ncols; j++) {
+      const float* wx = &px.rows[static_cast<size_t>(j % px.period) * px.taps];
+      float acc = 0.0f, div = 0.0f;
+      bool first = true;
+      for (int ti = 0; ti < py.taps; ti++) {
+        int row = std::min(y_base[i] + ti, plane_h - 1);
+        const uint8_t* srow = src + static_cast<size_t>(row) * plane_w;
+        for (int tj = 0; tj < px.taps; tj++) {
+          int col = std::min(x_base[j] * stride + col_off + tj * stride,
+                             plane_w - 1);
+          float w2d = wy[ti] * wx[tj];
+          float term = srow[col] * w2d;
+          if (first) {
+            acc = term;
+            div = w2d;
+            first = false;
+          } else {
+            acc = acc + term;
+            div = div + w2d;
+          }
+        }
+      }
+      dst[static_cast<size_t>(i) * dst_w + j * out_stride + out_off] =
+          static_cast<uint8_t>(static_cast<int>(acc / div));
+    }
+  }
+}
+
+// AREA upscale per-axis base/weight (src/Resize.cu:220-232; ops/resize.py
+// `_area_axis_up`): x = floor(ratio*j); w = frac((j+1) - (x+1)/ratio),
+// clamped at 0. Plugs into the bilinear blend.
+AxisTables BuildAreaUpAxis(int dst_n, int src_n) {
+  AxisTables t;
+  float ratio = static_cast<float>(src_n) / static_cast<float>(dst_n);
+  t.base.resize(dst_n);
+  t.w.resize(dst_n);
+  t.nearest.resize(dst_n);
+  for (int j = 0; j < dst_n; j++) {
+    float base = std::floor(ratio * static_cast<float>(j));
+    float w = (static_cast<float>(j) + 1.0f) - (base + 1.0f) / ratio;
+    w = (w <= 0.0f) ? 0.0f : w - std::floor(w);
+    t.base[j] = static_cast<int>(base);
+    t.w[j] = w;
+    t.nearest[j] = static_cast<int>(ratio * static_cast<float>(j));
+  }
+  return t;
+}
+
+void ResizeBicubic(const uint8_t* y, const uint8_t* uv, int sw, int sh,
+                   uint8_t* out_y, uint8_t* out_uv, int dw, int dh) {
+  BicubicAxis ax = BuildBicubicAxis(dw, sw);
+  BicubicAxis ay = BuildBicubicAxis(dh, sh);
+  BicubicPlane(y, sw, ay, sh, ax, dw, 1, 0, 1, sw, out_y, dw, dh, 1, 0);
+  // UV: rows bounded by the half-height plane; U at even columns
+  // (x -> 2x, stride-2 taps), V at odd (ops/resize.py resize_bicubic).
+  BicubicPlane(uv, sw, ay, sh / 2, ax, dw / 2, 2, 0, 2, sw, out_uv, dw,
+               dh / 2, 2, 0);
+  BicubicPlane(uv, sw, ay, sh / 2, ax, dw / 2, 2, 1, 2, sw, out_uv, dw,
+               dh / 2, 2, 1);
+}
+
+void ResizeArea(const uint8_t* y, const uint8_t* uv, int sw, int sh,
+                uint8_t* out_y, uint8_t* out_uv, int dw, int dh) {
+  float x_ratio = static_cast<float>(sw) / static_cast<float>(dw);
+  float y_ratio = static_cast<float>(sh) / static_cast<float>(dh);
+  if (x_ratio > 1.0f && y_ratio > 1.0f) {
+    AreaPattern px = BuildAreaPattern(x_ratio);
+    AreaPattern py = BuildAreaPattern(y_ratio);
+    auto axis_base = [](int dst_n, float ratio) {
+      std::vector<int> base(dst_n);
+      for (int j = 0; j < dst_n; j++)
+        base[j] = static_cast<int>(ratio * static_cast<float>(j));
+      return base;
+    };
+    std::vector<int> xb = axis_base(dw, x_ratio);
+    std::vector<int> yb = axis_base(dh, y_ratio);
+    AreaDownPlane(y, sw, sh, yb, py, xb, px, out_y, dw, dh, dw, 1, 0, 1, 0);
+    AreaDownPlane(uv, sw, sh / 2, yb, py, xb, px, out_uv, dw, dh / 2,
+                  dw / 2, 2, 0, 2, 0);
+    AreaDownPlane(uv, sw, sh / 2, yb, py, xb, px, out_uv, dw, dh / 2,
+                  dw / 2, 2, 1, 2, 1);
+    return;
+  }
+  // Upscale: bilinear blend with coverage-derived weights.
+  AxisTables ax = BuildAreaUpAxis(dw, sw);
+  AxisTables ay = BuildAreaUpAxis(dh, sh);
+  BilinearY(y, sw, sh, out_y, dw, dh, ax, ay);
+  AxisTables ax_uv = ax, ay_uv = ay;
+  ax_uv.base.resize(dw / 2);
+  ax_uv.w.resize(dw / 2);
+  ay_uv.base.resize(dh / 2);
+  ay_uv.w.resize(dh / 2);
+  BilinearUV(uv, sw, sh / 2, out_uv, dw, dh / 2, ax_uv, ay_uv);
+}
+
 void NearestY(const uint8_t* src, int sw, uint8_t* dst, int dw, int dh,
               const AxisTables& ax, const AxisTables& ay) {
   for (int i = 0; i < dh; i++) {
@@ -157,6 +394,14 @@ void ResizeNV12Host(const uint8_t* y, const uint8_t* uv, int sw, int sh,
   if (sw == dw && sh == dh) {
     std::memcpy(out_y, y, static_cast<size_t>(sw) * sh);
     std::memcpy(out_uv, uv, static_cast<size_t>(sw) * (sh / 2));
+    return;
+  }
+  if (algo == HOST_RESIZE_BICUBIC) {
+    ResizeBicubic(y, uv, sw, sh, out_y, out_uv, dw, dh);
+    return;
+  }
+  if (algo == HOST_RESIZE_AREA) {
+    ResizeArea(y, uv, sw, sh, out_y, out_uv, dw, dh);
     return;
   }
   const ResizePlan& plan = GetPlan(sw, sh, dw, dh);

@@ -17,6 +17,8 @@ namespace ts {
 enum HostResizeAlgo {
   HOST_RESIZE_NEAREST = 0,
   HOST_RESIZE_BILINEAR = 1,
+  HOST_RESIZE_BICUBIC = 2,
+  HOST_RESIZE_AREA = 3,
 };
 
 // Resizes a tightly-packed NV12 frame (y: sh x sw, uv: sh/2 x sw

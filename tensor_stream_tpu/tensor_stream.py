@@ -73,8 +73,8 @@ class FrameParameters:
 
 def host_resize_algo(fp: FrameParameters) -> int:
     """Validates `fp` for the native host-resize path and returns the
-    HostResizeAlgo value (csrc/vpp_host.h: NEAREST=0, BILINEAR=1). The
-    single source of truth for both read_batch(host_resize=True) and
+    HostResizeAlgo value (csrc/vpp_host.h — values mirror ResizeType).
+    The single source of truth for both read_batch(host_resize=True) and
     FrameLoader."""
     if not (fp.width and fp.height):
         raise ValueError("host_resize requires width and height")
@@ -82,10 +82,7 @@ def host_resize_algo(fp: FrameParameters) -> int:
         raise ValueError("host_resize does not support crop")
     rt = (fp.resize_type if isinstance(fp.resize_type, ResizeType)
           else ResizeType(fp.resize_type))
-    algo = {ResizeType.NEAREST: 0, ResizeType.BILINEAR: 1}.get(rt)
-    if algo is None:
-        raise ValueError(f"host_resize supports NEAREST/BILINEAR, got {rt}")
-    return algo
+    return rt.value  # all four algorithms have native ports
 
 
 class TensorStreamConverter:
@@ -309,7 +306,7 @@ class TensorStreamConverter:
         throughput lever on TPU. Raises "Decoding finished" once the
         stream is fully drained.
 
-        host_resize=True applies the requested NEAREST/BILINEAR resize on
+        host_resize=True applies the requested resize (all four algorithms) on
         the host (bit-exact native port of the device math, csrc/
         vpp_host.cpp) *before* the host->device transfer, shrinking the
         shipped bytes by the resize factor — the right trade when the

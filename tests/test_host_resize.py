@@ -26,7 +26,9 @@ def _host_resize(lib, y, uv, dst_w, dst_h, algo):
 
 
 @pytest.mark.parametrize("algo,rt", [(0, ResizeType.NEAREST),
-                                     (1, ResizeType.BILINEAR)])
+                                     (1, ResizeType.BILINEAR),
+                                     (2, ResizeType.BICUBIC),
+                                     (3, ResizeType.AREA)])
 @pytest.mark.parametrize("src,dst", [((64, 48), (32, 24)),    # downscale
                                      ((64, 48), (128, 96)),   # upscale
                                      ((320, 240), (224, 224)),
@@ -39,8 +41,18 @@ def test_host_resize_matches_device(native, algo, rt, src, dst):
     uv = rng.integers(0, 256, (sh // 2, sw), np.uint8)
     got_y, got_uv = _host_resize(native, y, uv, dw, dh, algo)
     ref_y, ref_uv = resize_nv12(y, uv, sw, sh, dw, dh, rt)
-    assert np.array_equal(got_y, np.asarray(ref_y))
-    assert np.array_equal(got_uv, np.asarray(ref_uv))
+    ref_y, ref_uv = np.asarray(ref_y), np.asarray(ref_uv)
+    import jax
+    if rt == ResizeType.AREA and jax.default_backend() != "cpu":
+        # AREA-down divides per pixel (acc/div); TPU f32 division is not
+        # correctly rounded, so the device path can sit one step off the
+        # host's IEEE division on exact-boundary pixels (docs/PARITY.md).
+        assert np.abs(got_y.astype(int) - ref_y.astype(int)).max() <= 1
+        assert np.abs(got_uv.astype(int) - ref_uv.astype(int)).max() <= 1
+        assert (got_y == ref_y).mean() > 0.99
+    else:
+        assert np.array_equal(got_y, ref_y)
+        assert np.array_equal(got_uv, ref_uv)
 
 
 def test_read_batch_host_resize_matches_device_path(native):
