@@ -97,7 +97,8 @@ class TensorStreamConverter:
                  framerate_mode=FrameRate.NATIVE,
                  timeout=None,
                  decode_threads=0,
-                 loop=False):
+                 loop=False,
+                 enable_dumps=False):
         self.log = logging.getLogger(__name__)
         self.log.info("Create TensorStream")
         self._lib = _native.load()
@@ -118,6 +119,10 @@ class TensorStreamConverter:
         self.decode_threads = decode_threads
         # TPU extension: replay the stream from the start on EOF.
         self.loop = loop
+        # Debug taps like the reference's enableDumps (WrapperC.h init
+        # param): bitstream.h264 from the demuxer + NV12.yuv from the
+        # decoder, written in the working directory.
+        self.enable_dumps = enable_dumps
         self._buffers = {}  # consumer -> (y, uv) pinned host staging
         self._batch_staging = {}  # (consumer, batch) -> flat NV12 staging
         self._started = False
@@ -142,7 +147,8 @@ class TensorStreamConverter:
                 int(self.framerate_mode.value
                     if isinstance(self.framerate_mode, FrameRate)
                     else self.framerate_mode),
-                0, int(self.decode_threads), 1 if self.loop else 0)
+                1 if self.enable_dumps else 0, int(self.decode_threads),
+                1 if self.loop else 0)
             status = (StatusLevel.OK.value if status_native == _native.TS_OK
                       else StatusLevel.ERROR.value)
             if status != StatusLevel.OK.value:

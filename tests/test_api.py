@@ -148,3 +148,22 @@ def test_read_batch_extension(billiard):
     assert batch.shape == (4, 3, 224, 224)
     assert batch.dtype == np.float32
     assert idxs == [1, 2, 3, 4]
+
+
+def test_enable_dumps_writes_debug_taps(tmp_path, monkeypatch):
+    """enable_dumps mirrors the reference's init flag: the demuxer dumps
+    bitstream.h264 and the decoder dumps NV12.yuv (reference:
+    Parser.cpp:336-353, Decoder.cpp:61-79)."""
+    import os
+    from conftest import resource
+    from tensor_stream_tpu import FourCC, FrameRate, TensorStreamConverter
+    monkeypatch.chdir(tmp_path)
+    reader = TensorStreamConverter(resource("bbb_1080x608_420_10.h264"),
+                                   framerate_mode=FrameRate.BLOCKING,
+                                   enable_dumps=True)
+    reader.initialize(repeat_number=3)
+    reader.start()
+    reader.read(name="c", pixel_format=FourCC.Y800, width=96, height=64)
+    reader.stop()
+    assert os.path.getsize("bitstream.h264") > 0
+    assert os.path.getsize("NV12.yuv") >= 1080 * 608 * 3 // 2
