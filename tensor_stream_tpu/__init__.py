@@ -11,7 +11,7 @@ Public API mirrors the reference package (tensor_stream/__init__.py):
 
     from tensor_stream_tpu import TensorStreamConverter, FourCC, Planes
 """
-from .data import FrameLoader, MultiStreamLoader
+from .data import FrameLoader, MultiStreamLoader, ShardedStreamLoader
 from .enums import (FourCC, FrameRate, LogsLevel, LogsType, Planes,
                     ResizeType, StatusLevel)
 from .tensor_stream import FrameParameters, TensorStreamConverter
@@ -20,6 +20,6 @@ __version__ = "0.1.0"
 
 __all__ = [
     "TensorStreamConverter", "FrameParameters", "FrameLoader",
-    "MultiStreamLoader", "StatusLevel", "LogsLevel", "LogsType", "FourCC",
-    "ResizeType", "Planes", "FrameRate",
+    "MultiStreamLoader", "ShardedStreamLoader", "StatusLevel", "LogsLevel",
+    "LogsType", "FourCC", "ResizeType", "Planes", "FrameRate",
 ]

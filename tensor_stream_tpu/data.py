@@ -181,6 +181,78 @@ class FrameLoader:
         return self.reader.frame_size
 
 
+class ShardedStreamLoader:
+    """N streams -> ONE jax.Array sharded over N chips (dp serving).
+
+    Each stream gets its own chip: its FrameLoader transfers straight to
+    that device (host->HBM transfers fan out, nothing funnels through
+    chip 0), and iteration stitches the per-device batches into a single
+    GLOBAL array sharded over a 1D 'dp' mesh with
+    jax.make_array_from_single_device_arrays — zero additional copies.
+    Feed it to any pjit/shard_map program; XLA keeps each stream's frames
+    on its own chip.
+
+        mesh-per-stream serving on 4 chips:
+        loader = ShardedStreamLoader([u1, u2, u3, u4], per_stream=8,
+                                     width=224, height=224, ...)
+        for batch, indices in loader:   # [32, ...] sharded over 'dp'
+            logits = pjit_model(batch)
+
+    Requires len(stream_urls) <= len(jax.devices()). Iteration ends when
+    any stream is exhausted (loop=True never ends). The final partial
+    batch is dropped (global shards must be equal-sized).
+    """
+
+    def __init__(self, stream_urls, per_stream=8, devices=None, **kwargs):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        if devices is None:
+            devices = jax.devices()[:len(stream_urls)]
+        if len(devices) < len(stream_urls):
+            raise ValueError(f"{len(stream_urls)} streams need as many "
+                             f"devices, have {len(devices)}")
+        kwargs.setdefault("drop_partial", True)
+        self.devices = list(devices)
+        self.loaders = [
+            FrameLoader(url, batch=per_stream,
+                        device_index=jax.devices().index(dev), **kwargs)
+            for url, dev in zip(stream_urls, self.devices)]
+        self.mesh = Mesh(np.asarray(self.devices), ("dp",))
+        self._pspec = PartitionSpec
+        self._sharding = NamedSharding(self.mesh, PartitionSpec("dp"))
+        self.per_stream = per_stream
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import jax
+        parts, indices = [], {}
+        for k, loader in enumerate(self.loaders):
+            tensors, idx = next(loader)  # StopIteration propagates
+            if tensors.shape[0] != self.per_stream:
+                raise StopIteration  # uneven tail; shards must match
+            parts.append(tensors)
+            indices[k] = idx
+        shard_shape = parts[0].shape
+        global_shape = (len(parts) * shard_shape[0],) + shard_shape[1:]
+        batch = jax.make_array_from_single_device_arrays(
+            global_shape, self._sharding, parts)
+        return batch, indices
+
+    def close(self):
+        for loader in self.loaders:
+            loader.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 class MultiStreamLoader:
     """Batches frames from SEVERAL streams into one device dispatch.
 

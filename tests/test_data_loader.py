@@ -80,3 +80,27 @@ def test_multi_stream_loader_stacks_streams():
         assert indices[0] == [1, 2, 3] and indices[1] == [1, 2, 3]
         batch2, indices2 = next(loader)
         assert indices2[0] == [4, 5, 6] and indices2[1] == [4, 5, 6]
+
+
+def test_sharded_stream_loader_on_mesh():
+    """Two streams -> one global array sharded over a 2-device 'dp' mesh,
+    each stream's frames resident on its own device (multichip serving
+    topology). Runs on the virtual CPU mesh."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    from tensor_stream_tpu import ShardedStreamLoader
+    urls = [resource("bbb_1080x608_420_10.h264"),
+            resource("bbb_720x480_RGB24_250.h264")]
+    with ShardedStreamLoader(urls, per_stream=4, width=96, height=96,
+                             resize_type=ResizeType.BILINEAR,
+                             pixel_format=FourCC.RGB24,
+                             planes_pos=Planes.PLANAR,
+                             normalization=True) as loader:
+        batch, indices = next(loader)
+        assert batch.shape == (8, 3, 96, 96)
+        assert len(batch.sharding.device_set) == 2
+        assert indices[0] == [1, 2, 3, 4] and indices[1] == [1, 2, 3, 4]
+        # the global array is usable by ordinary jitted code
+        s = float(jax.jit(lambda x: x.sum())(batch))
+        assert np.isfinite(s)
