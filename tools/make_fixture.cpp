@@ -42,7 +42,7 @@ static void fill_frame(AVFrame* f, int index) {
 
 int main(int argc, char** argv) {
   if (argc < 2) {
-    std::fprintf(stderr, "usage: %s out.h264 [frames] [w] [h] [fps]\n", argv[0]);
+    std::fprintf(stderr, "usage: %s out.bin [frames] [w] [h] [fps] [codec=libx264]\n", argv[0]);
     return 1;
   }
   const char* out_path = argv[1];
@@ -51,9 +51,10 @@ int main(int argc, char** argv) {
   const int h = argc > 4 ? std::atoi(argv[4]) : 480;
   const int fps = argc > 5 ? std::atoi(argv[5]) : 25;
 
-  const AVCodec* codec = avcodec_find_encoder_by_name("libx264");
+  const char* codec_name = argc > 6 ? argv[6] : "libx264";
+  const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
   if (!codec) {
-    std::fprintf(stderr, "libx264 not available\n");
+    std::fprintf(stderr, "encoder %s not available\n", codec_name);
     return 1;
   }
   AVCodecContext* ctx = avcodec_alloc_context3(codec);
