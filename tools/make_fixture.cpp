@@ -57,6 +57,10 @@ int main(int argc, char** argv) {
     std::fprintf(stderr, "encoder %s not available\n", codec_name);
     return 1;
   }
+  const bool is_x26x = std::strstr(codec_name, "x26") != nullptr;
+  // VP9/AV1 elementary streams are not self-framing; wrap them in IVF
+  // (32-byte header + 12-byte frame headers), which avformat demuxes.
+  const bool ivf = std::strstr(out_path, ".ivf") != nullptr;
   AVCodecContext* ctx = avcodec_alloc_context3(codec);
   ctx->width = w;
   ctx->height = h;
@@ -64,15 +68,41 @@ int main(int argc, char** argv) {
   ctx->framerate = {fps, 1};
   ctx->pix_fmt = AV_PIX_FMT_YUV420P;
   ctx->gop_size = 25;
-  ctx->max_b_frames = 2;  // exercises the analyzer's POC/reorder checks
-  av_opt_set(ctx->priv_data, "preset", "veryfast", 0);
-  av_opt_set(ctx->priv_data, "crf", "23", 0);
+  if (is_x26x) {
+    ctx->max_b_frames = 2;  // exercises the analyzer's POC/reorder checks
+    av_opt_set(ctx->priv_data, "preset", "veryfast", 0);
+    av_opt_set(ctx->priv_data, "crf", "23", 0);
+  } else {
+    av_opt_set(ctx->priv_data, "deadline", "realtime", 0);  // vp9
+    av_opt_set(ctx->priv_data, "cpu-used", "8", 0);         // vp9/av1
+    av_opt_set(ctx->priv_data, "usage", "realtime", 0);     // av1
+  }
   if (avcodec_open2(ctx, codec, nullptr) < 0) {
     std::fprintf(stderr, "encoder open failed\n");
     return 1;
   }
 
   FILE* out = std::fopen(out_path, "wb");
+  int written = 0;
+  if (ivf) {
+    uint8_t hdr[32] = {'D', 'K', 'I', 'F', 0, 0, 32, 0};
+    const char* fourcc = std::strstr(codec_name, "vp9") ? "VP90" : "AV01";
+    std::memcpy(hdr + 8, fourcc, 4);
+    auto le16 = [&](int off, uint32_t v) {
+      hdr[off] = v & 0xFF;
+      hdr[off + 1] = (v >> 8) & 0xFF;
+    };
+    auto le32 = [&](int off, uint32_t v) {
+      le16(off, v & 0xFFFF);
+      le16(off + 2, v >> 16);
+    };
+    le16(12, w);
+    le16(14, h);
+    le32(16, fps);  // timebase denominator
+    le32(20, 1);    // timebase numerator
+    le32(24, frames);
+    std::fwrite(hdr, 1, 32, out);
+  }
   AVFrame* frame = av_frame_alloc();
   frame->format = ctx->pix_fmt;
   frame->width = w;
@@ -83,7 +113,16 @@ int main(int argc, char** argv) {
   auto drain = [&](AVFrame* f) {
     avcodec_send_frame(ctx, f);
     while (avcodec_receive_packet(ctx, pkt) == 0) {
+      if (ivf) {
+        uint8_t fh[12] = {0};
+        uint32_t sz = static_cast<uint32_t>(pkt->size);
+        uint64_t pts = static_cast<uint64_t>(pkt->pts);
+        for (int b = 0; b < 4; b++) fh[b] = (sz >> (8 * b)) & 0xFF;
+        for (int b = 0; b < 8; b++) fh[4 + b] = (pts >> (8 * b)) & 0xFF;
+        std::fwrite(fh, 1, 12, out);
+      }
       std::fwrite(pkt->data, 1, pkt->size, out);
+      written++;
       av_packet_unref(pkt);
     }
   };
