@@ -226,11 +226,27 @@ void BilinearUV(const uint8_t* src, int sw, int sh2, uint8_t* dst, int dw,
 // row taps, rounded and clamped per intermediate row, then the vertical
 // blend (src/Resize.cu:47-88; ops/resize.py `_bicubic_plane`, f32
 // accumulation of f64-derived coefficients).
+// Precomputed per-plane column taps (depend only on the output column).
+struct ColTaps {
+  std::vector<int> t[4];
+};
+
+ColTaps BuildColTaps(const BicubicAxis& ax, int ncols, int col_scale,
+                     int col_off, int col_diff, int col_bound) {
+  ColTaps ct;
+  for (int k = 0; k < 4; k++) ct.t[k].resize(ncols);
+  for (int j = 0; j < ncols; j++) {
+    int tmp[4];
+    BicubicTaps(ax.base[j] * col_scale + col_off, col_diff, col_bound, tmp);
+    for (int k = 0; k < 4; k++) ct.t[k][j] = tmp[k];
+  }
+  return ct;
+}
+
 void BicubicPlane(const uint8_t* src, int src_w, const BicubicAxis& ay,
                   int row_bound, const BicubicAxis& ax, int ncols,
-                  int col_scale, int col_off, int col_diff, int col_bound,
-                  uint8_t* dst, int dst_w, int nrows, int out_stride,
-                  int out_off) {
+                  const ColTaps& col_taps, uint8_t* dst, int dst_w,
+                  int nrows, int out_stride, int out_off) {
   for (int i = 0; i < nrows; i++) {
     int rt[4];
     BicubicTaps(ay.base[i], 1, row_bound, rt);
@@ -238,7 +254,7 @@ void BicubicPlane(const uint8_t* src, int src_w, const BicubicAxis& ay,
     for (int k = 0; k < 4; k++) cy[k] = static_cast<float>(ay.c[k][i]);
     for (int j = 0; j < ncols; j++) {
       int ct[4];
-      BicubicTaps(ax.base[j] * col_scale + col_off, col_diff, col_bound, ct);
+      for (int k = 0; k < 4; k++) ct[k] = col_taps.t[k][j];
       float cx[4];
       for (int k = 0; k < 4; k++) cx[k] = static_cast<float>(ax.c[k][j]);
       float rows[4];
@@ -318,51 +334,104 @@ AxisTables BuildAreaUpAxis(int dst_n, int src_n) {
   return t;
 }
 
+// Cached per-(src,dst) bicubic tables: axis coefficients + column taps
+// for all three plane configs (Y full-res; U even / V odd interleaved).
+struct BicubicPlan {
+  BicubicAxis ax, ay;
+  ColTaps y_ct, u_ct, v_ct;
+};
+
+const BicubicPlan& GetBicubicPlan(int sw, int sh, int dw, int dh) {
+  static std::mutex mu;
+  static std::map<std::tuple<int, int, int, int>,
+                  std::unique_ptr<BicubicPlan>> cache;
+  std::lock_guard<std::mutex> lk(mu);
+  auto key = std::make_tuple(sw, sh, dw, dh);
+  auto it = cache.find(key);
+  if (it == cache.end()) {
+    auto plan = std::make_unique<BicubicPlan>();
+    plan->ax = BuildBicubicAxis(dw, sw);
+    plan->ay = BuildBicubicAxis(dh, sh);
+    plan->y_ct = BuildColTaps(plan->ax, dw, 1, 0, 1, sw);
+    plan->u_ct = BuildColTaps(plan->ax, dw / 2, 2, 0, 2, sw);
+    plan->v_ct = BuildColTaps(plan->ax, dw / 2, 2, 1, 2, sw);
+    it = cache.emplace(key, std::move(plan)).first;
+  }
+  return *it->second;
+}
+
 void ResizeBicubic(const uint8_t* y, const uint8_t* uv, int sw, int sh,
                    uint8_t* out_y, uint8_t* out_uv, int dw, int dh) {
-  BicubicAxis ax = BuildBicubicAxis(dw, sw);
-  BicubicAxis ay = BuildBicubicAxis(dh, sh);
-  BicubicPlane(y, sw, ay, sh, ax, dw, 1, 0, 1, sw, out_y, dw, dh, 1, 0);
+  const BicubicPlan& p = GetBicubicPlan(sw, sh, dw, dh);
+  BicubicPlane(y, sw, p.ay, sh, p.ax, dw, p.y_ct, out_y, dw, dh, 1, 0);
   // UV: rows bounded by the half-height plane; U at even columns
   // (x -> 2x, stride-2 taps), V at odd (ops/resize.py resize_bicubic).
-  BicubicPlane(uv, sw, ay, sh / 2, ax, dw / 2, 2, 0, 2, sw, out_uv, dw,
+  BicubicPlane(uv, sw, p.ay, sh / 2, p.ax, dw / 2, p.u_ct, out_uv, dw,
                dh / 2, 2, 0);
-  BicubicPlane(uv, sw, ay, sh / 2, ax, dw / 2, 2, 1, 2, sw, out_uv, dw,
+  BicubicPlane(uv, sw, p.ay, sh / 2, p.ax, dw / 2, p.v_ct, out_uv, dw,
                dh / 2, 2, 1);
+}
+
+// Cached per-(src,dst) AREA tables (patterns + bases for downscale, or
+// coverage-weight bilinear axes for upscale).
+struct AreaPlan {
+  bool down = false;
+  AreaPattern px, py;
+  std::vector<int> xb, yb;
+  AxisTables up_x, up_y, up_x_uv, up_y_uv;
+};
+
+const AreaPlan& GetAreaPlan(int sw, int sh, int dw, int dh) {
+  static std::mutex mu;
+  static std::map<std::tuple<int, int, int, int>,
+                  std::unique_ptr<AreaPlan>> cache;
+  std::lock_guard<std::mutex> lk(mu);
+  auto key = std::make_tuple(sw, sh, dw, dh);
+  auto it = cache.find(key);
+  if (it == cache.end()) {
+    auto plan = std::make_unique<AreaPlan>();
+    float x_ratio = static_cast<float>(sw) / static_cast<float>(dw);
+    float y_ratio = static_cast<float>(sh) / static_cast<float>(dh);
+    plan->down = x_ratio > 1.0f && y_ratio > 1.0f;
+    if (plan->down) {
+      plan->px = BuildAreaPattern(x_ratio);
+      plan->py = BuildAreaPattern(y_ratio);
+      plan->xb.resize(dw);
+      for (int j = 0; j < dw; j++)
+        plan->xb[j] = static_cast<int>(x_ratio * static_cast<float>(j));
+      plan->yb.resize(dh);
+      for (int i = 0; i < dh; i++)
+        plan->yb[i] = static_cast<int>(y_ratio * static_cast<float>(i));
+    } else {
+      plan->up_x = BuildAreaUpAxis(dw, sw);
+      plan->up_y = BuildAreaUpAxis(dh, sh);
+      plan->up_x_uv = plan->up_x;
+      plan->up_x_uv.base.resize(dw / 2);
+      plan->up_x_uv.w.resize(dw / 2);
+      plan->up_y_uv = plan->up_y;
+      plan->up_y_uv.base.resize(dh / 2);
+      plan->up_y_uv.w.resize(dh / 2);
+    }
+    it = cache.emplace(key, std::move(plan)).first;
+  }
+  return *it->second;
 }
 
 void ResizeArea(const uint8_t* y, const uint8_t* uv, int sw, int sh,
                 uint8_t* out_y, uint8_t* out_uv, int dw, int dh) {
-  float x_ratio = static_cast<float>(sw) / static_cast<float>(dw);
-  float y_ratio = static_cast<float>(sh) / static_cast<float>(dh);
-  if (x_ratio > 1.0f && y_ratio > 1.0f) {
-    AreaPattern px = BuildAreaPattern(x_ratio);
-    AreaPattern py = BuildAreaPattern(y_ratio);
-    auto axis_base = [](int dst_n, float ratio) {
-      std::vector<int> base(dst_n);
-      for (int j = 0; j < dst_n; j++)
-        base[j] = static_cast<int>(ratio * static_cast<float>(j));
-      return base;
-    };
-    std::vector<int> xb = axis_base(dw, x_ratio);
-    std::vector<int> yb = axis_base(dh, y_ratio);
-    AreaDownPlane(y, sw, sh, yb, py, xb, px, out_y, dw, dh, dw, 1, 0, 1, 0);
-    AreaDownPlane(uv, sw, sh / 2, yb, py, xb, px, out_uv, dw, dh / 2,
-                  dw / 2, 2, 0, 2, 0);
-    AreaDownPlane(uv, sw, sh / 2, yb, py, xb, px, out_uv, dw, dh / 2,
-                  dw / 2, 2, 1, 2, 1);
+  const AreaPlan& p = GetAreaPlan(sw, sh, dw, dh);
+  if (p.down) {
+    AreaDownPlane(y, sw, sh, p.yb, p.py, p.xb, p.px, out_y, dw, dh, dw, 1,
+                  0, 1, 0);
+    AreaDownPlane(uv, sw, sh / 2, p.yb, p.py, p.xb, p.px, out_uv, dw,
+                  dh / 2, dw / 2, 2, 0, 2, 0);
+    AreaDownPlane(uv, sw, sh / 2, p.yb, p.py, p.xb, p.px, out_uv, dw,
+                  dh / 2, dw / 2, 2, 1, 2, 1);
     return;
   }
   // Upscale: bilinear blend with coverage-derived weights.
-  AxisTables ax = BuildAreaUpAxis(dw, sw);
-  AxisTables ay = BuildAreaUpAxis(dh, sh);
-  BilinearY(y, sw, sh, out_y, dw, dh, ax, ay);
-  AxisTables ax_uv = ax, ay_uv = ay;
-  ax_uv.base.resize(dw / 2);
-  ax_uv.w.resize(dw / 2);
-  ay_uv.base.resize(dh / 2);
-  ay_uv.w.resize(dh / 2);
-  BilinearUV(uv, sw, sh / 2, out_uv, dw, dh / 2, ax_uv, ay_uv);
+  BilinearY(y, sw, sh, out_y, dw, dh, p.up_x, p.up_y);
+  BilinearUV(uv, sw, sh / 2, out_uv, dw, dh / 2, p.up_x_uv, p.up_y_uv);
 }
 
 void NearestY(const uint8_t* src, int sw, uint8_t* dst, int dw, int dh,

@@ -119,7 +119,13 @@ class FrameLoader:
     def __iter__(self):
         return self
 
-    def __next__(self):
+    def _next_async(self):
+        """Dispatches the next batch WITHOUT waiting for the transfer.
+
+        Returns (tensors, indices, flat, buf); the caller MUST
+        `flat.block_until_ready()` and then return `buf` to self._pool
+        (ShardedStreamLoader uses this to overlap the transfers of all
+        its streams instead of serializing them)."""
         import jax
         while True:
             item = self._filled.get()
@@ -132,15 +138,19 @@ class FrameLoader:
             device = jax.devices()[self.device_index]
             flat = jax.device_put(buf, device)
             tensors = self._vpp(flat)  # async dispatch
-            # device_put is asynchronous: the drain thread must not write
-            # into `buf` until the transfer has actually read it. Blocks
-            # on the TRANSFER only; the VPP dispatch above is already
-            # queued and the drain keeps filling the other pool buffers.
-            flat.block_until_ready()
-            self._pool.put(buf)
             if got < self.batch:
                 tensors = tensors[:got]
-            return tensors, list(range(first, first + got))
+            return tensors, list(range(first, first + got)), flat, buf
+
+    def __next__(self):
+        tensors, indices, flat, buf = self._next_async()
+        # device_put is asynchronous: the drain thread must not write
+        # into `buf` until the transfer has actually read it. Blocks on
+        # the TRANSFER only; the VPP dispatch is already queued and the
+        # drain keeps filling the other pool buffers.
+        flat.block_until_ready()
+        self._pool.put(buf)
+        return tensors, indices
 
     def close(self):
         self._stop.set()
@@ -219,7 +229,6 @@ class ShardedStreamLoader:
                         device_index=jax.devices().index(dev), **kwargs)
             for url, dev in zip(stream_urls, self.devices)]
         self.mesh = Mesh(np.asarray(self.devices), ("dp",))
-        self._pspec = PartitionSpec
         self._sharding = NamedSharding(self.mesh, PartitionSpec("dp"))
         self.per_stream = per_stream
 
@@ -228,13 +237,19 @@ class ShardedStreamLoader:
 
     def __next__(self):
         import jax
-        parts, indices = [], {}
+        parts, indices, pending = [], {}, []
+        # Dispatch every stream's transfer first so the per-device
+        # host->HBM copies overlap, then wait and recycle.
         for k, loader in enumerate(self.loaders):
-            tensors, idx = next(loader)  # StopIteration propagates
-            if tensors.shape[0] != self.per_stream:
-                raise StopIteration  # uneven tail; shards must match
+            tensors, idx, flat, buf = loader._next_async()  # StopIteration propagates
             parts.append(tensors)
             indices[k] = idx
+            pending.append((loader, flat, buf))
+        for loader, flat, buf in pending:
+            flat.block_until_ready()
+            loader._pool.put(buf)
+        if any(p.shape[0] != self.per_stream for p in parts):
+            raise StopIteration  # uneven tail; shards must match
         shard_shape = parts[0].shape
         global_shape = (len(parts) * shard_shape[0],) + shard_shape[1:]
         batch = jax.make_array_from_single_device_arrays(

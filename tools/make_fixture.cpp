@@ -134,6 +134,15 @@ int main(int argc, char** argv) {
   }
   drain(nullptr);  // flush
 
+  if (ivf) {
+    // Patch the real packet count into the header (encoders may emit a
+    // different number than requested frames).
+    std::fseek(out, 24, SEEK_SET);
+    uint8_t cnt[4];
+    for (int b = 0; b < 4; b++)
+      cnt[b] = (static_cast<uint32_t>(written) >> (8 * b)) & 0xFF;
+    std::fwrite(cnt, 1, 4, out);
+  }
   std::fclose(out);
   av_packet_free(&pkt);
   av_frame_free(&frame);
