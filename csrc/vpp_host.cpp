@@ -17,6 +17,9 @@ namespace {
 // Math mirrors the device path (ops/resize.py `_bilinear_axis` /
 // `_nearest_axis`; reference: src/Resize.cu:249-250, 276-302): all
 // arithmetic in float32, floor-based base, border clamps zero the weight.
+// The center-aligned coordinate uses a single-rounding fmaf, matching
+// nvcc's contraction of `(j + 0.5f) * ratio - 0.5f` (verified against the
+// reference's bilinear CRC oracles; see ops/resize.py `_coord_fma`).
 struct AxisTables {
   std::vector<int> nearest;           // (int)(ratio * j)
   std::vector<int> base;              // bilinear floor base, clamped
@@ -31,7 +34,7 @@ AxisTables BuildAxis(int dst_n, int src_n) {
   t.w.resize(dst_n);
   for (int j = 0; j < dst_n; j++) {
     t.nearest[j] = static_cast<int>(ratio * static_cast<float>(j));
-    float f = (static_cast<float>(j) + 0.5f) * ratio - 0.5f;
+    float f = std::fmaf(static_cast<float>(j) + 0.5f, ratio, -0.5f);
     int base = static_cast<int>(std::floor(f));
     float w = f - static_cast<float>(base);
     if (base < 0) {
@@ -63,7 +66,9 @@ BicubicAxis BuildBicubicAxis(int dst_n, int src_n) {
   const double a = -0.75;
   float r = static_cast<float>(src_n) / static_cast<float>(dst_n);
   for (int j = 0; j < dst_n; j++) {
-    float f32 = (static_cast<float>(j) + 0.5f) * r - 0.5f;
+    // Single-rounding f32 coordinate, like nvcc's contraction (see
+    // BuildAxis), then widened to double for the spline weights.
+    float f32 = std::fmaf(static_cast<float>(j) + 0.5f, r, -0.5f);
     double f = static_cast<double>(f32);
     int base = static_cast<int>(std::floor(f));
     double w = f - static_cast<double>(base);
@@ -171,13 +176,20 @@ const ResizePlan& GetPlan(int sw, int sh, int dw, int dh) {
   return *it->second;
 }
 
-// 4-tap blend in the reference's exact f32 expression order
-// (src/Resize.cu:5-25 via ops/resize.py `_bilinear_plane`):
-// (int)(a(1-wx)(1-wy) + b wx (1-wy) + c wy (1-wx) + d (wx wy)).
+// 4-tap blend of the reference's expression
+// (int)(a(1-wx)(1-wy) + b wx (1-wy) + c wy (1-wx) + d (wx wy))
+// (src/Resize.cu:5-25) in nvcc's FMA-contracted rounding order: the
+// first add fuses the LEFT operand's last multiply, subsequent adds fuse
+// the right operand's. This exact order reproduces the reference's
+// bilinear CRC oracles bit-for-bit at every committed size, including
+// the upscale cases the strictly-rounded order misses (and XLA:CPU's
+// own contraction of ops/resize.py `_bilinear_plane` matches it too).
 inline uint8_t Blend4(float a, float b, float c, float d, float wx, float wy) {
-  float v = a * (1.0f - wx) * (1.0f - wy) + b * wx * (1.0f - wy) +
-            c * wy * (1.0f - wx) + d * (wx * wy);
-  return static_cast<uint8_t>(static_cast<int>(v));
+  float omx = 1.0f - wx, omy = 1.0f - wy;
+  float s = std::fmaf(a * omx, omy, (b * wx) * omy);
+  s = std::fmaf(c * wy, omx, s);
+  s = std::fmaf(d, wx * wy, s);
+  return static_cast<uint8_t>(static_cast<int>(s));
 }
 
 void BilinearY(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
@@ -243,6 +255,13 @@ ColTaps BuildColTaps(const BicubicAxis& ax, int ncols, int col_scale,
   return ct;
 }
 
+// Double-precision spline blend with round()/clamp per intermediate row,
+// exactly like the reference (src/Resize.cu:47-91). Double has enough
+// headroom over 8-bit data that nvcc's f64 contraction choices never
+// flip round(); this path reproduces every committed bicubic CRC oracle
+// (including the 480x360 case where the reference's own Windows/Linux
+// builds disagree — both platform CRCs come from coordinate-level
+// effects, and the fmaf coordinate above matches the Linux one).
 void BicubicPlane(const uint8_t* src, int src_w, const BicubicAxis& ay,
                   int row_bound, const BicubicAxis& ax, int ncols,
                   const ColTaps& col_taps, uint8_t* dst, int dst_w,
@@ -250,25 +269,25 @@ void BicubicPlane(const uint8_t* src, int src_w, const BicubicAxis& ay,
   for (int i = 0; i < nrows; i++) {
     int rt[4];
     BicubicTaps(ay.base[i], 1, row_bound, rt);
-    float cy[4];
-    for (int k = 0; k < 4; k++) cy[k] = static_cast<float>(ay.c[k][i]);
+    double cy[4];
+    for (int k = 0; k < 4; k++) cy[k] = ay.c[k][i];
     for (int j = 0; j < ncols; j++) {
       int ct[4];
       for (int k = 0; k < 4; k++) ct[k] = col_taps.t[k][j];
-      float cx[4];
-      for (int k = 0; k < 4; k++) cx[k] = static_cast<float>(ax.c[k][j]);
-      float rows[4];
+      double cx[4];
+      for (int k = 0; k < 4; k++) cx[k] = ax.c[k][j];
+      int rows[4];
       for (int rk = 0; rk < 4; rk++) {
         const uint8_t* row = src + static_cast<size_t>(rt[rk]) * src_w;
-        float acc = cx[0] * row[ct[0]] + cx[1] * row[ct[1]] +
-                    cx[2] * row[ct[2]] + cx[3] * row[ct[3]];
-        float b = std::floor(acc + 0.5f);
-        rows[rk] = std::min(std::max(b, 0.0f), 255.0f);
+        double acc = cx[0] * row[ct[0]] + cx[1] * row[ct[1]] +
+                     cx[2] * row[ct[2]] + cx[3] * row[ct[3]];
+        int b = static_cast<int>(std::round(acc));
+        rows[rk] = std::min(std::max(b, 0), 255);
       }
-      float acc = cy[0] * rows[0] + cy[1] * rows[1] + cy[2] * rows[2] +
-                  cy[3] * rows[3];
-      float v = std::floor(acc + 0.5f);
-      v = std::min(std::max(v, 0.0f), 255.0f);
+      double acc = cy[0] * rows[0] + cy[1] * rows[1] + cy[2] * rows[2] +
+                   cy[3] * rows[3];
+      int v = static_cast<int>(std::round(acc));
+      v = std::min(std::max(v, 0), 255);
       dst[static_cast<size_t>(i) * dst_w + j * out_stride + out_off] =
           static_cast<uint8_t>(v);
     }
@@ -288,8 +307,12 @@ void AreaDownPlane(const uint8_t* src, int plane_w, int plane_h,
     const float* wy = &py.rows[static_cast<size_t>(i % py.period) * py.taps];
     for (int j = 0; j < ncols; j++) {
       const float* wx = &px.rows[static_cast<size_t>(j % px.period) * px.taps];
+      // nvcc contracts `colorSum += data * weight` (src/Resize.cu:172-173)
+      // into a single-rounding FMA per tap; `divide += weight` stays a
+      // plain add. This order reproduces the reference's AREA CRC
+      // oracles bit-for-bit at fractional ratios where the strictly
+      // rounded form deviates.
       float acc = 0.0f, div = 0.0f;
-      bool first = true;
       for (int ti = 0; ti < py.taps; ti++) {
         int row = std::min(y_base[i] + ti, plane_h - 1);
         const uint8_t* srow = src + static_cast<size_t>(row) * plane_w;
@@ -297,15 +320,8 @@ void AreaDownPlane(const uint8_t* src, int plane_w, int plane_h,
           int col = std::min(x_base[j] * stride + col_off + tj * stride,
                              plane_w - 1);
           float w2d = wy[ti] * wx[tj];
-          float term = srow[col] * w2d;
-          if (first) {
-            acc = term;
-            div = w2d;
-            first = false;
-          } else {
-            acc = acc + term;
-            div = div + w2d;
-          }
+          div = div + w2d;
+          acc = std::fmaf(static_cast<float>(srow[col]), w2d, acc);
         }
       }
       dst[static_cast<size_t>(i) * dst_w + j * out_stride + out_off] =

@@ -64,11 +64,25 @@ def resize_nearest(y, uv, src_w, src_h, dst_w, dst_h):
 
 # -------------------------------------------------------------- bilinear
 
+def _coord_fma(dst_n: int, ratio: np.float32) -> np.ndarray:
+    """f32 center-aligned coordinate fmaf(j+0.5, ratio, -0.5).
+
+    nvcc contracts the reference's `(j + 0.5f) * ratio - 0.5f`
+    (src/Resize.cu:277-278, 322-323) into a single-rounding FMA; emulated
+    exactly here via float64 (the product is exact in f64, so the one
+    f32 cast is the one FMA rounding). Verified against the reference's
+    bilinear CRC oracles: the strictly-rounded form flips floor/weight on
+    boundary ratios (e.g. 608->1080) and misses them.
+    """
+    j = np.arange(dst_n, dtype=np.float32)
+    f64 = (j + np.float32(0.5)).astype(np.float64) * np.float64(ratio) - 0.5
+    return f64.astype(np.float32)
+
+
 def _bilinear_axis(dst_n: int, ratio: np.float32, src_n: int):
     """Center-aligned source coordinate with the reference's border clamps
     (src/Resize.cu:276-302): x<0 -> (0, w=0); x>src-1 -> (src-1, w=0)."""
-    j = np.arange(dst_n, dtype=np.float32)
-    f = (j + np.float32(0.5)) * ratio - np.float32(0.5)
+    f = _coord_fma(dst_n, ratio)
     base = np.floor(f).astype(np.int64)
     w = (f - base.astype(np.float32)).astype(np.float32)
     low = base < 0
@@ -90,15 +104,14 @@ def _bilinear_plane(img, row_a, row_c, col_a, col_b, wx, wy):
     d = _take2(img, row_c, col_b).astype(jnp.float32)
     wx = jnp.asarray(wx)[None, :]
     wy = jnp.asarray(wy)[:, None]
-    # NOTE on last-ulp freedom: inside one fused XLA loop the backend may
-    # contract mul+add pairs (FMA) and fold constant weight products,
-    # each skipping one f32 rounding vs this written order. nvcc applied
-    # the same contraction to the reference kernel (-fmad default), so
-    # u8 outputs of ANY two builds of this math can differ by 1 on
-    # truncation-boundary pixels. The committed CUDA oracles pass (see
-    # test_vpp/test_resize_quality); the host resize (csrc/vpp_host.cpp,
-    # strict IEEE order) is documented to match within +-1
-    # (docs/PARITY.md, tests/test_host_resize.py).
+    # NOTE on last-ulp freedom: the reference bytes encode nvcc's FMA
+    # contraction of this expression (docs/PARITY.md "Float-contraction
+    # freedom"). XLA:CPU happens to contract the same way, reproducing
+    # the committed bilinear CRCs bit-exact; other backends may sit one
+    # u8 step off on truncation-boundary pixels. The native host resize
+    # (csrc/vpp_host.cpp) spells the contraction out with explicit fmaf
+    # and is the reference-exact path on every backend
+    # (tests/test_resize_crc.py).
     value = (a * (1 - wx) * (1 - wy) + b * wx * (1 - wy)
              + c * wy * (1 - wx) + d * (wx * wy))
     return _trunc_u8(value)
@@ -152,10 +165,9 @@ def resize_bilinear(y, uv, src_w, src_h, dst_w, dst_h):
 # --------------------------------------------------------------- bicubic
 
 def _bicubic_axis(dst_n: int, ratio: np.float32, src_n: int):
-    """f64 coordinate of the f32 expression (src/Resize.cu:321-347)."""
-    j = np.arange(dst_n, dtype=np.float32)
-    f32 = (j + np.float32(0.5)) * ratio - np.float32(0.5)
-    f = f32.astype(np.float64)
+    """f64 coordinate of the f32 expression (src/Resize.cu:321-347);
+    the inner f32 expression is FMA-contracted like the bilinear one."""
+    f = _coord_fma(dst_n, ratio).astype(np.float64)
     base = np.floor(f).astype(np.int64)
     w = f - base
     low = base < 0

@@ -42,17 +42,20 @@ def test_host_resize_matches_device(native, algo, rt, src, dst):
     got_y, got_uv = _host_resize(native, y, uv, dw, dh, algo)
     ref_y, ref_uv = resize_nv12(y, uv, sw, sh, dw, dh, rt)
     ref_y, ref_uv = np.asarray(ref_y), np.asarray(ref_uv)
-    import jax
-    if rt == ResizeType.AREA and jax.default_backend() != "cpu":
-        # AREA-down divides per pixel (acc/div); TPU f32 division is not
-        # correctly rounded, so the device path can sit one step off the
-        # host's IEEE division on exact-boundary pixels (docs/PARITY.md).
-        assert np.abs(got_y.astype(int) - ref_y.astype(int)).max() <= 1
-        assert np.abs(got_uv.astype(int) - ref_uv.astype(int)).max() <= 1
-        assert (got_y == ref_y).mean() > 0.99
-    else:
+    if rt == ResizeType.NEAREST:
+        # Pure gathers: bit-identical on every backend.
         assert np.array_equal(got_y, ref_y)
         assert np.array_equal(got_uv, ref_uv)
+    else:
+        # The host twin follows nvcc's FMA-contracted rounding order
+        # exactly (it is the CRC-pinned reference-exact path,
+        # tests/test_resize_crc.py); the jitted device blend is at the
+        # mercy of the backend's own f32 contraction, so agreement is
+        # within one u8 step on truncation-boundary pixels
+        # (docs/PARITY.md).
+        assert np.abs(got_y.astype(int) - ref_y.astype(int)).max() <= 1
+        assert np.abs(got_uv.astype(int) - ref_uv.astype(int)).max() <= 1
+        assert (got_y == ref_y).mean() > 0.97
 
 
 def test_read_batch_host_resize_matches_device_path(native):
