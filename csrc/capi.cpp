@@ -69,6 +69,29 @@ int ts_pipeline_try_get(void* p, const char* consumer, int index, uint8_t* out_y
                                                 index, out_y, out_uv);
 }
 
+// Reads `count` consecutive latest-frame GetFrame results (with the
+// ring look-back `index`) into packed per-frame planes, looping in C so
+// a paced consumer never pays Python/GIL latency between wakes — the
+// native equivalent of the reference's C++ getCycle consumers
+// (reference: tests/src/WrapperTests.cpp:24-44). Returns the number of
+// frames read before the stream finished; `indices` (optional) receives
+// each frame's absolute index.
+int ts_pipeline_get_series(void* p, const char* consumer, int index,
+                           int count, uint8_t* out_y, uint8_t* out_uv,
+                           int* indices) {
+  auto* pipe = static_cast<Pipeline*>(p);
+  int w = pipe->width(), h = pipe->height();
+  size_t y_size = static_cast<size_t>(w) * h;
+  size_t uv_size = y_size / 2;
+  for (int i = 0; i < count; i++) {
+    int idx = pipe->GetFrame(consumer ? consumer : "default", index,
+                             out_y + i * y_size, out_uv + i * uv_size);
+    if (idx < 0) return i;  // TS_FINISHED or error: frames read so far
+    if (indices) indices[i] = idx;
+  }
+  return count;
+}
+
 int ts_pipeline_get_batch(void* p, const char* consumer, int count,
                           uint8_t* out_y, uint8_t* out_uv, int* first_index) {
   return static_cast<Pipeline*>(p)->GetFrameBatch(

@@ -72,6 +72,9 @@ def load():
             [c_void_p, c_char_p, c_int, c_void_p, c_void_p,
              ctypes.POINTER(ctypes.c_int)])
         sig("ts_pipeline_register_cursor", None, [c_void_p, c_char_p])
+        sig("ts_pipeline_get_series", c_int,
+            [c_void_p, c_char_p, c_int, c_int, c_void_p, c_void_p,
+             ctypes.POINTER(ctypes.c_int)])
         sig("ts_pipeline_get_batch_resized", c_int,
             [c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_void_p,
              c_void_p, ctypes.POINTER(ctypes.c_int)])

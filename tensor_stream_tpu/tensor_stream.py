@@ -235,13 +235,40 @@ class TensorStreamConverter:
 
     # ----------------------------------------------------------------- read
 
+    # Staging rotation depth: reads can run this many frames ahead of the
+    # device before the host blocks. Reusing a staging slot is only safe
+    # after the COMPUTE that consumed it finished — jax.device_put may
+    # alias the numpy buffer outright on the CPU backend (zero-copy), so
+    # blocking on the transfer alone does not protect the bytes.
+    _STAGING_DEPTH = 4
+
     def _consumer_buffers(self, name):
-        buf = self._buffers.get(name)
+        st = self._buffers.get(name)
         w, h = self.frame_size
-        if buf is None or buf[0].shape != (h, w):
-            buf = (np.empty((h, w), np.uint8), np.empty((h // 2, w), np.uint8))
-            self._buffers[name] = buf
-        return buf
+        if st is None or st["bufs"][0][0].shape != (h, w):
+            st = {"bufs": [(np.empty((h, w), np.uint8),
+                            np.empty((h // 2, w), np.uint8))
+                           for _ in range(self._STAGING_DEPTH)],
+                  "inflight": [None] * self._STAGING_DEPTH,
+                  "slot": 0}
+            self._buffers[name] = st
+        slot = st["slot"]
+        prev = st["inflight"][slot]
+        if prev is not None:
+            import jax
+            jax.block_until_ready(prev)
+            st["inflight"][slot] = None
+        return st["bufs"][slot]
+
+    def _mark_inflight(self, name, tensor):
+        """Records the tensor consuming the current staging slot and
+        rotates to the next slot. Tolerates the state vanishing under a
+        concurrent stop() (which clears the staging caches)."""
+        st = self._buffers.get(name)
+        if st is None:
+            return
+        st["inflight"][st["slot"]] = tensor
+        st["slot"] = (st["slot"] + 1) % self._STAGING_DEPTH
 
     def _get_nv12(self, name, delay):
         if self._handle is None or self.frame_size is None:
@@ -290,6 +317,10 @@ class TensorStreamConverter:
         # args is several times slower than a direct H2D copy here.
         dy, duv = self._device_put(y, uv)
         tensor = build_vpp(cfg, self.device_index)(dy, duv)
+        # The dispatch stays fully asynchronous; _consumer_buffers blocks
+        # on this tensor before the staging slot it used is overwritten
+        # (_STAGING_DEPTH reads later).
+        self._mark_inflight(name, tensor)
         if return_index:
             return tensor, index
         return tensor
@@ -334,10 +365,7 @@ class TensorStreamConverter:
         # transfer — allocation and per-plane transfer overhead dominate
         # the consumer side otherwise (measured 56 -> ~200 fps at 1080p).
         key = (name, int(batch))
-        staging = self._batch_staging.get(key)
-        if staging is None:
-            staging = np.empty(batch * h * w * 3 // 2, np.uint8)
-            self._batch_staging[key] = staging
+        staging = self._batch_staging_slot(key, batch * h * w * 3 // 2)
         y_size = batch * h * w
         first = ctypes.c_int(0)
         got = self._lib.ts_pipeline_get_batch(self._handle, name.encode(),
@@ -351,12 +379,7 @@ class TensorStreamConverter:
         (flat,) = self._device_put(staging)
         tensors = build_vpp_batched_flat(cfg, int(batch),
                                          self.device_index)(flat)
-        # device_put is asynchronous: the next call's native drain must
-        # not overwrite `staging` while this transfer is in flight (the
-        # CPU backend demonstrably reads the numpy buffer after
-        # returning). Waits for the TRANSFER only — the VPP dispatch
-        # above stays async.
-        flat.block_until_ready()
+        self._batch_mark_inflight(key, tensors)
         if got < batch:
             # Partial final batch: the unfilled rows were converted from
             # stale buffer contents; slice them off on device (cheaper
@@ -373,10 +396,7 @@ class TensorStreamConverter:
         dst_w, dst_h = fp.width, fp.height
         algo = host_resize_algo(fp)
         key = (name, int(batch), dst_w, dst_h)
-        staging = self._batch_staging.get(key)
-        if staging is None:
-            staging = np.empty(batch * dst_w * dst_h * 3 // 2, np.uint8)
-            self._batch_staging[key] = staging
+        staging = self._batch_staging_slot(key, batch * dst_w * dst_h * 3 // 2)
         y_size = batch * dst_w * dst_h
         first = ctypes.c_int(0)
         got = self._lib.ts_pipeline_get_batch_resized(
@@ -395,12 +415,37 @@ class TensorStreamConverter:
         (flat,) = self._device_put(staging)
         tensors = build_vpp_batched_flat(cfg, int(batch),
                                          self.device_index)(flat)
-        flat.block_until_ready()  # see read_batch: staging reuse safety
+        self._batch_mark_inflight(key, tensors)
         if got < batch:
             tensors = tensors[:got]
         if return_index:
             return tensors, indices
         return tensors
+
+    def _batch_staging_slot(self, key, size):
+        """Double-buffered flat staging per (consumer, batch) key: the
+        native drain may fill one buffer while the previous batch's VPP
+        still reads the other (device_put can alias the numpy memory on
+        the CPU backend, so a slot is reused only after the batch that
+        consumed it finished computing)."""
+        st = self._batch_staging.get(key)
+        if st is None or st["bufs"][0].size != size:
+            st = {"bufs": [np.empty(size, np.uint8) for _ in range(2)],
+                  "inflight": [None, None], "slot": 0}
+            self._batch_staging[key] = st
+        slot = st["slot"]
+        if st["inflight"][slot] is not None:
+            import jax
+            jax.block_until_ready(st["inflight"][slot])
+            st["inflight"][slot] = None
+        return st["bufs"][slot]
+
+    def _batch_mark_inflight(self, key, tensors):
+        st = self._batch_staging.get(key)  # may vanish under stop()
+        if st is None:
+            return
+        st["inflight"][st["slot"]] = tensors
+        st["slot"] = (st["slot"] + 1) % 2
 
     # ----------------------------------------------------------------- dump
 

