@@ -42,8 +42,19 @@ int Decoder::Init(const DecoderParams& params, const Parser& parser,
 // slot; wakes every consumer (reference: src/Decoder.cpp:149-162).
 int Decoder::storeFrame(AVFrame* frame) {
   int w = frame->width, h = frame->height;
-  width_ = w;
-  height_ = h;
+  if (w != width_ || h != height_) {
+    // Mid-stream resolution change (e.g. an H.264 SPS switch): consumer
+    // buffers were sized from the init-time dimensions, so adopting the
+    // new geometry would corrupt every registered reader's heap. Reject
+    // the frame loudly; re-negotiation requires a new pipeline.
+    if (logger_)
+      logger_->log("ERROR: mid-stream resolution change " +
+                       std::to_string(width_) + "x" + std::to_string(height_) +
+                       " -> " + std::to_string(w) + "x" + std::to_string(h) +
+                       " is not supported; frame dropped",
+                   LOG_LOW);
+    return TS_ERROR;
+  }
   size_t y_size = static_cast<size_t>(w) * h;
   size_t uv_size = static_cast<size_t>(w) * (h / 2);
 
@@ -112,17 +123,43 @@ int Decoder::storeFrame(AVFrame* frame) {
   return TS_OK;
 }
 
+// Drains every frame the codec has ready into the ring. Returns the
+// number of frames stored, or a negative error from storeFrame.
+int Decoder::drainReady() {
+  int stored = 0;
+  while (true) {
+    int sts = avcodec_receive_frame(ctx_, decoded_);
+    if (sts == AVERROR(EAGAIN) || sts == AVERROR_EOF) break;
+    if (sts < 0) return sts;
+    sts = storeFrame(decoded_);
+    av_frame_unref(decoded_);
+    if (sts < 0) return sts;
+    stored++;
+  }
+  return stored;
+}
+
 int Decoder::Decode(AVPacket* pkt) {
   Span span(logger_ ? logger_.get() : nullptr, "Decoder::Decode");
   int sts = avcodec_send_packet(ctx_, pkt);
+  if (sts == AVERROR(EAGAIN)) {
+    // The codec's output queue is full: drain it, then resend the SAME
+    // packet — unreffing here would silently drop a compressed frame
+    // (the pipeline maps EAGAIN to "read the next packet").
+    int drained = drainReady();
+    if (drained < 0) {
+      av_packet_unref(pkt);
+      return drained;
+    }
+    sts = avcodec_send_packet(ctx_, pkt);
+  }
   av_packet_unref(pkt);
   if (sts < 0) return sts;
-  sts = avcodec_receive_frame(ctx_, decoded_);
-  if (sts == AVERROR(EAGAIN) || sts == AVERROR_EOF) return sts;
-  if (sts < 0) return sts;
-  sts = storeFrame(decoded_);
-  av_frame_unref(decoded_);
-  return sts;
+  // Drain ALL ready frames, not just one: multi-frame packets (VP9/AV1
+  // superframes) and frame-threaded decode can surface several at once.
+  int stored = drainReady();
+  if (stored < 0) return stored;
+  return stored > 0 ? TS_OK : AVERROR(EAGAIN);
 }
 
 int Decoder::Drain() {

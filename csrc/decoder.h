@@ -119,6 +119,7 @@ class Decoder {
                 const FrameSink& sink);
 
   int storeFrame(AVFrame* frame);
+  int drainReady();
 
   DecoderParams params_;
   std::shared_ptr<Logger> logger_;

@@ -74,7 +74,8 @@ int Pipeline::Init(const PipelineParams& params) {
 
 int Pipeline::loopIteration(
     std::pair<int64_t, bool>& start_dts,
-    std::pair<std::chrono::steady_clock::time_point, bool>& start_time) {
+    std::pair<std::chrono::steady_clock::time_point, bool>& start_time,
+    int framerate_mode) {
   auto wait_time = std::chrono::steady_clock::now();
   int sts = parser_->Read();
   if (sts == AVERROR(EAGAIN)) return TS_REPEAT;
@@ -87,7 +88,7 @@ int Pipeline::loopIteration(
   parser_->Get(parsed_);
 
   int64_t frame_dts = parsed_->dts;
-  if (frame_dts == AV_NOPTS_VALUE && framerate_mode_ == FR_NATIVE) {
+  if (frame_dts == AV_NOPTS_VALUE && framerate_mode == FR_NATIVE) {
     frame_dts = static_cast<int64_t>(decoder_->frameIndex() * index_to_dts_);
   }
 
@@ -103,12 +104,12 @@ int Pipeline::loopIteration(
 
   // Pacing (reference: WrapperPython.cpp:186-216).
   int sleep_ms = 0;
-  if (framerate_mode_ == FR_NATIVE_SIMPLE) {
+  if (framerate_mode == FR_NATIVE_SIMPLE) {
     auto elapsed = std::chrono::duration_cast<std::chrono::milliseconds>(
                        std::chrono::steady_clock::now() - wait_time)
                        .count();
     sleep_ms = real_time_delay_ms_ - static_cast<int>(elapsed);
-  } else if (framerate_mode_ == FR_NATIVE) {
+  } else if (framerate_mode == FR_NATIVE) {
     if (!start_dts.second) {
       start_dts = {frame_dts, true};
     }
@@ -123,7 +124,7 @@ int Pipeline::loopIteration(
   }
   if (sleep_ms > 0) std::this_thread::sleep_for(std::chrono::milliseconds(sleep_ms));
 
-  if (framerate_mode_ == FR_BLOCKING) {
+  if (framerate_mode == FR_BLOCKING) {
     // Cursor (bulk) consumers pace the producer through ring
     // back-pressure instead of the per-frame handshake, so they bypass
     // this wait — but only when NO per-frame blocking consumer is
@@ -157,7 +158,11 @@ void Pipeline::processingLoop() {
       std::chrono::steady_clock::now(), false};
   while (should_work_) {
     Span span(logger_.get(), "Pipeline::processingLoop");
-    int sts = loopIteration(start_dts, start_time);
+    int sts;
+    {
+      std::lock_guard<std::mutex> iter_lk(iter_sync_);
+      sts = loopIteration(start_dts, start_time, framerate_mode_);
+    }
     if (sts == TS_REPEAT) continue;
     if (sts != TS_OK) break;  // EOF / timeout / error -> finish
   }
@@ -177,10 +182,18 @@ int Pipeline::Step() {
   std::pair<int64_t, bool> dts{0, false};
   std::pair<std::chrono::steady_clock::time_point, bool> t{
       std::chrono::steady_clock::now(), false};
-  int saved_mode = framerate_mode_;
-  framerate_mode_ = FR_FAST;  // manual stepping never paces or blocks
-  int sts = loopIteration(dts, t);
-  framerate_mode_ = saved_mode;
+  // Manual stepping never paces or blocks. The effective mode is passed
+  // by value: temporarily rewriting the shared framerate_mode_ field
+  // would race with GetFrame/Stop reading it from other threads. The
+  // iteration itself is serialized against a started producer loop —
+  // parser/decoder internals (parsed_ packet, codec ctx, sws) are not
+  // reentrant (TSAN: tools/stress_tsan.cpp stepper thread).
+  int sts;
+  {
+    std::lock_guard<std::mutex> iter_lk(iter_sync_);
+    if (!initialized_) return TS_ERROR;  // Stop() won the lock first
+    sts = loopIteration(dts, t, FR_FAST);
+  }
   if (sts == TS_EOF && decoder_) decoder_->notifyConsumers();
   return sts;
 }
@@ -268,7 +281,10 @@ void Pipeline::Stop() {
   if (decoder_) decoder_->notifyConsumers();
   if (producer_.joinable()) producer_.join();
   {
-    std::lock_guard<std::mutex> lk(close_sync_);
+    // iter_sync_ keeps a concurrent Step() (manual iteration) from
+    // touching the parser/decoder while they are torn down; close_sync_
+    // orders teardown against a producer loop still unwinding.
+    std::scoped_lock lk(iter_sync_, close_sync_);
     if (parser_) parser_->Close();
     if (decoder_) decoder_->Close();
     if (parsed_) av_packet_free(&parsed_);

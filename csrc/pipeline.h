@@ -104,12 +104,17 @@ class Pipeline {
 
  private:
   void registerCursorAndWake(const std::string& consumer);
+  // `framerate_mode` is passed by value (not read from framerate_mode_)
+  // so Step() can run an unpaced iteration without mutating state that
+  // GetFrame/Stop read concurrently.
   int loopIteration(std::pair<int64_t, bool>& start_dts,
-                    std::pair<std::chrono::steady_clock::time_point, bool>& start_time);
+                    std::pair<std::chrono::steady_clock::time_point, bool>& start_time,
+                    int framerate_mode);
   void processingLoop();
   bool checkGetComplete();
 
   PipelineParams params_;
+  std::mutex iter_sync_;  // serializes loopIteration (producer vs Step)
   std::shared_ptr<Logger> logger_ = std::make_shared<Logger>();
   std::unique_ptr<Parser> parser_;
   std::unique_ptr<Decoder> decoder_;

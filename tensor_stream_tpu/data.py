@@ -240,11 +240,20 @@ class ShardedStreamLoader:
         parts, indices, pending = [], {}, []
         # Dispatch every stream's transfer first so the per-device
         # host->HBM copies overlap, then wait and recycle.
-        for k, loader in enumerate(self.loaders):
-            tensors, idx, flat, buf = loader._next_async()  # StopIteration propagates
-            parts.append(tensors)
-            indices[k] = idx
-            pending.append((loader, flat, buf))
+        try:
+            for k, loader in enumerate(self.loaders):
+                tensors, idx, flat, buf = loader._next_async()
+                parts.append(tensors)
+                indices[k] = idx
+                pending.append((loader, flat, buf))
+        except StopIteration:
+            # A drained stream must not leak the transfers already
+            # dispatched for earlier streams: await them and return their
+            # staging buffers to the pools before ending iteration.
+            for loader, flat, buf in pending:
+                flat.block_until_ready()
+                loader._pool.put(buf)
+            raise
         for loader, flat, buf in pending:
             flat.block_until_ready()
             loader._pool.put(buf)

@@ -142,3 +142,40 @@ def test_yuv444_stream_decodes(native):
     assert y.any() and uv.any()
     native.ts_pipeline_stop(p)
     native.ts_pipeline_destroy(p)
+
+
+def test_midstream_resolution_change_rejected(native, tmp_path):
+    """A mid-stream resolution switch (new SPS) must be rejected, not
+    adopted: consumer buffers are sized from init-time dimensions, so
+    adopting new geometry would corrupt reader heaps (csrc/decoder.cpp
+    storeFrame). Frames at the initial resolution still decode; the
+    switched portion errors the producer out instead of overflowing."""
+    a = resource("bbb_1080x608_420_10.h264")
+    b = resource("bbb_720x480_RGB24_250.h264")
+    mixed = tmp_path / "switch.h264"
+    with open(mixed, "wb") as f:
+        f.write(open(a, "rb").read())
+        f.write(open(b, "rb").read())
+    p = native.ts_pipeline_create()
+    assert native.ts_pipeline_init(p, str(mixed).encode(), 5, 4, 3, 0, 0) == 0
+    w, h = native.ts_pipeline_width(p), native.ts_pipeline_height(p)
+    assert (w, h) == (1080, 608)
+    y, uv = buffers(w, h)
+    # Drive the whole stream manually; the first stream's frames decode,
+    # then the resolution switch stops the pipeline with an error instead
+    # of writing 720x480 frames into 1080x608-sized consumer buffers.
+    saw_error = False
+    for _ in range(400):
+        sts = native.ts_pipeline_step(p)
+        if sts == -3:  # TS_ERROR
+            saw_error = True
+            break
+        if sts == -2:  # TS_EOF
+            break
+    frames = native.ts_pipeline_frame_index(p)
+    assert frames >= 9  # the 1080x608 frames all arrived
+    assert saw_error, "resolution switch must surface as an error"
+    assert native.ts_pipeline_get(p, b"c", 0, y.ctypes.data,
+                                  uv.ctypes.data) == frames
+    native.ts_pipeline_stop(p)
+    native.ts_pipeline_destroy(p)

@@ -61,11 +61,22 @@ static void run_round(const std::string& input, int round) {
     }
   };
 
+  // Manual stepping racing the started producer and live consumers:
+  // Step() must not mutate any state GetFrame/loopIteration read (it
+  // takes its unpaced mode by value, csrc/pipeline.cpp).
+  auto stepper = [&] {
+    while (!stop.load()) {
+      if (p.Step() < 0) break;
+      std::this_thread::sleep_for(std::chrono::milliseconds(7));
+    }
+  };
+
   std::vector<std::thread> threads;
   threads.emplace_back(latest_consumer, "a");
   threads.emplace_back(latest_consumer, "b");
   threads.emplace_back(bulk_consumer, "bulk1", false);
   threads.emplace_back(bulk_consumer, "bulk2", true);
+  threads.emplace_back(stepper);
 
   // Let everyone race for a while, then slam the door mid-read.
   std::this_thread::sleep_for(std::chrono::milliseconds(1500));
