@@ -131,6 +131,9 @@ int ts_pipeline_frame_index(void* p) { return static_cast<Pipeline*>(p)->frameIn
 int ts_pipeline_analyze_errors(void* p) {
   return static_cast<Pipeline*>(p)->analyzeErrorMask();
 }
+int ts_pipeline_keeps_buffer(void* p) {
+  return static_cast<Pipeline*>(p)->keepsBuffer() ? 1 : 0;
+}
 void ts_pipeline_skip_analyze(void* p) { static_cast<Pipeline*>(p)->skipAnalyze(); }
 void ts_pipeline_enable_logs(void* p, int level) {
   static_cast<Pipeline*>(p)->enableLogs(level);

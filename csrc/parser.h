@@ -54,6 +54,11 @@ class Parser {
   AVRational guessedFrameRate() const;
   AVRational timeBase() const;
   int64_t framesRead() const { return frames_read_; }
+  // True when the demuxer runs with its internal buffering enabled
+  // (NATIVE_LOW_DELAY clears it via AVFMT_FLAG_NOBUFFER).
+  bool keepsBuffer() const {
+    return fmt_ ? !(fmt_->flags & AVFMT_FLAG_NOBUFFER) : params_.keep_buffer;
+  }
 
  private:
   static int interruptCallback(void* opaque);

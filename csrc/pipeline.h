@@ -95,6 +95,9 @@ class Pipeline {
   int realTimeDelayMs() const { return real_time_delay_ms_; }
   int frameIndex() const { return decoder_ ? decoder_->frameIndex() : 0; }
   int analyzeErrorMask() const { return analyze_errors_.load(); }
+  // False iff NATIVE_LOW_DELAY dropped the demuxer buffer
+  // (reference: WrapperC.cpp:44-47, Parser.cpp:320-321).
+  bool keepsBuffer() const { return parser_ ? parser_->keepsBuffer() : true; }
   bool running() const { return should_work_.load(); }
 
   void skipAnalyze() { skip_analyze_ = true; }

@@ -78,3 +78,25 @@ def test_cli_dump_matches_library_path(tmp_path, args, pixels_per_frame):
     lib_bytes = np.concatenate(frames)[:data.size]
     assert av_crc32(data) == av_crc32(lib_bytes)
     assert np.array_equal(data, lib_bytes)
+
+
+@pytest.mark.parametrize("mode", ["NATIVE", "NATIVE_SIMPLE",
+                                  "NATIVE_LOW_DELAY", "FAST", "BLOCKING"])
+def test_cli_framerate_mode_smoke(tmp_path, mode):
+    """Every FrameRateMode is accepted end-to-end through the CLI and
+    produces a well-formed dump (reference: PythonTests.cpp:247-287; the
+    byte-level CRC equivalence is pinned by the BLOCKING matrix above —
+    unpaced modes drop frames nondeterministically on a 1-core host)."""
+    out = tmp_path / f"mode_{mode}"
+    cmd = [sys.executable, SIMPLE, "-i", resource(FIXTURE), "-n", "3",
+           "-o", str(out), "-fc", "Y800", "-w", "96", "-h", "64",
+           "--framerate_mode", mode]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=560)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    data = np.fromfile(f"{out}.yuv", np.uint8)
+    if mode == "FAST":
+        # Unpaced: the 250-frame file can drain before the consumer's
+        # 3rd read on a slow host; whole frames only, at least one.
+        assert data.size % (96 * 64) == 0 and data.size > 0
+    else:
+        assert data.size == 96 * 64 * 3
