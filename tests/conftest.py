@@ -29,6 +29,22 @@ if "host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (xla_flags +
                                " --xla_force_host_platform_device_count=8").strip()
 
+# Persistent XLA compilation cache: the CRC matrix compiles dozens of
+# distinct VPP programs; caching them on disk collapses suite wall-clock
+# on repeat runs (the first TPU run still pays full compiles). The env
+# var alone does not reach the axon PJRT plugin — set it via jax.config
+# once jax loads (import here is harmless: every test imports jax).
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".cache", "jax")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import ctypes  # noqa: E402

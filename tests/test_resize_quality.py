@@ -6,9 +6,11 @@ compare RGB against the non-resized RGB with the reference's PSNR formula
 
 forest.jpg is 4:2:0, so the whole chain is bit-reproducible and the
 PSNRs match the reference to ±0.011 dB (its values are printed to 2
-decimals). tv_template.jpg is 4:4:4 — NVJPEG's chroma downsample differs
-from swscale's, shifting absolute PSNRs a few tenths of a dB, so only the
-ordering properties are asserted there (run with TS_FULL_TESTS=1).
+decimals). tv_template.jpg is 4:4:4: the reference's 444->420 chroma
+path (NVDEC-era decode pipeline) differs from our swscale conversion,
+shifting the absolute numbers (measured deltas 0.1-2.4 dB, table in
+docs/PARITY.md), so tv_template is pinned against OUR measured table —
+the reference's own dual-CRC precedent applied to PSNR.
 """
 import math
 import os
@@ -97,6 +99,63 @@ def test_forest_upscale_psnr(forest_source, rtype):
     sy, suv, converted = forest_source
     got = roundtrip_psnr(sy, suv, converted, 1920, 1080, rtype)
     assert abs(got - FOREST_UP[rtype]) < 0.011, got
+
+
+@pytest.fixture(scope="module")
+def tv_source(native):
+    """(source NV12 720x480, reference RGB 720x480) from tv_template.jpg
+    (4:4:4 JPEG, 900x692, swscale'd to NV12 at decode)."""
+    path = resource("test_resize/tv_template.jpg")
+    p = native.ts_pipeline_create()
+    assert native.ts_pipeline_init(p, path.encode(), 5, 5, 4, 0, 0) == 0
+    w, h = native.ts_pipeline_width(p), native.ts_pipeline_height(p)
+    for _ in range(10):
+        native.ts_pipeline_step(p)
+        if native.ts_pipeline_frame_index(p) > 0:
+            break
+    y = np.zeros((h, w), np.uint8)
+    uv = np.zeros((h // 2, w), np.uint8)
+    native.ts_pipeline_get(p, b"t", 0, y.ctypes.data, uv.ctypes.data)
+    native.ts_pipeline_stop(p)
+    native.ts_pipeline_destroy(p)
+    source = vpp_numpy(VPPConfig(src_width=w, src_height=h, width=DW, height=DH,
+                                 fourcc=FourCC.NV12), y, uv).reshape(-1)
+    converted = vpp_numpy(VPPConfig(src_width=w, src_height=h, width=DW,
+                                    height=DH, fourcc=FourCC.RGB24), y, uv)
+    sy = source[:DW * DH].reshape(DH, DW)
+    suv = source[DW * DH:].reshape(DH // 2, DW)
+    return sy, suv, converted
+
+
+# Committed substitute table measured on this chain (reference values in
+# the comment — VPPTests.cpp:701-799; the delta is the 444->420 chroma
+# path, documented in docs/PARITY.md). Stable to 3 decimals on the CPU
+# backend; bilinear/area upscale move <=0.06 dB across backends
+# (contraction-boundary pixels, docs/PARITY.md).
+TV_DOWN = {ResizeType.NEAREST: 19.313,    # ref 19.14
+           ResizeType.BILINEAR: 25.679,   # ref 26.07
+           ResizeType.BICUBIC: 25.787,    # ref 25.80
+           ResizeType.AREA: 25.708}       # ref 25.89
+TV_UP = {ResizeType.NEAREST: 19.313,      # ref 19.14
+         ResizeType.BILINEAR: 36.873,     # ref 39.27
+         ResizeType.BICUBIC: 31.183,      # ref 30.45
+         ResizeType.AREA: 36.399}         # ref 39.34
+
+
+@pytest.mark.parametrize("rtype", list(TV_DOWN), ids=lambda r: r.name)
+def test_tv_template_downscale_psnr(tv_source, rtype):
+    sy, suv, converted = tv_source
+    got = roundtrip_psnr(sy, suv, converted, 480, 360, rtype)
+    assert abs(got - TV_DOWN[rtype]) < 0.06, got
+
+
+@pytest.mark.parametrize("rtype", list(TV_UP), ids=lambda r: r.name)
+@pytest.mark.skipif(not os.environ.get("TS_FULL_TESTS"),
+                    reason="slow upscale compiles; set TS_FULL_TESTS=1")
+def test_tv_template_upscale_psnr(tv_source, rtype):
+    sy, suv, converted = tv_source
+    got = roundtrip_psnr(sy, suv, converted, 1920, 1080, rtype)
+    assert abs(got - TV_UP[rtype]) < 0.06, got
 
 
 def test_bilinear_better_than_nearest(forest_source):
