@@ -217,6 +217,11 @@ int Pipeline::GetFrame(const std::string& consumer, int index, uint8_t* out_y,
     blocking_statuses_.emplace(consumer, false);
   }
   Span span(logger_.get(), "Pipeline::GetFrame");
+  // Not a hot spin despite the shape (the reference's version,
+  // WrapperPython.cpp:301-306, is the same): each TS_REPEAT consumes the
+  // consumer's wake flag, so the next Decoder::GetFrame call parks on
+  // the consumer CV until a fresh frame arrives — at most one
+  // non-blocking retry per decoded frame.
   int frame_index = TS_REPEAT;
   while (frame_index == TS_REPEAT) {
     frame_index = decoder_->GetFrame(index, consumer, out_y, out_uv);

@@ -170,14 +170,17 @@ class TensorStreamConverter:
                            self._lib.ts_pipeline_height(self._handle))
 
     def start(self):
-        """Starts the producer (parse -> analyze -> decode) loop. The loop
-        runs in a native thread; ``self.thread`` is kept for API parity."""
+        """Starts the producer (parse -> analyze -> decode) loop.
+
+        The loop runs in a NATIVE thread inside the pipeline (the
+        reference ran it on a Python thread holding a released GIL,
+        tensor_stream.py:324-331). ``self.thread`` therefore stays None;
+        it exists only so code written against the reference that checks
+        the attribute keeps working."""
         if self._handle is None:
             raise RuntimeError("TensorStream is not initialized")
         self._lib.ts_pipeline_start(self._handle)
         self._started = True
-        self.thread = threading.Thread(target=lambda: None)
-        self.thread.start()
 
     def stop(self):
         self.log.info("Stop TensorStream")
