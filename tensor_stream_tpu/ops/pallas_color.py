@@ -126,29 +126,62 @@ def build_pallas_nv12_to_rgb(height: int, width: int, swap_rb: bool,
             block_rows = height
     grid = (height // block_rows,)
     dtype = jnp.float32 if normalization else jnp.uint8
+    # Merged [.., W, 3] blocks pad the 3-wide minor dim to 128 lanes in
+    # VMEM (42x), so HD frames must bound the padded out block. Column
+    # tiles must themselves be multiples of 128 (Mosaic block rule);
+    # when no such divisor exists, keep whole-width blocks but drop to
+    # 8-row blocks (uv_half_select mode) so the padded block stays
+    # within budget (8 x W x 128 x 4B, double-buffered).
+    block_cols = width
+    if not planar and width > 512:
+        for d in (384, 256, 128):
+            if width % d == 0:
+                block_cols = d
+                break
+        if block_cols < width:
+            if block_rows > 16 and height % 16 == 0:
+                block_rows = 16
+        elif not uv_half_select and height % 16 == 0:
+            block_rows = 8
+            uv_half_select = True
+        grid = (height // block_rows,)
+    grid_cols = width // block_cols
     if planar:
         out_shape = jax.ShapeDtypeStruct((3, height, width), dtype)
         out_spec = pl.BlockSpec((3, block_rows, width),
                                 lambda i: (0, i, 0))
     else:
         out_shape = jax.ShapeDtypeStruct((height, width, 3), dtype)
-        out_spec = pl.BlockSpec((block_rows, width, 3),
-                                lambda i: (i, 0, 0))
+        if grid_cols == 1:
+            out_spec = pl.BlockSpec((block_rows, width, 3),
+                                    lambda i: (i, 0, 0))
+        else:
+            out_spec = pl.BlockSpec((block_rows, block_cols, 3),
+                                    lambda i, j: (i, j, 0))
 
     kernel = functools.partial(_nv12_rgb_kernel, swap_rb=swap_rb,
                                normalization=normalization, planar=planar,
-                               block_w=width, uv_half_select=uv_half_select)
-    if uv_half_select:
-        uv_spec = pl.BlockSpec((8, width), lambda i: (i // 2, 0))
+                               block_w=block_cols,
+                               uv_half_select=uv_half_select)
+    two_d = not planar and grid_cols > 1
+    if two_d:
+        grid = (height // block_rows, grid_cols)
+        y_spec = pl.BlockSpec((block_rows, block_cols), lambda i, j: (i, j))
+        if uv_half_select:
+            uv_spec = pl.BlockSpec((8, block_cols), lambda i, j: (i // 2, j))
+        else:
+            uv_spec = pl.BlockSpec((block_rows // 2, block_cols),
+                                   lambda i, j: (i, j))
     else:
-        uv_spec = pl.BlockSpec((block_rows // 2, width), lambda i: (i, 0))
+        y_spec = pl.BlockSpec((block_rows, width), lambda i: (i, 0))
+        if uv_half_select:
+            uv_spec = pl.BlockSpec((8, width), lambda i: (i // 2, 0))
+        else:
+            uv_spec = pl.BlockSpec((block_rows // 2, width), lambda i: (i, 0))
     call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_rows, width), lambda i: (i, 0)),
-            uv_spec,
-        ],
+        in_specs=[y_spec, uv_spec],
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,

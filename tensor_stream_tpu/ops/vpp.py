@@ -87,12 +87,14 @@ def make_vpp_fn(cfg: VPPConfig):
     # Full-frame NV12->RGB (no crop/resize) is the hottest op; use the
     # hand-written Pallas kernel there — ~10-25% faster than the XLA
     # fusion at HD sizes (21.3 vs 24.0 us/frame measured at 1920x1080)
-    # and bit-identical everywhere (tests/test_pallas.py). Planar only:
-    # a merged [H,W,3] out block pads its 3-wide lane dim to 128 on TPU
-    # and blows the VMEM budget at HD sizes. Heights must be a multiple
-    # of 8 so the row blocks tile legally (8-but-not-16 heights use the
-    # kernel's uv_half_select mode). Gated to the TPU backend: the Mosaic
-    # primitives lower nowhere else.
+    # and bit-identical everywhere (tests/test_pallas.py). Planar only
+    # BY MEASUREMENT: the kernel supports merged output too, but its
+    # [.., W, 3] blocks pad lanes 3->128 and the padded stores DMA at
+    # ~2% efficiency — 4053 us/frame vs XLA's 236 us at 1920x1080
+    # (docs/ROADMAP.md item 3) — so merged stays on the XLA fusion.
+    # Heights must be a multiple of 8 so the row blocks tile legally
+    # (8-but-not-16 heights use the kernel's uv_half_select mode). Gated
+    # to the TPU backend: the Mosaic primitives lower nowhere else.
     use_pallas = (not do_crop and not do_resize and
                   cfg.fourcc in (FourCC.RGB24, FourCC.BGR24) and
                   cfg.planes == Planes.PLANAR and

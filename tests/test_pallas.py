@@ -82,3 +82,21 @@ def test_pallas_height_mod8_half_select(h):
         assert (got == ref).mean() > 0.999
     else:
         assert np.array_equal(got, ref)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("TS_FULL_TESTS"),
+                    reason="HD merged compile is slow; set TS_FULL_TESTS=1")
+def test_pallas_merged_hd_correct():
+    """Merged output at HD compiles (column-tiled blocks bound the
+    3->128 lane-pad VMEM) and is bit-exact — kept as capability; the
+    product path stays on XLA for merged because the lane-padded stores
+    are ~17x slower (docs/ROADMAP.md item 3)."""
+    h, w = 1080, 1920
+    y, uv = _rand_nv12(h, w, seed=7)
+    fn = build_pallas_nv12_to_rgb(h, w, False, False, False,
+                                  interpret=INTERPRET)
+    got = np.asarray(fn(y, uv))
+    ref = np.asarray(nv12_to_rgb(jnp.asarray(y), jnp.asarray(uv),
+                                 swap_rb=False, planar=False,
+                                 normalization=False))
+    assert np.array_equal(got, ref)
