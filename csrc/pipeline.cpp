@@ -122,7 +122,10 @@ int Pipeline::loopIteration(
                       .count();
     if (rel_ms > now) sleep_ms = static_cast<int>(rel_ms - now);
   }
-  if (sleep_ms > 0) std::this_thread::sleep_for(std::chrono::milliseconds(sleep_ms));
+  if (sleep_ms > 0) {
+    std::this_thread::sleep_for(std::chrono::milliseconds(sleep_ms));
+    slept_ms_.fetch_add(sleep_ms, std::memory_order_relaxed);
+  }
 
   if (framerate_mode == FR_BLOCKING) {
     // Cursor (bulk) consumers pace the producer through ring

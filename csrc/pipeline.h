@@ -95,6 +95,10 @@ class Pipeline {
   int realTimeDelayMs() const { return real_time_delay_ms_; }
   int frameIndex() const { return decoder_ ? decoder_->frameIndex() : 0; }
   int analyzeErrorMask() const { return analyze_errors_.load(); }
+  // Total milliseconds the producer loop spent in pacing sleeps —
+  // lets tests assert NATIVE/NATIVE_SIMPLE pacing on the pipeline's own
+  // accounting instead of flaky wall-clock reads.
+  int64_t sleptMs() const { return slept_ms_.load(std::memory_order_relaxed); }
   // False iff NATIVE_LOW_DELAY dropped the demuxer buffer
   // (reference: WrapperC.cpp:44-47, Parser.cpp:320-321).
   bool keepsBuffer() const { return parser_ ? parser_->keepsBuffer() : true; }
@@ -131,6 +135,7 @@ class Pipeline {
   // Atomic: skipAnalyze() may be called while the producer loop runs.
   std::atomic<bool> skip_analyze_{false};
   std::atomic<int> analyze_errors_{0};
+  std::atomic<int64_t> slept_ms_{0};
 
   std::atomic<bool> should_work_{false};
   std::thread producer_;

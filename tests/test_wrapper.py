@@ -479,3 +479,34 @@ def test_read_timeout_interrupts_stalled_source():
             stall.set()
             srv.shutdown()
             st.join(timeout=10)
+
+
+def test_native_pacing_by_sleep_accounting():
+    """Deterministic pacing assertion on the pipeline's own accounting
+    (the wall-clock cadence test above needs generous slack on a loaded
+    host). NATIVE pacing sleeps to the DTS schedule, so processing K
+    frames takes at least (K-1) frame intervals — a hard lower bound —
+    and the pipeline's recorded sleep accounts for nearly all of it."""
+    from tensor_stream_tpu import _native
+    lib = _native.load()
+    reader = TensorStreamConverter(resource("bbb_1080x608_420_10.h264"),
+                                   framerate_mode=FrameRate.NATIVE)
+    reader.initialize(repeat_number=3)
+    interval_ms = 1000.0 / reader.fps
+    t0 = time.monotonic()
+    reader.start()
+    # Drain reads until the producer finishes the 10-frame file.
+    with pytest.raises(RuntimeError):
+        while True:
+            reader.read(name="c", pixel_format=FourCC.NV12)
+    elapsed_ms = (time.monotonic() - t0) * 1000
+    slept_ms = lib.ts_pipeline_slept_ms(reader._handle)
+    reader.stop()
+    expected = 9 * interval_ms  # frames 2..10 each scheduled one interval on
+    # Hard lower bound (sleep guarantees schedule), catching any
+    # 2x-pacing bug by a 360 ms margin on this 25fps fixture:
+    assert elapsed_ms >= expected - 2, (elapsed_ms, expected)
+    # The producer's own sleep ledger covers the schedule minus real
+    # work (decode of 10 frames is ~25-50 ms on this host):
+    assert slept_ms >= expected * 0.5, (slept_ms, expected)
+    assert slept_ms <= expected + 2 * interval_ms, (slept_ms, expected)
