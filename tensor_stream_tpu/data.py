@@ -18,6 +18,7 @@ buffered like flax's prefetch_to_device idiom.
 Each yielded batch is an independent jax.Array — safe to hold across
 iterations (no buffer aliasing; staging buffers rotate host-side).
 """
+import collections
 import ctypes
 import queue
 import threading
@@ -85,6 +86,7 @@ class FrameLoader:
         for _ in range(n_bufs):
             self._pool.put(np.empty(size, np.uint8))
         self._filled = queue.Queue(maxsize=self.prefetch)
+        self._pending = collections.deque()  # (buf, tensors) awaiting compute
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._drain, daemon=True)
         self._thread.start()
@@ -120,12 +122,15 @@ class FrameLoader:
         return self
 
     def _next_async(self):
-        """Dispatches the next batch WITHOUT waiting for the transfer.
+        """Dispatches the next batch WITHOUT waiting on the device.
 
-        Returns (tensors, indices, flat, buf); the caller MUST
-        `flat.block_until_ready()` and then return `buf` to self._pool
-        (ShardedStreamLoader uses this to overlap the transfers of all
-        its streams instead of serializing them)."""
+        Returns (tensors, indices, buf); the caller MUST hand (buf,
+        tensors) to self._recycle() once it no longer needs the batch to
+        start earlier than `tensors` — recycling blocks on the VPP
+        output before the staging buffer goes back to the pool, because
+        jax.device_put may alias the numpy buffer outright on the CPU
+        backend (blocking on the transfer alone does not protect the
+        bytes; see tensor_stream.py staging rotation)."""
         import jax
         while True:
             item = self._filled.get()
@@ -140,20 +145,28 @@ class FrameLoader:
             tensors = self._vpp(flat)  # async dispatch
             if got < self.batch:
                 tensors = tensors[:got]
-            return tensors, list(range(first, first + got)), flat, buf
+            return tensors, list(range(first, first + got)), buf
+
+    def _recycle(self, buf, tensors):
+        import jax
+        jax.block_until_ready(tensors)
+        self._pool.put(buf)
 
     def __next__(self):
-        tensors, indices, flat, buf = self._next_async()
-        # device_put is asynchronous: the drain thread must not write
-        # into `buf` until the transfer has actually read it. Blocks on
-        # the TRANSFER only; the VPP dispatch is already queued and the
-        # drain keeps filling the other pool buffers.
-        flat.block_until_ready()
-        self._pool.put(buf)
+        tensors, indices, buf = self._next_async()
+        # Keep the pipeline async: this batch's buffer is held in a
+        # pending queue and recycled only once an OLDER batch's compute
+        # has finished (back-pressure after `prefetch` batches).
+        self._pending.append((buf, tensors))
+        if len(self._pending) > self.prefetch:
+            self._recycle(*self._pending.popleft())
         return tensors, indices
 
     def close(self):
         self._stop.set()
+        while self._pending:
+            buf, _ = self._pending.popleft()
+            self._pool.put(buf)
         try:
             self._pool.put_nowait(None)  # unblock a drain waiting for a buffer
         except queue.Full:
@@ -231,6 +244,7 @@ class ShardedStreamLoader:
         self.mesh = Mesh(np.asarray(self.devices), ("dp",))
         self._sharding = NamedSharding(self.mesh, PartitionSpec("dp"))
         self.per_stream = per_stream
+        self._last_round = []
 
     def __iter__(self):
         return self
@@ -239,24 +253,23 @@ class ShardedStreamLoader:
         import jax
         parts, indices, pending = [], {}, []
         # Dispatch every stream's transfer first so the per-device
-        # host->HBM copies overlap, then wait and recycle.
+        # host->HBM copies overlap; buffers from the PREVIOUS round are
+        # recycled once their compute finished (one round of overlap).
         try:
             for k, loader in enumerate(self.loaders):
-                tensors, idx, flat, buf = loader._next_async()
+                tensors, idx, buf = loader._next_async()
                 parts.append(tensors)
                 indices[k] = idx
-                pending.append((loader, flat, buf))
+                pending.append((loader, buf, tensors))
         except StopIteration:
-            # A drained stream must not leak the transfers already
-            # dispatched for earlier streams: await them and return their
-            # staging buffers to the pools before ending iteration.
-            for loader, flat, buf in pending:
-                flat.block_until_ready()
-                loader._pool.put(buf)
+            # A drained stream must not leak the buffers already
+            # dispatched for earlier streams this round.
+            for loader, buf, tensors in pending:
+                loader._recycle(buf, tensors)
+            self._flush_pending()
             raise
-        for loader, flat, buf in pending:
-            flat.block_until_ready()
-            loader._pool.put(buf)
+        self._flush_pending()
+        self._last_round = pending
         if any(p.shape[0] != self.per_stream for p in parts):
             raise StopIteration  # uneven tail; shards must match
         shard_shape = parts[0].shape
@@ -265,7 +278,13 @@ class ShardedStreamLoader:
             global_shape, self._sharding, parts)
         return batch, indices
 
+    def _flush_pending(self):
+        for loader, buf, tensors in self._last_round:
+            loader._recycle(buf, tensors)
+        self._last_round = []
+
     def close(self):
+        self._flush_pending()
         for loader in self.loaders:
             loader.close()
 

@@ -104,3 +104,31 @@ def test_sharded_stream_loader_on_mesh():
         # the global array is usable by ordinary jitted code
         s = float(jax.jit(lambda x: x.sum())(batch))
         assert np.isfinite(s)
+
+
+def test_loader_batches_safe_to_hold_across_iterations():
+    """Held batches must not be corrupted by later staging reuse:
+    device_put may alias the numpy staging buffer on the CPU backend, so
+    a buffer is recycled only after the compute that consumed it
+    finished (FrameLoader._recycle). Materializing everything at the end
+    must equal materializing eagerly."""
+    import jax
+
+    from tensor_stream_tpu import FourCC, FrameLoader, Planes
+
+    def run(hold):
+        loader = FrameLoader(resource("bbb_1080x608_420_10.h264"), batch=4,
+                             prefetch=2, pixel_format=FourCC.Y800,
+                             planes_pos=Planes.PLANAR, width=96, height=64)
+        out = []
+        for tensors, idx in loader:
+            out.append((idx, tensors if hold else np.asarray(tensors)))
+        mats = [(i, np.asarray(t)) for i, t in out]
+        loader.close()
+        return mats
+
+    eager = run(False)
+    held = run(True)
+    assert [i for i, _ in eager] == [i for i, _ in held]
+    for (i, a), (_, b) in zip(eager, held):
+        np.testing.assert_array_equal(a, b, err_msg=f"batch {i}")
