@@ -125,6 +125,7 @@ class TensorStreamConverter:
         self.enable_dumps = enable_dumps
         self._buffers = {}  # consumer -> (y, uv) pinned host staging
         self._batch_staging = {}  # (consumer, batch) -> flat NV12 staging
+        self._retired = []  # stopped handles awaiting safe destruction
         self._started = False
         self.set_timeout(timeout=timeout)
         self._pending_logs = None
@@ -137,6 +138,7 @@ class TensorStreamConverter:
         """Builds the native pipeline, retrying up to repeat_number times
         (reference: tensor_stream.py:187-206)."""
         self.log.info("Initialize TensorStream")
+        self._reap_retired()
         status = StatusLevel.REPEAT.value
         repeat = repeat_number
         while status != StatusLevel.OK.value and repeat > 0:
@@ -186,7 +188,14 @@ class TensorStreamConverter:
         self.log.info("Stop TensorStream")
         if self._handle is not None:
             self._lib.ts_pipeline_stop(self._handle)
-            self._lib.ts_pipeline_destroy(self._handle)
+            # Defer destruction: another thread may still be unwinding a
+            # native call on this handle (stop() makes those calls return
+            # TS_FINISHED promptly, but freeing the object from under
+            # them is a use-after-free — observed as a segfault when a
+            # consumer thread raced stop()). Retired handles are
+            # destroyed on the next initialize() or in __del__, when no
+            # concurrent caller can still hold them.
+            self._retired.append(self._handle)
             self._handle = None
         self._started = False
         if self.thread is not None:
@@ -222,6 +231,21 @@ class TensorStreamConverter:
             self._lib.ts_set_timeout_ms(-1)
         else:
             self._lib.ts_set_timeout_ms(int(timeout * 1000))
+
+    def _reap_retired(self):
+        for h in self._retired:
+            self._lib.ts_pipeline_destroy(h)
+        self._retired = []
+
+    def __del__(self):
+        try:
+            if self._handle is not None:
+                self._lib.ts_pipeline_stop(self._handle)
+                self._lib.ts_pipeline_destroy(self._handle)
+                self._handle = None
+            self._reap_retired()
+        except Exception:
+            pass
 
     def skip_analyze(self):
         self._skip_analyze = True
@@ -274,12 +298,17 @@ class TensorStreamConverter:
         st["slot"] = (st["slot"] + 1) % self._STAGING_DEPTH
 
     def _get_nv12(self, name, delay):
-        if self._handle is None or self.frame_size is None:
+        # Snapshot the handle: a concurrent stop() nulls self._handle
+        # between the check and the native call (the object behind a
+        # captured handle stays alive — stop() only retires it, see
+        # _reap_retired — and a stopped pipeline returns TS_FINISHED).
+        handle = self._handle
+        if handle is None or self.frame_size is None:
             raise RuntimeError("TensorStream is not initialized")
         if not self._started:
             raise RuntimeError("TensorStream is not started")
         y, uv = self._consumer_buffers(name)
-        index = self._lib.ts_pipeline_get(self._handle, name.encode(),
+        index = self._lib.ts_pipeline_get(handle, name.encode(),
                                           int(delay), y.ctypes.data,
                                           uv.ctypes.data)
         if index == _native.TS_FINISHED:
@@ -353,7 +382,8 @@ class TensorStreamConverter:
         device link, not the host CPU, is the bottleneck (a 1080p->224px
         pipeline ships 41x less). Convert/normalize still run on device."""
         import ctypes
-        if self._handle is None or self.frame_size is None:
+        handle = self._handle  # snapshot vs concurrent stop(), see _get_nv12
+        if handle is None or self.frame_size is None:
             raise RuntimeError("TensorStream is not initialized")
         if not self._started:
             raise RuntimeError("TensorStream is not started")
@@ -371,10 +401,10 @@ class TensorStreamConverter:
         staging = self._batch_staging_slot(key, batch * h * w * 3 // 2)
         y_size = batch * h * w
         first = ctypes.c_int(0)
-        got = self._lib.ts_pipeline_get_batch(self._handle, name.encode(),
-                                              int(batch), staging.ctypes.data,
-                                              staging.ctypes.data + y_size,
-                                              ctypes.byref(first))
+        got = self._lib.ts_pipeline_get_batch(handle, name.encode(),
+                                               int(batch), staging.ctypes.data,
+                                               staging.ctypes.data + y_size,
+                                               ctypes.byref(first))
         if got <= 0:
             raise RuntimeError("Decoding finished")
         indices = list(range(first.value, first.value + got))
@@ -402,8 +432,11 @@ class TensorStreamConverter:
         staging = self._batch_staging_slot(key, batch * dst_w * dst_h * 3 // 2)
         y_size = batch * dst_w * dst_h
         first = ctypes.c_int(0)
+        handle = self._handle  # snapshot vs concurrent stop()
+        if handle is None:
+            raise RuntimeError("TensorStream is not initialized")
         got = self._lib.ts_pipeline_get_batch_resized(
-            self._handle, name.encode(), int(batch), dst_w, dst_h, algo,
+            handle, name.encode(), int(batch), dst_w, dst_h, algo,
             staging.ctypes.data, staging.ctypes.data + y_size,
             ctypes.byref(first))
         if got <= 0:
