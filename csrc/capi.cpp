@@ -54,6 +54,9 @@ int ts_pipeline_init_ex(void* p, const char* url, int max_consumers,
   return static_cast<Pipeline*>(p)->Init(params);
 }
 
+int ts_pipeline_seek_frame(void* p, long long skip) {
+  return static_cast<Pipeline*>(p)->SeekToFrame(skip);
+}
 int ts_pipeline_start(void* p) { return static_cast<Pipeline*>(p)->Start(); }
 int ts_pipeline_step(void* p) { return static_cast<Pipeline*>(p)->Step(); }
 

@@ -139,6 +139,56 @@ int Decoder::drainReady() {
   return stored;
 }
 
+void Decoder::PrepareSeek(int64_t skip) {
+  if (ctx_) avcodec_flush_buffers(ctx_);
+  std::lock_guard<std::mutex> lk(sync_);
+  current_frame_ = static_cast<int>(skip);
+  for (auto& s : ring_) s.valid = false;
+}
+
+int Decoder::DecodeSkip(AVPacket* pkt, int64_t target_pts,
+                        int64_t* remaining) {
+  int sts = avcodec_send_packet(ctx_, pkt);
+  bool resend = (sts == AVERROR(EAGAIN));
+  if (!resend) av_packet_unref(pkt);
+  if (sts < 0 && !resend) return sts;
+  int stored = 0;
+  while (true) {
+    int r = avcodec_receive_frame(ctx_, decoded_);
+    if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) {
+      if (resend) {
+        sts = avcodec_send_packet(ctx_, pkt);
+        av_packet_unref(pkt);
+        resend = false;
+        if (sts < 0) return sts;
+        continue;
+      }
+      break;
+    }
+    if (r < 0) return r;
+    bool keep;
+    if (stored > 0) {
+      keep = true;  // past the target: everything is live stream data
+    } else if (target_pts >= 0) {
+      int64_t pts = decoded_->best_effort_timestamp;
+      if (pts == AV_NOPTS_VALUE) pts = decoded_->pts;
+      keep = (pts == AV_NOPTS_VALUE) ? (*remaining <= 0) : (pts >= target_pts);
+    } else {
+      keep = (*remaining <= 0);
+    }
+    if (!keep) {
+      if (*remaining > 0) (*remaining)--;
+      av_frame_unref(decoded_);
+      continue;
+    }
+    r = storeFrame(decoded_);
+    av_frame_unref(decoded_);
+    if (r < 0) return r;
+    stored++;
+  }
+  return stored;
+}
+
 int Decoder::Decode(AVPacket* pkt) {
   Span span(logger_ ? logger_.get() : nullptr, "Decoder::Decode");
   int sts = avcodec_send_packet(ctx_, pkt);

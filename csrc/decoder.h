@@ -61,6 +61,15 @@ class Decoder {
   // Returns the number of frames drained.
   int Drain();
 
+  // Seek support: flushes codec state and presets the absolute frame
+  // counter so the next stored frame is numbered `skip + 1`.
+  void PrepareSeek(int64_t skip);
+  // Feeds one packet while skipping: frames with pts < target_pts (or
+  // while *remaining > 0 in counting mode, target_pts < 0) are
+  // discarded; the first kept frame is stored into the ring. Returns 1
+  // once a frame was stored, 0 to keep feeding, <0 on error.
+  int DecodeSkip(AVPacket* pkt, int64_t target_pts, int64_t* remaining);
+
   // Blocks until a frame this consumer has not seen is available, then
   // copies NV12 planes of ring slot (latest + index) into out_y / out_uv
   // (sized w*h and w*(h/2)). Returns the absolute frame counter (1-based),

@@ -75,6 +75,26 @@ int Parser::Init(const ParserParams& params, std::shared_ptr<Logger> logger) {
   return TS_OK;
 }
 
+int Parser::Seek(int64_t ts) {
+  if (!fmt_) return TS_ERROR;
+  // Raw elementary streams (h264/hevc annexb, ivf-less) only carry a
+  // generic on-the-fly index: av_seek_frame "succeeds" but lands blind
+  // before any packets were read. Report unsupported so the caller
+  // falls back to exact decode-and-discard from the start.
+  if (fmt_->iformat && (fmt_->iformat->flags & AVFMT_GENERIC_INDEX))
+    return TS_UNSUPPORTED;
+  int sts = av_seek_frame(fmt_, video_index_, ts, AVSEEK_FLAG_BACKWARD);
+  if (sts < 0) return sts;
+  last_taken_ = true;
+  return TS_OK;
+}
+
+int64_t Parser::startTime() const {
+  if (video_stream_ && video_stream_->start_time != AV_NOPTS_VALUE)
+    return video_stream_->start_time;
+  return 0;
+}
+
 int Parser::Read() {
   Span span(logger_ ? logger_.get() : nullptr, "Parser::Read");
   while (true) {

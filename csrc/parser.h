@@ -54,6 +54,12 @@ class Parser {
   AVRational guessedFrameRate() const;
   AVRational timeBase() const;
   int64_t framesRead() const { return frames_read_; }
+  // Container seek to `ts` (stream time_base ticks), landing on the
+  // nearest keyframe at or before it. Raw elementary streams have no
+  // index; callers fall back to decode-and-discard when this fails.
+  int Seek(int64_t ts);
+  // First packet timestamp of the video stream (0 when unknown).
+  int64_t startTime() const;
   // True when the demuxer runs with its internal buffering enabled
   // (NATIVE_LOW_DELAY clears it via AVFMT_FLAG_NOBUFFER).
   bool keepsBuffer() const {

@@ -180,6 +180,33 @@ int Pipeline::Start() {
   return TS_OK;
 }
 
+int Pipeline::SeekToFrame(int64_t skip) {
+  if (!initialized_ || producer_.joinable()) return TS_ERROR;
+  if (skip <= 0) return TS_OK;
+  std::lock_guard<std::mutex> lk(iter_sync_);
+  int64_t target_pts = -1;
+  int64_t remaining = skip;
+  if (index_to_dts_ > 0) {
+    int64_t ts = parser_->startTime() +
+                 static_cast<int64_t>(llround(skip * index_to_dts_));
+    if (parser_->Seek(ts) == TS_OK) target_pts = ts;
+    // Seek failure (raw elementary stream without an index) leaves the
+    // demuxer at the start: fall back to counting `skip` frames.
+  }
+  decoder_->PrepareSeek(skip);
+  while (true) {
+    int sts = parser_->Read();
+    if (sts == AVERROR(EAGAIN)) continue;
+    if (sts == TS_EOF) return TS_EOF;
+    if (sts == TS_TIMEOUT) return TS_TIMEOUT;
+    if (sts != TS_OK) return TS_ERROR;
+    parser_->Get(parsed_);
+    sts = decoder_->DecodeSkip(parsed_, target_pts, &remaining);
+    if (sts < 0) return TS_ERROR;
+    if (sts > 0) return TS_OK;  // the target frame reached the ring
+  }
+}
+
 int Pipeline::Step() {
   if (!initialized_) return TS_ERROR;
   std::pair<int64_t, bool> dts{0, false};

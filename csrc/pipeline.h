@@ -51,6 +51,16 @@ class Pipeline {
   // Spawns the producer thread running the processing loop.
   int Start();
 
+  // Positions the pipeline so the next delivered frame is number
+  // `skip + 1` (1-based), i.e. `skip` frames are skipped. Call between
+  // Init and Start. Container formats seek to the nearest prior
+  // keyframe and decode-discard forward by presentation timestamp; raw
+  // elementary streams (no index) decode-discard from the start by
+  // frame count — exact in both cases for constant-frame-rate input.
+  // Returns TS_OK, TS_EOF when the stream is shorter than `skip`, or
+  // an error.
+  int SeekToFrame(int64_t skip);
+
   // Manual mode (testing): runs one producer iteration synchronously.
   // Returns TS_OK when a frame reached the ring, TS_REPEAT when the
   // decoder needs more input, TS_EOF after end-of-stream drain.

@@ -44,6 +44,7 @@ class FrameLoader:
                  decode_threads=0,
                  device_index=0,
                  drop_partial=False,
+                 start_frame=1,
                  **frame_kwargs):
         self.batch = int(batch)
         self.prefetch = max(1, int(prefetch))
@@ -58,9 +59,15 @@ class FrameLoader:
             buffer_size=buffer_size or 4 * self.batch,
             decode_threads=decode_threads, loop=loop)
         self.reader.initialize(repeat_number=3)
+        # Checkpoint/resume: position the stream so iteration starts at
+        # `start_frame` (1-based) — resume a run with
+        # FrameLoader(..., start_frame=ckpt["next_index"]).
+        if int(start_frame) > 1:
+            self.reader.seek_frame(int(start_frame) - 1)
+        self._next_index = int(start_frame)
         # Register the cursor BEFORE the producer starts so the no-drop
-        # window opens at frame 1 (otherwise a fast producer may already
-        # have evicted the head of a short file from the ring).
+        # window opens at the first frame (otherwise a fast producer may
+        # already have evicted the head of a short file from the ring).
         self.reader._lib.ts_pipeline_register_cursor(self.reader._handle,
                                                      b"loader")
         self.reader.start()
@@ -152,8 +159,16 @@ class FrameLoader:
         jax.block_until_ready(tensors)
         self._pool.put(buf)
 
+    def checkpoint(self):
+        """Resumable position: pass ``start_frame=ckpt["next_index"]`` to
+        a new FrameLoader over the same stream to continue exactly where
+        this one stopped (next batch starts at that frame index)."""
+        return {"stream_url": self.reader.stream_url,
+                "next_index": self._next_index}
+
     def __next__(self):
         tensors, indices, buf = self._next_async()
+        self._next_index = indices[-1] + 1
         # Keep the pipeline async: this batch's buffer is held in a
         # pending queue and recycled only once an OLDER batch's compute
         # has finished (back-pressure after `prefetch` batches).

@@ -171,6 +171,22 @@ class TensorStreamConverter:
         self.frame_size = (self._lib.ts_pipeline_width(self._handle),
                            self._lib.ts_pipeline_height(self._handle))
 
+    def seek_frame(self, skip):
+        """Positions the stream so the next delivered frame is number
+        ``skip + 1`` (frame indexes stay globally consistent: a consumer
+        reading after ``seek_frame(100)`` sees index 101). Call between
+        initialize() and start(). TPU extension for checkpoint/resume of
+        training jobs: container formats keyframe-seek then discard by
+        timestamp; raw elementary streams decode-discard by count — both
+        exact for constant-frame-rate input (docs/PARITY.md)."""
+        if self._handle is None:
+            raise RuntimeError("TensorStream is not initialized")
+        if self._started:
+            raise RuntimeError("seek_frame must be called before start()")
+        sts = self._lib.ts_pipeline_seek_frame(self._handle, int(skip))
+        if sts != _native.TS_OK:
+            raise RuntimeError(f"seek_frame({skip}) failed: {sts}")
+
     def start(self):
         """Starts the producer (parse -> analyze -> decode) loop.
 

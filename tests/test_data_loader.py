@@ -132,3 +132,40 @@ def test_loader_batches_safe_to_hold_across_iterations():
     assert [i for i, _ in eager] == [i for i, _ in held]
     for (i, a), (_, b) in zip(eager, held):
         np.testing.assert_array_equal(a, b, err_msg=f"batch {i}")
+
+
+@pytest.mark.parametrize("fixture", ["bbb_720x480_RGB24_250.h264",
+                                     "bunny.mp4"])
+def test_loader_checkpoint_resume_bitexact(fixture):
+    """Checkpoint/resume (TPU extension, docs/ROADMAP.md item 5): a
+    loader resumed from checkpoint() yields exactly the frames the
+    original run would have yielded next — same indexes, same bytes —
+    for both raw elementary streams (decode-discard resume) and
+    container formats (keyframe seek + timestamp discard)."""
+    from tensor_stream_tpu import FourCC, FrameLoader, Planes
+
+    kw = dict(batch=4, prefetch=2, pixel_format=FourCC.Y800,
+              planes_pos=Planes.PLANAR, width=96, height=64)
+    full = FrameLoader(resource(fixture), **kw)
+    batches = []
+    for tensors, idx in full:
+        batches.append((idx, np.asarray(tensors)))
+        if len(batches) >= 6:
+            break
+    full.close()
+
+    ckpt_point = 3  # resume after the 3rd batch
+    first = FrameLoader(resource(fixture), **kw)
+    for k, _ in zip(range(ckpt_point), first):
+        pass
+    ckpt = first.checkpoint()
+    first.close()
+    assert ckpt["next_index"] == batches[ckpt_point][0][0]
+
+    resumed = FrameLoader(resource(fixture),
+                          start_frame=ckpt["next_index"], **kw)
+    for want_idx, want in batches[ckpt_point:]:
+        tensors, idx = next(resumed)
+        assert idx == want_idx
+        np.testing.assert_array_equal(np.asarray(tensors), want)
+    resumed.close()
