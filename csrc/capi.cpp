@@ -42,7 +42,7 @@ int ts_pipeline_init(void* p, const char* url, int max_consumers, int buffer_siz
 // the stream start on EOF (benchmark / infinite-replay mode).
 int ts_pipeline_init_ex(void* p, const char* url, int max_consumers,
                         int buffer_size, int framerate_mode, int enable_dumps,
-                        int decode_threads, int loop) {
+                        int decode_threads, int loop, int fast_decode) {
   ts::PipelineParams params;
   params.input = url ? url : "";
   params.max_consumers = max_consumers;
@@ -51,6 +51,7 @@ int ts_pipeline_init_ex(void* p, const char* url, int max_consumers,
   params.enable_dumps = enable_dumps != 0;
   params.decode_threads = decode_threads;
   params.loop = loop != 0;
+  params.fast_decode = fast_decode != 0;
   return static_cast<Pipeline*>(p)->Init(params);
 }
 

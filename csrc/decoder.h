@@ -43,6 +43,7 @@ struct DecoderParams {
   int buffer_deep = 10;
   bool enable_dumps = false;
   int threads = 0;  // 0 = auto (hardware concurrency)
+  bool fast_decode = false;  // skip loop filter: faster, not bit-exact
 };
 
 class Decoder {

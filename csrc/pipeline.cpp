@@ -42,7 +42,8 @@ int Pipeline::Init(const PipelineParams& params) {
   if (sts != TS_OK) return sts == TS_OK ? TS_OK : TS_ERROR;
 
   decoder_ = std::make_unique<Decoder>();
-  DecoderParams dp{params.buffer_size, params.enable_dumps, params.decode_threads};
+  DecoderParams dp{params.buffer_size, params.enable_dumps,
+                   params.decode_threads, params.fast_decode};
   sts = decoder_->Init(dp, *parser_, logger_);
   if (sts != TS_OK) return TS_ERROR;
 

@@ -40,6 +40,7 @@ struct PipelineParams {
   bool enable_dumps = false;
   int decode_threads = 0;
   bool loop = false;
+  bool fast_decode = false;  // see DecoderParams::fast_decode
 };
 
 class Pipeline {

@@ -45,6 +45,7 @@ class FrameLoader:
                  device_index=0,
                  drop_partial=False,
                  start_frame=1,
+                 fast_decode=False,
                  **frame_kwargs):
         self.batch = int(batch)
         self.prefetch = max(1, int(prefetch))
@@ -57,7 +58,8 @@ class FrameLoader:
         self.reader = TensorStreamConverter(
             stream_url, framerate_mode=FrameRate.FAST,
             buffer_size=buffer_size or 4 * self.batch,
-            decode_threads=decode_threads, loop=loop)
+            decode_threads=decode_threads, loop=loop,
+            fast_decode=fast_decode)
         self.reader.initialize(repeat_number=3)
         # Checkpoint/resume: position the stream so iteration starts at
         # `start_frame` (1-based) — resume a run with

@@ -205,3 +205,20 @@ def test_seek_frame_after_start_raises():
     with pytest.raises(RuntimeError):
         r.seek_frame(5)
     r.stop()
+
+
+def test_fast_decode_trades_exactness_for_speed():
+    """fast_decode=True (TPU extension) must still decode a valid stream
+    (shape/index contract intact); its bytes may differ from exact
+    decode (loop filter skipped), so CRC parity paths must keep it off."""
+    path = resource("bbb_720x480_RGB24_250.h264")
+    r = TensorStreamConverter(path, framerate_mode=FrameRate.BLOCKING,
+                              fast_decode=True)
+    r.initialize(repeat_number=3)
+    r.start()
+    t, idx = r.read(name="c", pixel_format=FourCC.Y800, width=96,
+                    height=64, return_index=True)
+    r.stop()
+    assert idx == 1
+    a = np.asarray(t)
+    assert a.shape == (1, 64, 96) and a.std() > 1
