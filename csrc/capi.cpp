@@ -14,8 +14,10 @@
 #include "analyzer.h"
 #include "parser.h"
 #include "pipeline.h"
+#include "stream_pool.h"
 
 using ts::BitReader;
+using ts::StreamPool;
 using ts::H264Analyzer;
 using ts::Parser;
 using ts::Pipeline;
@@ -114,6 +116,33 @@ int ts_pipeline_get_batch_resized(void* p, const char* consumer, int count,
       consumer ? consumer : "default", count, dst_w, dst_h, algo, out_y,
       out_uv, first_index);
 }
+
+// ----------------------------------------------------------- stream pool
+
+void* ts_pool_create(int workers) { return new StreamPool(workers); }
+
+int ts_pool_add_stream(void* p, const char* url, int buffer_size, int loop,
+                       int fast_decode) {
+  ts::PipelineParams params;
+  params.input = url ? url : "";
+  params.buffer_size = buffer_size;
+  params.framerate_mode = 3;  // FR_FAST: pool streams decode unpaced
+  params.loop = loop != 0;
+  params.fast_decode = fast_decode != 0;
+  return static_cast<StreamPool*>(p)->AddStream(params);
+}
+
+int ts_pool_start(void* p) { return static_cast<StreamPool*>(p)->Start(); }
+
+// Per-stream accessors delegate to the underlying pipeline; consumer
+// calls (get_batch / register_cursor / get) use the same contracts as
+// the standalone pipeline API.
+void* ts_pool_stream(void* p, int idx) {
+  return static_cast<StreamPool*>(p)->stream(idx);
+}
+
+void ts_pool_stop(void* p) { static_cast<StreamPool*>(p)->Stop(); }
+void ts_pool_destroy(void* p) { delete static_cast<StreamPool*>(p); }
 
 // Standalone host resize (testing hook): tightly-packed NV12 in/out.
 void ts_resize_nv12_host(const uint8_t* y, const uint8_t* uv, int sw, int sh,

@@ -282,6 +282,14 @@ bool Decoder::hasCursorConsumers() {
   return !cursors_.empty();
 }
 
+bool Decoder::hasRingHeadroom() {
+  std::lock_guard<std::mutex> lk(sync_);
+  if (is_finished_ || cursors_.empty()) return true;
+  int64_t min_cursor = INT64_MAX;
+  for (auto& kv : cursors_) min_cursor = std::min(min_cursor, kv.second);
+  return min_cursor > current_frame_ - static_cast<int64_t>(ring_.size());
+}
+
 int Decoder::bulkDrain(const std::string& consumer, int count,
                        int* first_index, const FrameSink& sink) {
   // Blocks Close() for the duration of the drain; notifyConsumers (which

@@ -103,6 +103,8 @@ class Decoder {
   // their first blocking read.
   void registerCursor(const std::string& consumer);
   bool hasCursorConsumers();
+  // True when storeFrame would not block on cursor back-pressure.
+  bool hasRingHeadroom();
 
   // Wakes all consumers and makes subsequent GetFrame return TS_FINISHED.
   void notifyConsumers();

@@ -114,6 +114,9 @@ class Pipeline {
   // (reference: WrapperC.cpp:44-47, Parser.cpp:320-321).
   bool keepsBuffer() const { return parser_ ? parser_->keepsBuffer() : true; }
   bool running() const { return should_work_.load(); }
+  // True when the next decoded frame can be stored without blocking on
+  // cursor back-pressure (StreamPool workers skip full streams).
+  bool hasRingHeadroom() { return decoder_ ? decoder_->hasRingHeadroom() : false; }
 
   void skipAnalyze() { skip_analyze_ = true; }
   void enableLogs(int level) { logger_->initialize(level); }

@@ -11,7 +11,8 @@ Public API mirrors the reference package (tensor_stream/__init__.py):
 
     from tensor_stream_tpu import TensorStreamConverter, FourCC, Planes
 """
-from .data import FrameLoader, MultiStreamLoader, ShardedStreamLoader
+from .data import (FrameLoader, MultiStreamLoader, PooledStreamLoader,
+                   ShardedStreamLoader)
 from .enums import (FourCC, FrameRate, LogsLevel, LogsType, Planes,
                     ResizeType, StatusLevel)
 from .tensor_stream import FrameParameters, TensorStreamConverter
@@ -20,6 +21,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "TensorStreamConverter", "FrameParameters", "FrameLoader",
-    "MultiStreamLoader", "ShardedStreamLoader", "StatusLevel", "LogsLevel",
+    "MultiStreamLoader", "PooledStreamLoader", "ShardedStreamLoader",
+    "StatusLevel", "LogsLevel",
     "LogsType", "FourCC", "ResizeType", "Planes", "FrameRate",
 ]

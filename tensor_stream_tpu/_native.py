@@ -83,6 +83,12 @@ def load():
         sig("ts_resize_nv12_host", None,
             [c_void_p, c_void_p, c_int, c_int, c_void_p, c_void_p, c_int,
              c_int, c_int])
+        sig("ts_pool_create", c_void_p, [c_int])
+        sig("ts_pool_add_stream", c_int, [c_void_p, c_char_p, c_int, c_int, c_int])
+        sig("ts_pool_start", c_int, [c_void_p])
+        sig("ts_pool_stream", c_void_p, [c_void_p, c_int])
+        sig("ts_pool_stop", None, [c_void_p])
+        sig("ts_pool_destroy", None, [c_void_p])
         sig("ts_pipeline_stop", None, [c_void_p])
         sig("ts_pipeline_destroy", None, [c_void_p])
         for name in ("width", "height", "fps_num", "fps_den", "delay_ms",

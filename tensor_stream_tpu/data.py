@@ -361,3 +361,139 @@ class MultiStreamLoader:
     def __exit__(self, *exc):
         self.close()
         return False
+
+
+class PooledStreamLoader:
+    """Many streams, one shared native worker pool, ONE device dispatch.
+
+    MultiStreamLoader spawns a producer thread (plus codec threads) per
+    stream — fine for a handful, wasteful for many-stream serving. Here
+    N streams share M pool workers (csrc/stream_pool.cpp): each worker
+    round-robins unpaced decode iterations over streams with ring
+    headroom, so thread count is bounded by cores, not streams. All
+    streams drain into ONE flat staging buffer and convert in a single
+    batched VPP dispatch of n_streams * per_stream frames.
+
+        loader = PooledStreamLoader(urls, per_stream=4, workers=8,
+                                    host_resize=True, width=224,
+                                    height=224, pixel_format=FourCC.RGB24,
+                                    planes_pos=Planes.PLANAR,
+                                    normalization=True, loop=True)
+        for batch, indices in loader:   # [len(urls)*4, 3, 224, 224]
+            serve(batch)
+
+    All streams must share one geometry unless host_resize unifies them.
+    Iteration ends when any stream is exhausted (loop=True never ends).
+    """
+
+    def __init__(self, stream_urls, per_stream=8, workers=0,
+                 host_resize=False, loop=False, buffer_size=None,
+                 device_index=0, fast_decode=False, **frame_kwargs):
+        from . import _native
+        self._lib = _native.load()
+        self.params = FrameParameters(**frame_kwargs)
+        self.per_stream = int(per_stream)
+        self.host_resize = bool(host_resize)
+        self.device_index = device_index
+        if self.host_resize:
+            self._algo = host_resize_algo(self.params)
+        self.pool = self._lib.ts_pool_create(int(workers))
+        self.handles = []
+        for url in stream_urls:
+            idx = self._lib.ts_pool_add_stream(
+                self.pool, str(url).encode(),
+                int(buffer_size or 4 * self.per_stream),
+                1 if loop else 0, 1 if fast_decode else 0)
+            if idx < 0:
+                self._lib.ts_pool_destroy(self.pool)
+                raise RuntimeError(f"cannot open stream {url}")
+            handle = self._lib.ts_pool_stream(self.pool, idx)
+            # Same consumer contract as a standalone pipeline: cursor
+            # registered pre-start so the no-drop window opens at frame 1.
+            self._lib.ts_pipeline_register_cursor(handle, b"pool")
+            self.handles.append(handle)
+        dims = {(self._lib.ts_pipeline_width(h), self._lib.ts_pipeline_height(h))
+                for h in self.handles}
+        if self.host_resize:
+            self._w, self._h = self.params.width, self.params.height
+            cfg = FrameParameters(
+                pixel_format=self.params.pixel_format,
+                planes_pos=self.params.planes_pos,
+                normalization=self.params.normalization
+            ).to_config(self._w, self._h)
+        else:
+            if len(dims) != 1:
+                self._lib.ts_pool_destroy(self.pool)
+                raise ValueError(f"streams disagree on geometry {dims}; "
+                                 "use host_resize to unify")
+            (self._w, self._h), = dims
+            cfg = self.params.to_config(self._w, self._h)
+        self.n_streams = len(self.handles)
+        self.global_batch = self.n_streams * self.per_stream
+        self._vpp = build_vpp_batched_flat(cfg, self.global_batch,
+                                           device_index)
+        size = self.global_batch * self._w * self._h * 3 // 2
+        self._staging = [np.empty(size, np.uint8) for _ in range(2)]
+        self._inflight = [None, None]
+        self._slot = 0
+        if self._lib.ts_pool_start(self.pool) != 0:
+            raise RuntimeError("StreamPool start failed")
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import ctypes
+
+        import jax
+        if self.pool is None:
+            raise StopIteration
+        slot = self._slot
+        if self._inflight[slot] is not None:
+            jax.block_until_ready(self._inflight[slot])  # staging reuse safety
+            self._inflight[slot] = None
+        staging = self._staging[slot]
+        y_frame = self._w * self._h
+        y_total = self.global_batch * y_frame
+        first = ctypes.c_int(0)
+        indices = {}
+        for k, handle in enumerate(self.handles):
+            y_off = k * self.per_stream * y_frame
+            uv_off = y_total + k * self.per_stream * y_frame // 2
+            if self.host_resize:
+                got = self._lib.ts_pipeline_get_batch_resized(
+                    handle, b"pool", self.per_stream, self._w, self._h,
+                    self._algo, staging.ctypes.data + y_off,
+                    staging.ctypes.data + uv_off, ctypes.byref(first))
+            else:
+                got = self._lib.ts_pipeline_get_batch(
+                    handle, b"pool", self.per_stream,
+                    staging.ctypes.data + y_off,
+                    staging.ctypes.data + uv_off, ctypes.byref(first))
+            if got < self.per_stream:
+                raise StopIteration  # a stream drained; shards must match
+            indices[k] = list(range(first.value, first.value + got))
+        device = jax.devices()[self.device_index]
+        flat = jax.device_put(staging, device)
+        tensors = self._vpp(flat)
+        self._inflight[slot] = tensors
+        self._slot = (slot + 1) % 2
+        return tensors, indices
+
+    def close(self):
+        import jax
+        for t in self._inflight:
+            if t is not None:
+                jax.block_until_ready(t)
+        self._inflight = [None, None]
+        if self.pool is not None:
+            self._lib.ts_pool_stop(self.pool)
+            self._lib.ts_pool_destroy(self.pool)
+            self.pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -15,6 +15,7 @@
 #include <vector>
 
 #include "../csrc/pipeline.h"
+#include "../csrc/stream_pool.h"
 #include "../csrc/ts_common.h"
 
 using ts::Pipeline;
@@ -87,6 +88,48 @@ static void run_round(const std::string& input, int round) {
               (round % 2) ? "BLOCKING" : "FAST", reads.load());
 }
 
+// StreamPool under stress: 3 pooled streams, 2 workers, one bulk
+// consumer per stream, stop mid-drain.
+void run_pool_round(const std::string& video, int round) {
+  ts::StreamPool pool(2);
+  ts::PipelineParams params;
+  params.input = video;
+  params.buffer_size = 12;
+  params.framerate_mode = ts::FR_FAST;
+  params.loop = true;
+  int idx[3];
+  for (int i = 0; i < 3; i++) {
+    idx[i] = pool.AddStream(params);
+    if (idx[i] < 0) {
+      std::fprintf(stderr, "pool add failed\n");
+      std::exit(1);
+    }
+    pool.stream(idx[i])->RegisterCursor("c");
+  }
+  pool.Start();
+  std::atomic<int> reads{0};
+  std::vector<std::thread> threads;
+  for (int i = 0; i < 3; i++) {
+    ts::Pipeline* p = pool.stream(idx[i]);
+    threads.emplace_back([p, &reads] {
+      const int w = p->width(), h = p->height(), B = 4;
+      std::vector<uint8_t> y(static_cast<size_t>(B) * w * h);
+      std::vector<uint8_t> uv(static_cast<size_t>(B) * w * (h / 2));
+      int first = 0;
+      while (true) {
+        int got = p->GetFrameBatch("c", B, y.data(), uv.data(), &first);
+        if (got <= 0) break;
+        reads.fetch_add(got);
+      }
+    });
+  }
+  std::this_thread::sleep_for(std::chrono::milliseconds(1200));
+  pool.Stop();
+  for (auto& t : threads) t.join();
+  std::printf("pool round %d: %d reads, clean shutdown\n", round,
+              reads.load());
+}
+
 int main(int argc, char** argv) {
   if (argc < 2) {
     std::fprintf(stderr, "usage: %s <video> [rounds]\n", argv[0]);
@@ -94,6 +137,7 @@ int main(int argc, char** argv) {
   }
   const int rounds = argc > 2 ? std::atoi(argv[2]) : 3;
   for (int i = 0; i < rounds; i++) run_round(argv[1], i);
+  for (int i = 0; i < 2; i++) run_pool_round(argv[1], i);
   std::printf("OK\n");
   return 0;
 }
