@@ -104,6 +104,7 @@ class BitReader {
     return readBits(5);
   }
 
+
  private:
   void skipBitsUnchecked(int n) { bit_pos_ += n; }
 

@@ -17,6 +17,7 @@
 #include "stream_pool.h"
 
 using ts::BitReader;
+using ts::HEVCAnalyzer;
 using ts::StreamPool;
 using ts::H264Analyzer;
 using ts::Parser;
@@ -221,6 +222,12 @@ int ts_bitreader_shift_in_bits(void* r) {
 }
 
 // --------------------------------------------------- analyzer (test hooks)
+
+void* ts_hevc_analyzer_create() { return new HEVCAnalyzer(); }
+void ts_hevc_analyzer_destroy(void* a) { delete static_cast<HEVCAnalyzer*>(a); }
+int ts_hevc_analyzer_analyze(void* a, const uint8_t* data, int size) {
+  return static_cast<HEVCAnalyzer*>(a)->analyze(data, size);
+}
 
 void* ts_analyzer_create() { return new H264Analyzer(); }
 void ts_analyzer_destroy(void* a) { delete static_cast<H264Analyzer*>(a); }

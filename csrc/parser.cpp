@@ -41,6 +41,7 @@ int Parser::Init(const ParserParams& params, std::shared_ptr<Logger> logger) {
   if (video_index_ < 0) return TS_ERROR;
   video_stream_ = fmt_->streams[video_index_];
   is_h264_ = video_stream_->codecpar->codec_id == AV_CODEC_ID_H264;
+  is_hevc_ = video_stream_->codecpar->codec_id == AV_CODEC_ID_HEVC;
 
   if (params_.enable_dumps) {
     const char* dump_name = "bitstream.h264";
@@ -57,8 +58,9 @@ int Parser::Init(const ParserParams& params, std::shared_ptr<Logger> logger) {
     if (sts < 0) return sts;
   }
 
-  if (is_h264_) {
-    const AVBitStreamFilter* filter = av_bsf_get_by_name("h264_mp4toannexb");
+  if (is_h264_ || is_hevc_) {
+    const AVBitStreamFilter* filter = av_bsf_get_by_name(
+        is_h264_ ? "h264_mp4toannexb" : "hevc_mp4toannexb");
     if (filter) {
       sts = av_bsf_alloc(filter, &bsf_);
       if (sts < 0) return sts;
@@ -150,8 +152,9 @@ int Parser::Analyze(const AVPacket* pkt) {
       size = annexb_->size;
     }
   }
-  if (!is_h264_ || !data) return TS_OK;
-  int result = analyzer_.analyze(data, size);
+  if ((!is_h264_ && !is_hevc_) || !data) return TS_OK;
+  int result = is_h264_ ? analyzer_.analyze(data, size)
+                        : hevc_analyzer_.analyze(data, size);
   if (bsf_) av_packet_unref(annexb_);
   if (result > 0 && logger_) {
     logger_->log("[PARSING] bitstream issue detected, mask=" + std::to_string(result),

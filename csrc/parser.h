@@ -19,6 +19,7 @@ extern "C" {
 }
 
 #include "analyzer.h"
+#include "hevc_analyzer.h"
 #include "ts_common.h"
 
 namespace ts {
@@ -80,7 +81,9 @@ class Parser {
   int video_index_ = -1;
   AVStream* video_stream_ = nullptr;
   H264Analyzer analyzer_;
+  HEVCAnalyzer hevc_analyzer_;
   bool is_h264_ = false;
+  bool is_hevc_ = false;
   int64_t frames_read_ = 0;
   bool closed_ = true;
   std::chrono::steady_clock::time_point last_packet_time_;

@@ -112,6 +112,9 @@ def load():
         sig("ts_bitreader_byte_index", c_int, [c_void_p])
         sig("ts_bitreader_shift_in_bits", c_int, [c_void_p])
 
+        sig("ts_hevc_analyzer_create", c_void_p, [])
+        sig("ts_hevc_analyzer_destroy", None, [c_void_p])
+        sig("ts_hevc_analyzer_analyze", c_int, [c_void_p, c_char_p, c_int])
         sig("ts_analyzer_create", c_void_p, [])
         sig("ts_analyzer_destroy", None, [c_void_p])
         sig("ts_analyzer_analyze", c_int, [c_void_p, c_char_p, c_int])
