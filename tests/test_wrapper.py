@@ -522,3 +522,71 @@ def test_native_pacing_by_sleep_accounting():
     # work (decode of 10 frames is ~25-50 ms on this host):
     assert slept_ms >= expected * 0.5, (slept_ms, expected)
     assert slept_ms <= expected + 2 * interval_ms, (slept_ms, expected)
+
+
+def test_live_tcp_stream_ingest():
+    """Live-network ingest without egress (docs/ROADMAP.md item 2): a
+    localhost TCP server feeds raw Annex-B H.264 at real-time pacing;
+    the reader consumes it as a live stream (tcp:// URL through the same
+    avformat path RTMP/RTSP use) and the frames match the file decode."""
+    import socket
+
+    from tensor_stream_tpu import _native
+    lib = _native.load()
+
+    path = resource("bbb_1080x608_420_10.h264")
+    data = open(path, "rb").read()
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def feeder():
+        conn, _ = srv.accept()
+        try:
+            # ~25fps pacing in 8 KiB slices (the file is 10 frames).
+            chunk = 8192
+            for off in range(0, len(data), chunk):
+                conn.sendall(data[off:off + chunk])
+                time.sleep(0.02)
+        finally:
+            conn.close()
+
+    ft = threading.Thread(target=feeder)
+    ft.start()
+    try:
+        reader = TensorStreamConverter(f"tcp://127.0.0.1:{port}",
+                                       framerate_mode=FrameRate.FAST,
+                                       timeout=10)
+        reader.initialize(repeat_number=1)
+        assert reader.frame_size == (1080, 608)
+        # Raw NV12 series in C keeps pace with the live feed.
+        w, h = reader.frame_size
+        n = 6
+        ys = np.empty((n, h, w), np.uint8)
+        uvs = np.empty((n, h // 2, w), np.uint8)
+        reader.start()
+        got = lib.ts_pipeline_get_series(reader._handle, b"live", 0, n,
+                                         ys.ctypes.data, uvs.ctypes.data,
+                                         None)
+        reader.stop()
+        reader.set_timeout(None)
+        assert got == n
+        # Frame bytes are the file decode's bytes (H.264 is bit-exact):
+        # the first live frame must be one of the file's first frames.
+        from tensor_stream_tpu.utils.crc import av_crc32
+        file_reader = TensorStreamConverter(path,
+                                            framerate_mode=FrameRate.BLOCKING)
+        file_reader.initialize(repeat_number=3)
+        file_reader.start()
+        file_crcs = set()
+        for _ in range(10):
+            y, uv, _ = file_reader._get_nv12("f", 0)
+            file_crcs.add(av_crc32(y))
+        file_reader.stop()
+        live_crcs = [av_crc32(ys[i]) for i in range(n)]
+        assert set(live_crcs) <= file_crcs, (live_crcs, file_crcs)
+    finally:
+        ft.join(timeout=30)
+        srv.close()
