@@ -100,3 +100,41 @@ def test_cli_framerate_mode_smoke(tmp_path, mode):
         assert data.size % (96 * 64) == 0 and data.size > 0
     else:
         assert data.size == 96 * 64 * 3
+
+
+EXAMPLES = os.path.join(REPO, "python_examples")
+
+
+def _run_example(script, *args, timeout=300):
+    proc = subprocess.run([sys.executable, os.path.join(EXAMPLES, script),
+                           *args], capture_output=True, text=True,
+                          timeout=timeout)
+    assert proc.returncode == 0, (proc.stdout[-1000:], proc.stderr[-2000:])
+    return proc.stdout
+
+
+def test_example_many_consumers():
+    """python_examples/many_consumers.py runs end-to-end (reference:
+    python_examples/many_consumers.py — 2 readers, one stream)."""
+    out = _run_example("many_consumers.py", "-i", resource(FIXTURE),
+                       "-n", "3")
+    assert "read 3 frames" in out
+
+
+def test_example_different_streams():
+    """python_examples/different_streams.py: two independent instances."""
+    out = _run_example("different_streams.py",
+                       "-i1", resource(FIXTURE),
+                       "-i2", resource("bbb_1080x608_420_10.h264"),
+                       "-n", "3")
+    assert out.strip()
+
+
+def test_example_multi_stream_inference():
+    """python_examples/multi_stream_inference.py: batched multi-stream
+    loader feeding a model."""
+    out = _run_example("multi_stream_inference.py",
+                       "-i", resource(FIXTURE),
+                       resource("bbb_1080x608_420_10.h264"),
+                       "-n", "2", "--per-stream", "2")
+    assert out.strip()
