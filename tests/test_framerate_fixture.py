@@ -45,10 +45,13 @@ def test_all_250_frames_delivered_in_order():
     assert seen == list(range(1, 251))
 
 
-def test_fast_mode_outpaces_native_rate():
-    """FAST-mode drain of 50 frames must beat the native 25 fps pace
+def test_fast_mode_outpaces_native_rate(native):
+    """Unpaced drain of 50 frames must beat the native 25 fps pace
     (reference: WrapperTests.cpp:258-317 asserted ~3 ms/frame on its
-    fixture)."""
+    fixture). The rate-limit proof is the pipeline's own sleep ledger —
+    zero pacing sleeps — because wall-clock margins on a loaded 1-core
+    CI host are dominated by scheduling noise, not by the pacing logic
+    under test; a generous wall-clock bound stays as a liveness check."""
     reader = TensorStreamConverter(resource(FIXTURE),
                                    framerate_mode=FrameRate.BLOCKING)
     reader.initialize(repeat_number=3)
@@ -58,8 +61,10 @@ def test_fast_mode_outpaces_native_rate():
     for _ in range(50):
         reader.read(name="c", pixel_format=FourCC.Y800, width=96, height=64)
     elapsed = time.monotonic() - t0
+    slept_ms = native.ts_pipeline_slept_ms(reader._handle)
     reader.stop()
-    assert elapsed < 50 / 25.0, f"{elapsed:.2f}s vs native 2.0s"
+    assert slept_ms == 0, f"mode paced the producer: slept {slept_ms} ms"
+    assert elapsed < 2 * 50 / 25.0, f"{elapsed:.2f}s vs 2x native 4.0s"
 
 
 def test_native_pacing_cadence_25fps():
