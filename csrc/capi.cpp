@@ -9,12 +9,14 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <vector>
 
 #include "bitreader.h"
 #include "analyzer.h"
 #include "parser.h"
 #include "pipeline.h"
 #include "stream_pool.h"
+#include "vpp_convert.h"
 
 using ts::BitReader;
 using ts::HEVCAnalyzer;
@@ -151,6 +153,75 @@ void ts_resize_nv12_host(const uint8_t* y, const uint8_t* uv, int sw, int sh,
                          int algo) {
   ts::ResizeNV12Host(y, uv, sw, sh, out_y, out_uv, dw, dh,
                      static_cast<ts::HostResizeAlgo>(algo));
+}
+
+// ------------------------------------------------- host VPP (C++ twin)
+
+// Full host VPP chain on a packed NV12 frame: crop -> resize -> convert ->
+// normalize (csrc/vpp_convert.cpp; the native counterpart of
+// ops/vpp.py's device program). `out` receives u8 bytes or f32 floats per
+// ts_vpp_is_float; size it with ts_vpp_output_elements on the output
+// dimensions from ts_vpp_output_size.
+int ts_vpp_convert_host(const uint8_t* y, const uint8_t* uv, int src_w,
+                        int src_h, int crop_left, int crop_top, int crop_right,
+                        int crop_bottom, int dst_w, int dst_h, int resize_algo,
+                        int fourcc, int planes, int normalization, void* out) {
+  ts::HostVppParams p;
+  p.crop_left = crop_left;
+  p.crop_top = crop_top;
+  p.crop_right = crop_right;
+  p.crop_bottom = crop_bottom;
+  p.dst_width = dst_w;
+  p.dst_height = dst_h;
+  p.resize_algo = static_cast<ts::HostResizeAlgo>(resize_algo);
+  p.fourcc = fourcc;
+  p.planes = planes;
+  p.normalization = normalization != 0;
+  return ts::VppConvertHost(y, uv, src_w, src_h, p, out);
+}
+
+long long ts_vpp_output_elements(int w, int h, int fourcc) {
+  return static_cast<long long>(ts::ConvertedElements(w, h, fourcc));
+}
+
+int ts_vpp_is_float(int fourcc, int normalization) {
+  return ts::ConvertedIsFloat(fourcc, normalization != 0) ? 1 : 0;
+}
+
+void ts_vpp_output_size(int src_w, int src_h, int crop_left, int crop_top,
+                        int crop_right, int crop_bottom, int dst_w, int dst_h,
+                        int* out_w, int* out_h) {
+  ts::HostVppParams p;
+  p.crop_left = crop_left;
+  p.crop_top = crop_top;
+  p.crop_right = crop_right;
+  p.crop_bottom = crop_bottom;
+  p.dst_width = dst_w;
+  p.dst_height = dst_h;
+  ts::VppOutputSize(src_w, src_h, p, out_w, out_h);
+}
+
+// getFrame + full host VPP in one call — the C ABI face of the C++
+// consumer twin (reference: WrapperC.h getFrame<T>). Returns the absolute
+// frame index, TS_FINISHED, or TS_ERROR (also on invalid VPP params).
+int ts_pipeline_get_converted(void* p, const char* consumer, int index,
+                              int crop_left, int crop_top, int crop_right,
+                              int crop_bottom, int dst_w, int dst_h,
+                              int resize_algo, int fourcc, int planes,
+                              int normalization, void* out) {
+  auto* pipe = static_cast<Pipeline*>(p);
+  int w = pipe->width(), h = pipe->height();
+  std::vector<uint8_t> y(static_cast<size_t>(w) * h);
+  std::vector<uint8_t> uv(static_cast<size_t>(w) * (h / 2));
+  int idx = pipe->GetFrame(consumer ? consumer : "default", index, y.data(),
+                           uv.data());
+  if (idx < 0) return idx;
+  int sts = ts_vpp_convert_host(y.data(), uv.data(), w, h, crop_left,
+                                crop_top, crop_right, crop_bottom, dst_w,
+                                dst_h, resize_algo, fourcc, planes,
+                                normalization, out);
+  if (sts != 0) return ts::TS_ERROR;
+  return idx;
 }
 
 void ts_pipeline_stop(void* p) { static_cast<Pipeline*>(p)->Stop(); }

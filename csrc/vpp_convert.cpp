@@ -1,0 +1,407 @@
+#include "vpp_convert.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+namespace ts {
+namespace {
+
+// BT.601 full-swing constants, exact float32 values the reference uses
+// (src/ColorConversion.cu:23-35; mirrored from ops/color.py).
+const float kYCoef = 1.163999557f;
+const float kRV = 1.5959997177f;
+const float kBU = 2.017999649f;
+const float kGV = -0.812999725f;
+const float kGU = -0.390999794f;
+
+inline int Clamp255(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
+
+// Exact x/255 for integer-valued x: a true IEEE single division is
+// correctly rounded, identical to the device path's /255 LUT
+// (ops/color.py _DIV255; the reference CUDA `/= 255` is the same op).
+inline float Norm255(int x) {
+  return static_cast<float>(x) / 255.0f;
+}
+
+// Per-pixel NV12 -> clamped integer R,G,B (src/ColorConversion.cu:6-39).
+// Operation order matches ops/color.py nv12_to_rgb_channels exactly; the
+// translation unit is compiled -ffp-contract=off so no FMA re-association
+// can change the rounding.
+inline void Nv12Rgb(uint8_t yv, uint8_t uu, uint8_t vv, int* r, int* g,
+                    int* b) {
+  float yf = std::max(0.0f, static_cast<float>(yv) - 16.0f) * kYCoef;
+  float vi = static_cast<float>(static_cast<int>(vv) - 128);
+  float ui = static_cast<float>(static_cast<int>(uu) - 128);
+  *r = Clamp255(static_cast<int>(yf + (kRV * vi + 0.5f)));
+  *b = Clamp255(static_cast<int>(yf + (kBU * ui + 0.5f)));
+  *g = Clamp255(static_cast<int>(yf + (kGV * vi + kGU * ui + 0.5f)));
+}
+
+// NV12 -> RGB24/BGR24, planar [3,H,W] or merged [H,W,3]
+// (src/ColorConversion.cu:41-93).
+template <typename T>
+void RgbPlane(const uint8_t* y, const uint8_t* uv, int w, int h, bool swap_rb,
+              bool planar, T* out) {
+  const size_t plane = static_cast<size_t>(w) * h;
+  for (int i = 0; i < h; i++) {
+    const uint8_t* yrow = y + static_cast<size_t>(i) * w;
+    const uint8_t* uvrow = uv + static_cast<size_t>(i / 2) * w;
+    for (int j = 0; j < w; j++) {
+      int uvcol = j & ~1;  // even-aligned UV column (ColorConversion.cu:16-21)
+      int r, g, b;
+      Nv12Rgb(yrow[j], uvrow[uvcol], uvrow[uvcol + 1], &r, &g, &b);
+      if (swap_rb) std::swap(r, b);
+      size_t px = static_cast<size_t>(i) * w + j;
+      T rv, gv, bv;
+      if (std::is_same<T, float>::value) {
+        rv = static_cast<T>(Norm255(r));
+        gv = static_cast<T>(Norm255(g));
+        bv = static_cast<T>(Norm255(b));
+      } else {
+        rv = static_cast<T>(r);
+        gv = static_cast<T>(g);
+        bv = static_cast<T>(b);
+      }
+      if (planar) {
+        out[px] = rv;
+        out[plane + px] = gv;
+        out[2 * plane + px] = bv;
+      } else {
+        out[3 * px] = rv;
+        out[3 * px + 1] = gv;
+        out[3 * px + 2] = bv;
+      }
+    }
+  }
+}
+
+template <typename T>
+void Y800Plane(const uint8_t* y, int w, int h, T* out) {
+  const size_t n = static_cast<size_t>(w) * h;
+  for (size_t i = 0; i < n; i++) {
+    if (std::is_same<T, float>::value)
+      out[i] = static_cast<T>(Norm255(y[i]));
+    else
+      out[i] = static_cast<T>(y[i]);
+  }
+}
+
+// 420 -> 422 vertical chroma interpolation: odd UV rows get the 4-tap
+// filter (9*(p1+p2) - (p3+p4) + 8) >> 4, even rows copy through
+// (src/ColorConversion.cu:107-127; ops/color.py _uyvy_chroma_vertical).
+std::vector<uint8_t> ChromaVertical(const uint8_t* uv, int w, int h2) {
+  std::vector<uint8_t> out(static_cast<size_t>(w) * h2);
+  for (int r = 0; r < h2; r++) {
+    const uint8_t* p1 = uv + static_cast<size_t>(r) * w;
+    uint8_t* dst = out.data() + static_cast<size_t>(r) * w;
+    if (r % 2 == 0) {
+      std::memcpy(dst, p1, w);
+      continue;
+    }
+    const uint8_t* p2 = uv + static_cast<size_t>(std::min(r + 1, h2 - 1)) * w;
+    const uint8_t* p3 = uv + static_cast<size_t>(std::max(r - 1, 0)) * w;
+    const uint8_t* p4 = uv + static_cast<size_t>(std::min(r + 2, h2 - 1)) * w;
+    for (int c = 0; c < w; c++) {
+      int v = (9 * (static_cast<int>(p1[c]) + p2[c]) -
+               (static_cast<int>(p3[c]) + p4[c]) + 8) >> 4;
+      dst[c] = static_cast<uint8_t>(Clamp255(v));
+    }
+  }
+  return out;
+}
+
+// NV12 -> UYVY 4:2:2 bytes, per luma row: U0 Y0 V0 Y1 | U1 Y2 V1 Y3 ...
+// (src/ColorConversion.cu:176-209; ops/color.py nv12_to_uyvy).
+std::vector<uint8_t> UyvyBytes(const uint8_t* y, const uint8_t* uv, int w,
+                               int h) {
+  std::vector<uint8_t> uv422 = ChromaVertical(uv, w, h / 2);
+  std::vector<uint8_t> out(static_cast<size_t>(w) * h * 2);
+  for (int i = 0; i < h; i++) {
+    const uint8_t* yrow = y + static_cast<size_t>(i) * w;
+    const uint8_t* uvrow = uv422.data() + static_cast<size_t>(i / 2) * w;
+    uint8_t* dst = out.data() + static_cast<size_t>(i) * w * 2;
+    for (int j = 0; j < w / 2; j++) {
+      dst[4 * j] = uvrow[2 * j];
+      dst[4 * j + 1] = yrow[2 * j];
+      dst[4 * j + 2] = uvrow[2 * j + 1];
+      dst[4 * j + 3] = yrow[2 * j + 1];
+    }
+  }
+  return out;
+}
+
+template <typename T>
+void UyvyPlane(const uint8_t* y, const uint8_t* uv, int w, int h, T* out) {
+  std::vector<uint8_t> bytes = UyvyBytes(y, uv, w, h);
+  for (size_t i = 0; i < bytes.size(); i++) {
+    if (std::is_same<T, float>::value)
+      out[i] = static_cast<T>(Norm255(bytes[i]));
+    else
+      out[i] = static_cast<T>(bytes[i]);
+  }
+}
+
+// UYVY -> planar YUV444 with the reference's horizontal chroma filter
+// (9*(l+r) - (ll+rr) + 8) / 16 and its boundary/tail-tap quirks
+// (src/ColorConversion.cu:129-173; ops/color.py uyvy_to_yuv444):
+//  * taps index the FLAT UYVY buffer, crossing row boundaries like CUDA;
+//  * the very last odd pixel's p2 tap reads past the payload into what in
+//    CUDA was the zero-initialized tail of an over-allocated buffer — the
+//    committed oracles encode a 0 tap there, reproduced via an explicit
+//    zero-padded copy;
+//  * uchar mode: C truncating division by 16, then mod-256 wrap on the
+//    uint8 store (before the no-op clamp — quirk preserved);
+//  * float mode: clamp num to [0, 4080], exact /16, then /255.
+template <typename T>
+void Yuv444Plane(const uint8_t* y, const uint8_t* uv, int w, int h,
+                 bool normalization, T* out) {
+  std::vector<uint8_t> bytes = UyvyBytes(y, uv, w, h);
+  const long long n = static_cast<long long>(w) * h;
+  const long long last = 2 * n - 1;
+  std::vector<int> pad(2 * n + 8, 0);
+  for (long long i = 0; i < 2 * n; i++) pad[i] = bytes[i];
+  T* y_plane = out;
+  T* u_plane = out + n;
+  T* v_plane = out + 2 * n;
+  for (long long idx = 0; idx < n; idx++) {
+    long long src_index = idx * 2 + 1;
+    int yv = bytes[src_index];
+    if (std::is_same<T, float>::value)
+      y_plane[idx] = static_cast<T>(normalization
+                                        ? Norm255(yv)
+                                        : static_cast<float>(yv));
+    else
+      y_plane[idx] = static_cast<T>(yv);
+    bool even = (idx % 2 == 0);
+    for (int comp = 0; comp < 2; comp++) {
+      int shift = comp * 2;
+      T* plane = comp == 0 ? u_plane : v_plane;
+      long long di = std::min(std::max(src_index - 1 + shift, 0LL), last);
+      int direct = bytes[di];
+      if (even) {
+        if (std::is_same<T, float>::value)
+          plane[idx] = static_cast<T>(normalization
+                                          ? Norm255(direct)
+                                          : static_cast<float>(direct));
+        else
+          plane[idx] = static_cast<T>(direct);
+        continue;
+      }
+      long long p1 = std::min(std::max(src_index - 3 + shift, 0LL), last);
+      long long p2 = src_index + 1 + shift;  // may exceed last: zero tap
+      long long p3 = src_index - 7 + shift;
+      if (p3 < 0) p3 = p1;
+      long long p4 = src_index + 5 + shift;
+      if (p4 > last) p4 = p2;
+      int num = 9 * (pad[p1] + pad[p2]) - (pad[p3] + pad[p4]) + 8;
+      if (std::is_same<T, float>::value) {
+        if (normalization) {
+          int c = std::min(std::max(num, 0), 4080);
+          float val = std::min(static_cast<float>(c) / 16.0f, 255.0f);
+          plane[idx] = static_cast<T>(val / 255.0f);
+        } else {
+          float val = static_cast<float>(num) / 16.0f;
+          val = std::min(std::max(val, 0.0f), 255.0f);
+          plane[idx] = static_cast<T>(val);
+        }
+      } else {
+        int val = num / 16;  // C trunc-toward-zero division
+        plane[idx] = static_cast<T>(
+            static_cast<uint8_t>(val));  // mod-256 wrap, quirk preserved
+      }
+    }
+  }
+}
+
+template <typename T>
+void Nv12MergePlane(const uint8_t* y, const uint8_t* uv, int w, int h,
+                    T* out) {
+  const size_t yn = static_cast<size_t>(w) * h;
+  const size_t uvn = yn / 2;
+  for (size_t i = 0; i < yn; i++) {
+    if (std::is_same<T, float>::value)
+      out[i] = static_cast<T>(Norm255(y[i]));
+    else
+      out[i] = static_cast<T>(y[i]);
+  }
+  for (size_t i = 0; i < uvn; i++) {
+    if (std::is_same<T, float>::value)
+      out[yn + i] = static_cast<T>(Norm255(uv[i]));
+    else
+      out[yn + i] = static_cast<T>(uv[i]);
+  }
+}
+
+// Merged normalized RGB f32 -> merged HSV f32: H scaled to [0,1] from
+// degrees/360, S = 1 - min/max, V = max (src/ColorConversion.cu:235-278;
+// ops/color.py rgb_to_hsv incl. the max==min early-return quirk).
+void HsvPlane(const uint8_t* y, const uint8_t* uv, int w, int h, float* out) {
+  for (int i = 0; i < h; i++) {
+    const uint8_t* yrow = y + static_cast<size_t>(i) * w;
+    const uint8_t* uvrow = uv + static_cast<size_t>(i / 2) * w;
+    for (int j = 0; j < w; j++) {
+      int uvcol = j & ~1;
+      int ri, gi, bi;
+      Nv12Rgb(yrow[j], uvrow[uvcol], uvrow[uvcol + 1], &ri, &gi, &bi);
+      float r = Norm255(ri), g = Norm255(gi), b = Norm255(bi);
+      float min_v = std::min(std::min(r, g), b);
+      float max_v = std::max(std::max(r, g), b);
+      float* px = out + (static_cast<size_t>(i) * w + j) * 3;
+      float v = max_v;
+      float s = max_v != 0.0f ? 1.0f - min_v / max_v : 0.0f;
+      float hh = 0.0f;
+      if (max_v != min_v) {
+        float delta = max_v - min_v;
+        if (r == max_v && g >= b)
+          hh = 60.0f * (g - b) / delta;
+        else if (r == max_v && g < b)
+          hh = 60.0f * (g - b) / delta + 360.0f;
+        else if (g == max_v)
+          hh = 60.0f * (b - r) / delta + 120.0f;
+        else
+          hh = 60.0f * (r - g) / delta + 240.0f;
+        if (hh < 0.0f) hh += 360.0f;
+        hh = hh / 360.0f;
+      }
+      px[0] = hh;
+      px[1] = s;
+      px[2] = v;
+    }
+  }
+}
+
+}  // namespace
+
+size_t ConvertedElements(int w, int h, int fourcc) {
+  size_t n = static_cast<size_t>(w) * h;
+  switch (fourcc) {
+    case FCC_Y800:
+      return n;
+    case FCC_NV12:
+      return n * 3 / 2;
+    case FCC_UYVY:
+      return n * 2;
+    default:  // RGB24/BGR24/YUV444/HSV
+      return n * 3;
+  }
+}
+
+bool ConvertedIsFloat(int fourcc, bool normalization) {
+  return normalization || fourcc == FCC_HSV;
+}
+
+void ConvertNV12Host(const uint8_t* y, const uint8_t* uv, int w, int h,
+                     int fourcc, int planes, bool normalization, void* out) {
+  const bool as_float = ConvertedIsFloat(fourcc, normalization);
+  switch (fourcc) {
+    case FCC_RGB24:
+    case FCC_BGR24: {
+      bool swap = fourcc == FCC_BGR24;
+      bool planar = planes == PLANES_PLANAR;
+      if (as_float)
+        RgbPlane(y, uv, w, h, swap, planar, static_cast<float*>(out));
+      else
+        RgbPlane(y, uv, w, h, swap, planar, static_cast<uint8_t*>(out));
+      return;
+    }
+    case FCC_Y800:
+      if (as_float)
+        Y800Plane(y, w, h, static_cast<float*>(out));
+      else
+        Y800Plane(y, w, h, static_cast<uint8_t*>(out));
+      return;
+    case FCC_UYVY:
+      if (as_float)
+        UyvyPlane(y, uv, w, h, static_cast<float*>(out));
+      else
+        UyvyPlane(y, uv, w, h, static_cast<uint8_t*>(out));
+      return;
+    case FCC_YUV444:
+      if (as_float)
+        Yuv444Plane(y, uv, w, h, normalization, static_cast<float*>(out));
+      else
+        Yuv444Plane(y, uv, w, h, normalization, static_cast<uint8_t*>(out));
+      return;
+    case FCC_NV12:
+      if (as_float)
+        Nv12MergePlane(y, uv, w, h, static_cast<float*>(out));
+      else
+        Nv12MergePlane(y, uv, w, h, static_cast<uint8_t*>(out));
+      return;
+    case FCC_HSV:
+      HsvPlane(y, uv, w, h, static_cast<float*>(out));
+      return;
+    default:
+      break;
+  }
+}
+
+void VppOutputSize(int src_w, int src_h, const HostVppParams& p, int* out_w,
+                   int* out_h) {
+  int w = src_w, h = src_h;
+  int cw = p.crop_right - p.crop_left;
+  int ch = p.crop_bottom - p.crop_top;
+  if (0 < cw && cw < src_w && 0 < ch && ch < src_h) {
+    w = cw;
+    h = ch;
+  }
+  if (p.dst_width && p.dst_height) {
+    w = p.dst_width;
+    h = p.dst_height;
+  }
+  *out_w = w;
+  *out_h = h;
+}
+
+int VppConvertHost(const uint8_t* y, const uint8_t* uv, int src_w, int src_h,
+                   const HostVppParams& p, void* out) {
+  int cw = p.crop_right - p.crop_left;
+  int ch = p.crop_bottom - p.crop_top;
+  bool do_crop = 0 < cw && cw < src_w && 0 < ch && ch < src_h;
+  int cur_w = do_crop ? cw : src_w;
+  int cur_h = do_crop ? ch : src_h;
+  bool do_resize = p.dst_width && p.dst_height &&
+                   (p.dst_width != cur_w || p.dst_height != cur_h);
+  if (do_resize && (p.dst_width % 2 || p.dst_height % 2)) return -1;
+
+  std::vector<uint8_t> crop_y, crop_uv, rs_y, rs_uv;
+  const uint8_t* cy = y;
+  const uint8_t* cuv = uv;
+  if (do_crop) {
+    // Two plane slices, like the device crop (ops/crop.py; reference
+    // kernel src/Crop.cu:4-48).
+    crop_y.resize(static_cast<size_t>(cw) * ch);
+    crop_uv.resize(static_cast<size_t>(cw) * (ch / 2));
+    for (int i = 0; i < ch; i++)
+      std::memcpy(crop_y.data() + static_cast<size_t>(i) * cw,
+                  y + static_cast<size_t>(p.crop_top + i) * src_w +
+                      p.crop_left,
+                  cw);
+    for (int i = 0; i < ch / 2; i++)
+      std::memcpy(crop_uv.data() + static_cast<size_t>(i) * cw,
+                  uv + static_cast<size_t>(p.crop_top / 2 + i) * src_w +
+                      p.crop_left,
+                  cw);
+    cy = crop_y.data();
+    cuv = crop_uv.data();
+  }
+  if (do_resize) {
+    rs_y.resize(static_cast<size_t>(p.dst_width) * p.dst_height);
+    rs_uv.resize(static_cast<size_t>(p.dst_width) * (p.dst_height / 2));
+    ResizeNV12Host(cy, cuv, cur_w, cur_h, rs_y.data(), rs_uv.data(),
+                   p.dst_width, p.dst_height, p.resize_algo);
+    cy = rs_y.data();
+    cuv = rs_uv.data();
+    cur_w = p.dst_width;
+    cur_h = p.dst_height;
+  }
+  // HSV forces normalization (VideoProcessor.h:39-52) — ConvertedIsFloat
+  // already answers float for it; pass normalization through unchanged.
+  ConvertNV12Host(cy, cuv, cur_w, cur_h, p.fourcc, p.planes, p.normalization,
+                  out);
+  return 0;
+}
+
+}  // namespace ts

@@ -1,0 +1,147 @@
+"""Native host VPP (csrc/vpp_convert.cpp) against the reference oracles.
+
+The C++ consumer twin (csrc/tensor_stream.h getFrame<T>) converts on the
+host; this suite pins that path to the SAME committed CRC32 / golden-raster
+oracles the device path passes (reference: tests/src/VPPTests.cpp:100-512,
+PythonTests.cpp:141-244), so both implementations are interchangeable
+bit-for-bit. The native chain (host resize + host convert) is expected
+bit-exact on every case — including the three resize cases where the
+jitted device blend is only pinned to a +-1 envelope (docs/PARITY.md).
+"""
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+from conftest import RESOURCES
+from tensor_stream_tpu.enums import FourCC, Planes, ResizeType
+from tensor_stream_tpu.utils.crc import av_crc32
+
+from test_resize_crc import CASES as RESIZE_CASES
+from test_vpp import CRC_CASES, CROP_CASES, RASTER_CASES
+
+HOST_ALGO = {ResizeType.NEAREST: 0, ResizeType.BILINEAR: 1,
+             ResizeType.BICUBIC: 2, ResizeType.AREA: 3}
+
+
+def native_vpp(native, y, uv, w, h, fourcc, planes=Planes.MERGED,
+               normalization=False, crop=(0, 0, 0, 0), width=0, height=0,
+               resize_type=ResizeType.NEAREST):
+    """Runs the full native chain via the C ABI and returns a NumPy array."""
+    ow, oh = ctypes.c_int(), ctypes.c_int()
+    native.ts_vpp_output_size(w, h, *crop, width, height,
+                              ctypes.byref(ow), ctypes.byref(oh))
+    n = native.ts_vpp_output_elements(ow.value, oh.value, fourcc.value)
+    is_float = native.ts_vpp_is_float(fourcc.value, int(normalization))
+    out = np.empty(int(n), np.float32 if is_float else np.uint8)
+    rc = native.ts_vpp_convert_host(
+        y.ctypes.data, uv.ctypes.data, w, h, *crop, width, height,
+        HOST_ALGO[resize_type], fourcc.value, planes.value,
+        int(normalization), out.ctypes.data)
+    assert rc == 0
+    return out
+
+
+@pytest.mark.parametrize("name,kwargs,expected",
+                         CRC_CASES, ids=[c[0] for c in CRC_CASES])
+def test_native_fourcc_crc(native, bbb_frame0, name, kwargs, expected):
+    """Native-size conversions: same CRCs as the device path
+    (reference: VPPTests.cpp:134-222)."""
+    y, uv, w, h = bbb_frame0
+    out = native_vpp(native, y, uv, w, h, **kwargs)
+    assert av_crc32(out) == expected
+
+
+@pytest.mark.parametrize("name,kwargs,expected",
+                         CROP_CASES, ids=[c[0] for c in CROP_CASES])
+def test_native_crop_crc(native, bbb_frame0, name, kwargs, expected):
+    """Crop (+ nearest resize) chains (reference: VPPTests.cpp:225-298)."""
+    y, uv, w, h = bbb_frame0
+    out = native_vpp(native, y, uv, w, h, FourCC.NV12, planes=Planes.PLANAR,
+                     **kwargs)
+    assert av_crc32(out) == expected
+
+
+@pytest.mark.parametrize("name,kwargs,accepted,_dev",
+                         RESIZE_CASES, ids=[c[0] for c in RESIZE_CASES])
+def test_native_resize_convert_crc(native, bbb_frame0, name, kwargs,
+                                   accepted, _dev):
+    """Resize + convert, all four algorithms: the native chain must be
+    bit-exact on EVERY committed oracle — including the cases where the
+    device blend is envelope-bound (reference: PythonTests.cpp:192-244,
+    VPPTests.cpp:186-229)."""
+    y, uv, w, h = bbb_frame0
+    out = native_vpp(native, y, uv, w, h, **kwargs)
+    assert av_crc32(out) in accepted
+
+
+@pytest.mark.parametrize("fourcc,fname",
+                         RASTER_CASES, ids=[c[1].split("_")[0] for c in RASTER_CASES])
+def test_native_normalized_float_golden_raster(native, bbb_frame0, fourcc,
+                                               fname):
+    """Normalized float32 outputs vs the committed CUDA golden rasters
+    (reference: VPPTests.cpp:301-512). Byte-exact except HSV, whose H
+    channel divides by a runtime value (BASELINE budget 1e-6)."""
+    path = os.path.join(RESOURCES, "test_references", fname)
+    if not os.path.exists(path):
+        pytest.skip("golden raster not available")
+    y, uv, w, h = bbb_frame0
+    out = native_vpp(native, y, uv, w, h, fourcc, planes=Planes.MERGED,
+                     normalization=True, width=320, height=240)
+    golden = np.fromfile(path, np.float32)
+    assert out.size == golden.size
+    if fourcc == FourCC.HSV:
+        assert np.abs(out - golden).max() <= 1e-6
+    else:
+        assert np.array_equal(out.view(np.uint32), golden.view(np.uint32)), \
+            f"max diff {np.abs(out - golden).max()}"
+
+
+def test_pipeline_get_converted_end_to_end(native):
+    """ts_pipeline_get_converted = GetFrame + host VPP in one call (the C
+    ABI face of the C++ twin's getFrame<T>): frame 1 of bbb converted to
+    merged RGB24 must hit the reference CRC (VPPTests.cpp:138)."""
+    bbb = os.path.join(RESOURCES, "bbb_1080x608_420_10.h264")
+    if not os.path.exists(bbb):
+        pytest.skip("bbb fixture not available")
+    p = native.ts_pipeline_create()
+    assert native.ts_pipeline_init(p, bbb.encode(), 5, 10, 3, 0, 0) == 0
+    w, h = native.ts_pipeline_width(p), native.ts_pipeline_height(p)
+    for _ in range(10):
+        native.ts_pipeline_step(p)
+        if native.ts_pipeline_frame_index(p) > 0:
+            break
+    out = np.empty(h * w * 3, np.uint8)
+    idx = native.ts_pipeline_get_converted(
+        p, b"cpp", 0, 0, 0, 0, 0, 0, 0, 0,
+        FourCC.RGB24.value, Planes.MERGED.value, 0, out.ctypes.data)
+    native.ts_pipeline_stop(p)
+    native.ts_pipeline_destroy(p)
+    assert idx == 1
+    assert av_crc32(out) == 2225932432
+
+
+def test_native_matches_device_uint8_matrix(native, bbb_frame0):
+    """Cross-check: native and device outputs identical on configs not
+    covered by a committed oracle. Resize is pinned to NEAREST (integer
+    sampling, exact on every backend) so this isolates the conversion
+    stage — blended resizes carry a documented +-1 device envelope on
+    TPU (docs/PARITY.md) and are compared through their own CRC tests."""
+    from tensor_stream_tpu.ops.vpp import VPPConfig, vpp_numpy
+    y, uv, w, h = bbb_frame0
+    cases = [
+        dict(fourcc=FourCC.UYVY, width=480, height=360),
+        dict(fourcc=FourCC.YUV444, width=480, height=360),
+        dict(fourcc=FourCC.BGR24, planes=Planes.PLANAR, width=540,
+             height=304),
+        dict(fourcc=FourCC.HSV, width=480, height=360),
+    ]
+    for kw in cases:
+        nat = native_vpp(native, y, uv, w, h, **kw)
+        dev = np.asarray(vpp_numpy(
+            VPPConfig(src_width=w, src_height=h, **kw), y, uv)).reshape(-1)
+        if kw["fourcc"] == FourCC.HSV:
+            assert np.abs(nat - dev).max() <= 1e-6, str(kw)
+        else:
+            np.testing.assert_array_equal(nat, dev, err_msg=str(kw))
