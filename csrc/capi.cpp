@@ -306,6 +306,18 @@ int ts_analyzer_analyze(void* a, const uint8_t* data, int size) {
   return static_cast<H264Analyzer*>(a)->analyze(data, size);
 }
 
+void* ts_vp9_analyzer_create() { return new ts::VP9Analyzer(); }
+void ts_vp9_analyzer_destroy(void* a) { delete static_cast<ts::VP9Analyzer*>(a); }
+int ts_vp9_analyzer_analyze(void* a, const uint8_t* data, int size) {
+  return static_cast<ts::VP9Analyzer*>(a)->analyze(data, size);
+}
+
+void* ts_av1_analyzer_create() { return new ts::AV1Analyzer(); }
+void ts_av1_analyzer_destroy(void* a) { delete static_cast<ts::AV1Analyzer*>(a); }
+int ts_av1_analyzer_analyze(void* a, const uint8_t* data, int size) {
+  return static_cast<ts::AV1Analyzer*>(a)->analyze(data, size);
+}
+
 // ----------------------------------------------------- parser (test hooks)
 
 struct ParserHandle {

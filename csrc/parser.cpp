@@ -42,6 +42,8 @@ int Parser::Init(const ParserParams& params, std::shared_ptr<Logger> logger) {
   video_stream_ = fmt_->streams[video_index_];
   is_h264_ = video_stream_->codecpar->codec_id == AV_CODEC_ID_H264;
   is_hevc_ = video_stream_->codecpar->codec_id == AV_CODEC_ID_HEVC;
+  is_vp9_ = video_stream_->codecpar->codec_id == AV_CODEC_ID_VP9;
+  is_av1_ = video_stream_->codecpar->codec_id == AV_CODEC_ID_AV1;
 
   if (params_.enable_dumps) {
     const char* dump_name = "bitstream.h264";
@@ -152,9 +154,18 @@ int Parser::Analyze(const AVPacket* pkt) {
       size = annexb_->size;
     }
   }
-  if ((!is_h264_ && !is_hevc_) || !data) return TS_OK;
-  int result = is_h264_ ? analyzer_.analyze(data, size)
-                        : hevc_analyzer_.analyze(data, size);
+  if (!data) return TS_OK;
+  int result;
+  if (is_h264_)
+    result = analyzer_.analyze(data, size);
+  else if (is_hevc_)
+    result = hevc_analyzer_.analyze(data, size);
+  else if (is_vp9_)
+    result = vp9_analyzer_.analyze(data, size);
+  else if (is_av1_)
+    result = av1_analyzer_.analyze(data, size);
+  else
+    return TS_OK;
   if (bsf_) av_packet_unref(annexb_);
   if (result > 0 && logger_) {
     logger_->log("[PARSING] bitstream issue detected, mask=" + std::to_string(result),

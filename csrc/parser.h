@@ -19,8 +19,10 @@ extern "C" {
 }
 
 #include "analyzer.h"
+#include "av1_analyzer.h"
 #include "hevc_analyzer.h"
 #include "ts_common.h"
+#include "vp9_analyzer.h"
 
 namespace ts {
 
@@ -41,8 +43,9 @@ class Parser {
   int Read();
   // Hands the buffered packet to the caller (one-deep, taken-flag).
   int Get(AVPacket* output);
-  // Runs the annexb BSF over `pkt` and the H.264 health analyzer.
-  // Returns an AnalyzeErrors bitmask or TS_REPEAT.
+  // Runs the annexb BSF over `pkt` (H.264/HEVC) and the codec's health
+  // analyzer (H.264, HEVC, VP9 or AV1). Returns an AnalyzeErrors bitmask
+  // or TS_REPEAT.
   int Analyze(const AVPacket* pkt);
   void Close();
 
@@ -82,8 +85,12 @@ class Parser {
   AVStream* video_stream_ = nullptr;
   H264Analyzer analyzer_;
   HEVCAnalyzer hevc_analyzer_;
+  VP9Analyzer vp9_analyzer_;
+  AV1Analyzer av1_analyzer_;
   bool is_h264_ = false;
   bool is_hevc_ = false;
+  bool is_vp9_ = false;
+  bool is_av1_ = false;
   int64_t frames_read_ = 0;
   bool closed_ = true;
   std::chrono::steady_clock::time_point last_packet_time_;

@@ -130,6 +130,12 @@ def load():
         sig("ts_analyzer_create", c_void_p, [])
         sig("ts_analyzer_destroy", None, [c_void_p])
         sig("ts_analyzer_analyze", c_int, [c_void_p, c_char_p, c_int])
+        sig("ts_vp9_analyzer_create", c_void_p, [])
+        sig("ts_vp9_analyzer_destroy", None, [c_void_p])
+        sig("ts_vp9_analyzer_analyze", c_int, [c_void_p, c_char_p, c_int])
+        sig("ts_av1_analyzer_create", c_void_p, [])
+        sig("ts_av1_analyzer_destroy", None, [c_void_p])
+        sig("ts_av1_analyzer_analyze", c_int, [c_void_p, c_char_p, c_int])
 
         sig("ts_parser_create", c_void_p, [])
         sig("ts_parser_destroy", None, [c_void_p])
