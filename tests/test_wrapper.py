@@ -265,28 +265,28 @@ def test_native_pacing_cadence():
     assert delay_ms * 0.5 < avg < delay_ms * 2.5, f"avg={avg} expected~{delay_ms}"
 
 
-def test_fast_mode_faster_than_native():
-    """FAST mode must outpace the native frame rate
-    (reference: WrapperTests.cpp:258-317). Uses the light 720x480 fixture
-    so the margin survives a contended single-core CI host (1080p decode
-    alone can exceed the 25 fps budget when the suite runs in parallel
-    with compiles)."""
-    best, native_time = None, None
-    for _ in range(3):  # retried: suite load on a 1-core host adds noise
-        reader = make_reader(resource("bbb_720x480_RGB24_250.h264"),
-                             mode=FrameRate.BLOCKING)
-        reader.read(name="c", pixel_format=FourCC.Y800, width=96, height=64)
-        t0 = time.monotonic()
-        for _ in range(20):
-            reader.read(name="c", pixel_format=FourCC.Y800,
-                        width=96, height=64)
-        elapsed = time.monotonic() - t0
-        reader.stop()
-        native_time = 20 / reader.fps
-        best = elapsed if best is None else min(best, elapsed)
-        if best < native_time:
-            break
-    assert best < native_time, f"{best:.2f}s vs native {native_time:.2f}s"
+def test_fast_mode_faster_than_native(native):
+    """Unpaced modes must outpace the native frame rate
+    (reference: WrapperTests.cpp:258-317). The rate-limit proof is the
+    pipeline's own sleep ledger — zero pacing sleeps — because on a
+    contended single-core CI host wall-clock margins measure scheduler
+    noise, not the pacing logic under test (this assertion's previous
+    wall-clock form was de-flaked twice and still raced); a generous 2x
+    wall-clock bound remains as a liveness check."""
+    reader = make_reader(resource("bbb_720x480_RGB24_250.h264"),
+                         mode=FrameRate.BLOCKING)
+    reader.read(name="c", pixel_format=FourCC.Y800, width=96, height=64)
+    t0 = time.monotonic()
+    for _ in range(20):
+        reader.read(name="c", pixel_format=FourCC.Y800,
+                    width=96, height=64)
+    elapsed = time.monotonic() - t0
+    slept_ms = native.ts_pipeline_slept_ms(reader._handle)
+    reader.stop()
+    native_time = 20 / reader.fps
+    assert slept_ms == 0, f"mode paced the producer: slept {slept_ms} ms"
+    assert elapsed < 2 * native_time, \
+        f"{elapsed:.2f}s vs 2x native {2 * native_time:.2f}s"
 
 
 def test_shutdown_under_load_no_hang():
