@@ -40,7 +40,7 @@ BASELINE_FPS = 2000.0
 def _make_pipeline(lib, decode_threads=0):
     p = lib.ts_pipeline_create()
     sts = lib.ts_pipeline_init_ex(p, VIDEO.encode(), 5, max(2 * BATCH, 16),
-                                  3, 0, decode_threads, 1)  # FR_FAST, loop
+                                  3, 0, decode_threads, 1, 0)  # FR_FAST, loop
     assert sts == 0, f"pipeline init failed: {sts}"
     return p
 
