@@ -138,3 +138,17 @@ def test_example_multi_stream_inference():
                        resource("bbb_1080x608_420_10.h264"),
                        "-n", "2", "--per-stream", "2")
     assert out.strip()
+
+
+def test_example_train_sharded(tmp_path):
+    """fast_neural_style/train_sharded.py: raw NV12 batches feeding the
+    full SPMD training step (sharded VPP + TransformerNet + adam) over
+    the mesh (virtual 8-device CPU mesh under the test env)."""
+    ckpt = tmp_path / "style.msgpack"
+    out = _run_example(os.path.join("fast_neural_style", "train_sharded.py"),
+                       "-i", resource(FIXTURE), "--steps", "2",
+                       "--batch", "8", "--size", "64",
+                       "--checkpoint", str(ckpt), timeout=560)
+    assert "training done" in out
+    assert "mesh=" in out
+    assert ckpt.exists() and ckpt.stat().st_size > 0
