@@ -59,11 +59,19 @@ int main(int argc, char** argv) {
   params.color.dstFourCC = fourcc;
   params.color.planesPos = ts::PLANES_MERGED;
 
+  // HSV is float-only (normalization forced); everything else here is u8.
+  const bool as_float = ts::ConvertedIsFloat(fourcc, false);
   for (int i = 0; i < frames; i++) {
     try {
-      auto [data, index] = reader.getFrame<uint8_t>("sample", 0, params);
-      std::printf("frame %d (%zu bytes)\n", index, data.size());
-      if (!dump_name.empty()) reader.dumpFrame(data, dump_name);
+      if (as_float) {
+        auto [data, index] = reader.getFrame<float>("sample", 0, params);
+        std::printf("frame %d (%zu floats)\n", index, data.size());
+        if (!dump_name.empty()) reader.dumpFrame(data, dump_name);
+      } else {
+        auto [data, index] = reader.getFrame<uint8_t>("sample", 0, params);
+        std::printf("frame %d (%zu bytes)\n", index, data.size());
+        if (!dump_name.empty()) reader.dumpFrame(data, dump_name);
+      }
     } catch (const std::runtime_error& e) {
       std::printf("%s after %d frames\n", e.what(), i);
       break;

@@ -12,6 +12,7 @@
 #include <cstdio>
 #include <stdexcept>
 #include <string>
+#include <type_traits>
 #include <vector>
 
 #include "pipeline.h"
@@ -81,9 +82,12 @@ class TensorStream {
   std::pair<std::vector<T>, int> getFrame(const std::string& consumer,
                                           int index,
                                           const FrameParameters& params) {
+    static_assert(std::is_same<T, uint8_t>::value ||
+                      std::is_same<T, float>::value,
+                  "getFrame<T>: T must be uint8_t or float");
     const bool want_float =
         ConvertedIsFloat(params.color.dstFourCC, params.color.normalization);
-    if (want_float != (sizeof(T) == sizeof(float)))
+    if (want_float != std::is_same<T, float>::value)
       throw std::runtime_error("getFrame<T>: T does not match the output "
                                "element type for these FrameParameters");
     HostVppParams p = toHostParams(params);

@@ -37,8 +37,11 @@ class VP9Analyzer {
       int nframes = (last & 0x7) + 1;
       int len_sz = ((last >> 3) & 0x3) + 1;
       int idx_sz = 2 + nframes * len_sz;
+      // Only a superframe when BOTH marker bytes match (spec Annex B /
+      // libvpx vp9_parse_superframe_index); a normal frame whose last
+      // compressed byte happens to look like a marker falls through.
       if (size < idx_sz || data[size - idx_sz] != last)
-        return ANALYZE_GAPS_FRAME_NUM;  // corrupt superframe index
+        return analyzeFrame(data, size);
       const uint8_t* lens = data + size - idx_sz + 1;
       int64_t off = 0;
       int errors = ANALYZE_NONE;

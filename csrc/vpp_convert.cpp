@@ -160,8 +160,11 @@ void Yuv444Plane(const uint8_t* y, const uint8_t* uv, int w, int h,
   std::vector<uint8_t> bytes = UyvyBytes(y, uv, w, h);
   const long long n = static_cast<long long>(w) * h;
   const long long last = 2 * n - 1;
-  std::vector<int> pad(2 * n + 8, 0);
-  for (long long i = 0; i < 2 * n; i++) pad[i] = bytes[i];
+  // Taps past the payload read 0 — the reference's over-allocated
+  // zero-initialized intermediate buffer (only p2/p4 can exceed `last`).
+  auto tap = [&](long long i) -> int {
+    return i <= last ? static_cast<int>(bytes[i]) : 0;
+  };
   T* y_plane = out;
   T* u_plane = out + n;
   T* v_plane = out + 2 * n;
@@ -195,7 +198,7 @@ void Yuv444Plane(const uint8_t* y, const uint8_t* uv, int w, int h,
       if (p3 < 0) p3 = p1;
       long long p4 = src_index + 5 + shift;
       if (p4 > last) p4 = p2;
-      int num = 9 * (pad[p1] + pad[p2]) - (pad[p3] + pad[p4]) + 8;
+      int num = 9 * (tap(p1) + tap(p2)) - (tap(p3) + tap(p4)) + 8;
       if (std::is_same<T, float>::value) {
         if (normalization) {
           int c = std::min(std::max(num, 0), 4080);
@@ -292,8 +295,8 @@ bool ConvertedIsFloat(int fourcc, bool normalization) {
   return normalization || fourcc == FCC_HSV;
 }
 
-void ConvertNV12Host(const uint8_t* y, const uint8_t* uv, int w, int h,
-                     int fourcc, int planes, bool normalization, void* out) {
+int ConvertNV12Host(const uint8_t* y, const uint8_t* uv, int w, int h,
+                    int fourcc, int planes, bool normalization, void* out) {
   const bool as_float = ConvertedIsFloat(fourcc, normalization);
   switch (fourcc) {
     case FCC_RGB24:
@@ -304,37 +307,37 @@ void ConvertNV12Host(const uint8_t* y, const uint8_t* uv, int w, int h,
         RgbPlane(y, uv, w, h, swap, planar, static_cast<float*>(out));
       else
         RgbPlane(y, uv, w, h, swap, planar, static_cast<uint8_t*>(out));
-      return;
+      return 0;
     }
     case FCC_Y800:
       if (as_float)
         Y800Plane(y, w, h, static_cast<float*>(out));
       else
         Y800Plane(y, w, h, static_cast<uint8_t*>(out));
-      return;
+      return 0;
     case FCC_UYVY:
       if (as_float)
         UyvyPlane(y, uv, w, h, static_cast<float*>(out));
       else
         UyvyPlane(y, uv, w, h, static_cast<uint8_t*>(out));
-      return;
+      return 0;
     case FCC_YUV444:
       if (as_float)
         Yuv444Plane(y, uv, w, h, normalization, static_cast<float*>(out));
       else
         Yuv444Plane(y, uv, w, h, normalization, static_cast<uint8_t*>(out));
-      return;
+      return 0;
     case FCC_NV12:
       if (as_float)
         Nv12MergePlane(y, uv, w, h, static_cast<float*>(out));
       else
         Nv12MergePlane(y, uv, w, h, static_cast<uint8_t*>(out));
-      return;
+      return 0;
     case FCC_HSV:
       HsvPlane(y, uv, w, h, static_cast<float*>(out));
-      return;
+      return 0;
     default:
-      break;
+      return -1;  // unknown FourCC: nothing was written
   }
 }
 
@@ -360,6 +363,9 @@ int VppConvertHost(const uint8_t* y, const uint8_t* uv, int src_w, int src_h,
   int cw = p.crop_right - p.crop_left;
   int ch = p.crop_bottom - p.crop_top;
   bool do_crop = 0 < cw && cw < src_w && 0 < ch && ch < src_h;
+  if (do_crop && (p.crop_left < 0 || p.crop_top < 0 ||
+                  p.crop_right > src_w || p.crop_bottom > src_h))
+    return -1;  // box outside the frame: the copies below would overread
   int cur_w = do_crop ? cw : src_w;
   int cur_h = do_crop ? ch : src_h;
   bool do_resize = p.dst_width && p.dst_height &&
@@ -399,9 +405,8 @@ int VppConvertHost(const uint8_t* y, const uint8_t* uv, int src_w, int src_h,
   }
   // HSV forces normalization (VideoProcessor.h:39-52) — ConvertedIsFloat
   // already answers float for it; pass normalization through unchanged.
-  ConvertNV12Host(cy, cuv, cur_w, cur_h, p.fourcc, p.planes, p.normalization,
-                  out);
-  return 0;
+  return ConvertNV12Host(cy, cuv, cur_w, cur_h, p.fourcc, p.planes,
+                         p.normalization, out);
 }
 
 }  // namespace ts

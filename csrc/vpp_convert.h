@@ -55,9 +55,10 @@ bool ConvertedIsFloat(int fourcc, bool normalization);
 // elements of u8 or f32 per ConvertedIsFloat. Layouts follow the tensor
 // contract (WrapperPython.cpp:318-341): RGB/BGR planar [3,H,W] or merged
 // [H,W,3]; YUV444 planar bytes; UYVY row-interleaved U0 Y0 V0 Y1; NV12
-// Y then UV; HSV merged [H,W,3] f32.
-void ConvertNV12Host(const uint8_t* y, const uint8_t* uv, int w, int h,
-                     int fourcc, int planes, bool normalization, void* out);
+// Y then UV; HSV merged [H,W,3] f32. Returns 0, or -1 on an unknown
+// FourCC (nothing written).
+int ConvertNV12Host(const uint8_t* y, const uint8_t* uv, int w, int h,
+                    int fourcc, int planes, bool normalization, void* out);
 
 // Full host VPP chain: crop -> resize -> convert, with the reference's
 // defaulting rules (VideoProcessor.cpp:106-135): a crop box is applied
@@ -65,8 +66,9 @@ void ConvertNV12Host(const uint8_t* y, const uint8_t* uv, int w, int h,
 // (or native) size; HSV forces normalization. `out` must hold
 // ConvertedElements(out_w, out_h, fourcc) elements where (out_w, out_h)
 // follows the same defaulting (VppOutputSize). Returns 0, or -1 on
-// invalid parameters (odd resize target — the NV12 UV interleave cannot
-// express odd widths, see ops/vpp.py VPPConfig).
+// invalid parameters: an odd resize target (the NV12 UV interleave
+// cannot express odd widths, see ops/vpp.py VPPConfig), a crop box
+// outside the frame, or an unknown FourCC — nothing is written then.
 struct HostVppParams {
   int crop_left = 0, crop_top = 0, crop_right = 0, crop_bottom = 0;
   int dst_width = 0, dst_height = 0;  // 0 = native / crop size

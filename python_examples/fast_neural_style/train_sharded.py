@@ -96,13 +96,14 @@ def main():
     dp, mp = mesh.shape["dp"], mesh.shape["mp"]
     batch = args.batch or 2 * dp
     if batch % dp:
-        raise SystemExit(f"--batch {batch} must divide the dp axis ({dp})")
+        raise SystemExit(f"--batch {batch} must be divisible by the dp "
+                         f"axis size ({dp})")
     size = args.size
 
     reader = Nv12BatchReader(args.input, batch)
     if reader.height % mp:
-        raise SystemExit(f"frame height {reader.height} must divide the "
-                         f"mp axis ({mp}) for row sharding")
+        raise SystemExit(f"frame height {reader.height} must be divisible "
+                         f"by the mp axis size ({mp}) for row sharding")
     cfg = VPPConfig(src_width=reader.width, src_height=reader.height,
                     width=size, height=size,
                     resize_type=ResizeType.BILINEAR, fourcc=FourCC.RGB24,
@@ -111,12 +112,20 @@ def main():
           f"stream={reader.width}x{reader.height} -> {size}x{size}")
 
     # Style target: gram matrices of a reference batch, computed once
-    # with the (unsharded) batched VPP.
-    style_reader = reader
+    # with the (unsharded) batched VPP. A --style-video clip gets its own
+    # VPP config: the conversion bakes the SOURCE resolution into its
+    # resize tables, and the style clip need not match the input's.
+    style_reader, style_cfg = reader, cfg
     if args.style_video:
         style_reader = Nv12BatchReader(args.style_video, batch)
+        style_cfg = VPPConfig(src_width=style_reader.width,
+                              src_height=style_reader.height,
+                              width=size, height=size,
+                              resize_type=ResizeType.BILINEAR,
+                              fourcc=FourCC.RGB24, planes=Planes.MERGED,
+                              normalization=True)
     ys, uvs = style_reader.next()
-    style_rgb = build_vpp_batched(cfg)(ys, uvs)
+    style_rgb = build_vpp_batched(style_cfg)(ys, uvs)
     # Pull to host so jit replicates it over the mesh (the VPP above ran
     # on a single device).
     style_grams = np.asarray(gram_matrix(style_rgb).mean(axis=0,

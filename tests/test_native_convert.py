@@ -145,3 +145,28 @@ def test_native_matches_device_uint8_matrix(native, bbb_frame0):
             assert np.abs(nat - dev).max() <= 1e-6, str(kw)
         else:
             np.testing.assert_array_equal(nat, dev, err_msg=str(kw))
+
+
+def test_native_invalid_params_rejected(native, bbb_frame0):
+    """Out-of-frame crop boxes, odd resize targets and unknown FourCCs
+    return -1 and write nothing (the device path validates these in
+    VPPConfig; the native path must not overread instead)."""
+    y, uv, w, h = bbb_frame0
+    out = np.empty(16, np.uint8)
+    # Crop box extending past the bottom of the frame.
+    rc = native.ts_vpp_convert_host(
+        y.ctypes.data, uv.ctypes.data, w, h,
+        0, h // 2, 300, h + h // 2 - 2, 0, 0, 0,
+        FourCC.NV12.value, 0, 0, out.ctypes.data)
+    assert rc == -1
+    # Odd resize target (NV12 UV interleave cannot express it).
+    rc = native.ts_vpp_convert_host(
+        y.ctypes.data, uv.ctypes.data, w, h,
+        0, 0, 0, 0, 223, 224, 0,
+        FourCC.RGB24.value, 0, 0, out.ctypes.data)
+    assert rc == -1
+    # Unknown FourCC.
+    rc = native.ts_vpp_convert_host(
+        y.ctypes.data, uv.ctypes.data, w, h,
+        0, 0, 0, 0, 0, 0, 0, 99, 0, 0, out.ctypes.data)
+    assert rc == -1

@@ -90,11 +90,23 @@ def test_vp9_corrupt_frame_marker_detected(native, vp9_pkts):
 
 
 def test_vp9_corrupt_superframe_index_detected(native, vp9_pkts):
-    """A superframe marker byte whose index block is inconsistent."""
-    # Append a marker byte announcing 2 frames x 1 size byte (index size
-    # 4) to a normal packet: the leading marker byte check must fail.
-    bad = vp9_pkts[1] + bytes([0xC1])
+    """A valid superframe wrapper (both marker bytes match) whose frame
+    sizes overrun the payload is corrupt. (A lone marker-looking tail
+    byte is NOT an error: per spec both bytes must match, else the
+    packet is a normal frame — ~12.5% of frames legitimately end with a
+    marker-shaped byte.)"""
+    # marker 0xC8: 1 frame, 2-byte size field; size 0xFFFF >> payload.
+    bad = vp9_pkts[1][:50] + bytes([0xC8, 0xFF, 0xFF, 0xC8])
     assert run_vp9(native, [vp9_pkts[0], bad])[1] & GAPS == GAPS
+
+
+def test_vp9_marker_shaped_tail_byte_is_not_an_error(native, vp9_pkts):
+    """A normal frame whose last compressed byte looks like a superframe
+    marker but whose leading index byte does not match must be analyzed
+    as a normal frame, not reported corrupt."""
+    tail = vp9_pkts[1] + bytes([0xC1])  # lone marker-shaped byte
+    masks = run_vp9(native, [vp9_pkts[0], tail])
+    assert masks[1] == 0
 
 
 # ----------------------------------------------------------------- AV1
