@@ -25,7 +25,7 @@ docker:
 # (the reference shipped no sanitizer coverage; SURVEY §5.2).
 tsan:
 	g++ -O1 -g -std=c++20 -fsanitize=thread -fPIC -pthread \
-	  csrc/parser.cpp csrc/decoder.cpp csrc/pipeline.cpp csrc/stream_pool.cpp csrc/vpp_host.cpp \
+	  csrc/parser.cpp csrc/decoder.cpp csrc/pipeline.cpp csrc/stream_pool.cpp csrc/vpp_host.cpp csrc/vpp_convert.cpp \
 	  tools/stress_tsan.cpp -lavformat -lavcodec -lavutil -lswscale \
 	  -o tools/stress_tsan
 	./tools/stress_tsan tests/fixtures/bbb_720x480_RGB24_250.h264 4

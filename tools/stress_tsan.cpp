@@ -17,6 +17,7 @@
 #include "../csrc/pipeline.h"
 #include "../csrc/stream_pool.h"
 #include "../csrc/ts_common.h"
+#include "../csrc/vpp_convert.h"
 
 using ts::Pipeline;
 using ts::PipelineParams;
@@ -72,11 +73,34 @@ static void run_round(const std::string& input, int round) {
     }
   };
 
+  // The C++-twin consumer path: GetFrame + full host VPP chain
+  // (csrc/vpp_convert.cpp) — exercises the conversion plan caches
+  // (resize plan maps behind mutexes) under concurrency.
+  auto converted_consumer = [&](std::string name) {
+    ts::HostVppParams vp;
+    vp.dst_width = 128;
+    vp.dst_height = 96;
+    vp.resize_algo = ts::HOST_RESIZE_BILINEAR;
+    vp.fourcc = ts::FCC_RGB24;
+    vp.planes = ts::PLANES_MERGED;
+    std::vector<uint8_t> y(static_cast<size_t>(w) * h);
+    std::vector<uint8_t> uv(static_cast<size_t>(w) * (h / 2));
+    std::vector<uint8_t> out(ts::ConvertedElements(128, 96, ts::FCC_RGB24));
+    while (!stop.load()) {
+      int sts = p.GetFrame(name, 0, y.data(), uv.data());
+      if (sts == ts::TS_FINISHED || sts == ts::TS_ERROR) break;
+      if (ts::VppConvertHost(y.data(), uv.data(), w, h, vp, out.data()) != 0)
+        break;
+      reads.fetch_add(1);
+    }
+  };
+
   std::vector<std::thread> threads;
   threads.emplace_back(latest_consumer, "a");
   threads.emplace_back(latest_consumer, "b");
   threads.emplace_back(bulk_consumer, "bulk1", false);
   threads.emplace_back(bulk_consumer, "bulk2", true);
+  threads.emplace_back(converted_consumer, "conv");
   threads.emplace_back(stepper);
 
   // Let everyone race for a while, then slam the door mid-read.
