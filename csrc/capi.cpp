@@ -60,6 +60,28 @@ int ts_pipeline_init_ex(void* p, const char* url, int max_consumers,
   return static_cast<Pipeline*>(p)->Init(params);
 }
 
+// Full-parameter init: adds live-source reconnect (elastic recovery)
+// on top of ts_pipeline_init_ex. reconnect_attempts < 0 retries forever.
+int ts_pipeline_init_ex2(void* p, const char* url, int max_consumers,
+                         int buffer_size, int framerate_mode, int enable_dumps,
+                         int decode_threads, int loop, int fast_decode,
+                         int reconnect, int reconnect_delay_ms,
+                         int reconnect_attempts) {
+  ts::PipelineParams params;
+  params.input = url ? url : "";
+  params.max_consumers = max_consumers;
+  params.buffer_size = buffer_size;
+  params.framerate_mode = framerate_mode;
+  params.enable_dumps = enable_dumps != 0;
+  params.decode_threads = decode_threads;
+  params.loop = loop != 0;
+  params.fast_decode = fast_decode != 0;
+  params.reconnect = reconnect != 0;
+  if (reconnect_delay_ms > 0) params.reconnect_delay_ms = reconnect_delay_ms;
+  params.reconnect_attempts = reconnect_attempts;
+  return static_cast<Pipeline*>(p)->Init(params);
+}
+
 int ts_pipeline_seek_frame(void* p, long long skip) {
   return static_cast<Pipeline*>(p)->SeekToFrame(skip);
 }

@@ -46,6 +46,49 @@ int Decoder::Init(const DecoderParams& params, const Parser& parser,
   return TS_OK;
 }
 
+int Decoder::Reopen(const Parser& parser) {
+  const AVCodecParameters* par = parser.codecpar();
+  if (!par) return TS_ERROR;
+  if (par->width != width_ || par->height != height_) {
+    if (logger_)
+      logger_->log("ERROR: reconnected source has different dimensions (" +
+                       std::to_string(par->width) + "x" +
+                       std::to_string(par->height) + ")",
+                   LOG_LOW);
+    return TS_ERROR;
+  }
+  const AVCodec* codec = avcodec_find_decoder(par->codec_id);
+  if (!codec) return TS_UNSUPPORTED;
+  AVCodecContext* fresh = avcodec_alloc_context3(codec);
+  if (!fresh) return TS_ERROR;
+  int sts = avcodec_parameters_to_context(fresh, par);
+  if (sts < 0) {
+    avcodec_free_context(&fresh);
+    return sts;
+  }
+  if (ctx_) {
+    fresh->thread_count = ctx_->thread_count;
+    fresh->thread_type = ctx_->thread_type;
+    fresh->skip_loop_filter = ctx_->skip_loop_filter;
+    fresh->flags2 = ctx_->flags2;
+  }
+  sts = avcodec_open2(fresh, codec, nullptr);
+  if (sts < 0) {
+    avcodec_free_context(&fresh);
+    return sts;
+  }
+  // Swap under the ring lock: consumers and ring state are untouched, so
+  // frame numbering continues where the dead connection stopped.
+  std::lock_guard<std::mutex> lk(sync_);
+  if (ctx_) avcodec_free_context(&ctx_);
+  ctx_ = fresh;
+  if (sws_) {
+    sws_freeContext(sws_);
+    sws_ = nullptr;
+  }
+  return TS_OK;
+}
+
 // Converts `frame` to tightly-packed NV12 and stores it into the next ring
 // slot; wakes every consumer (reference: src/Decoder.cpp:149-162).
 int Decoder::storeFrame(AVFrame* frame) {

@@ -53,6 +53,14 @@ class Decoder {
   int Init(const DecoderParams& params, const Parser& parser,
            std::shared_ptr<Logger> logger);
 
+  // Live-source reconnect: recreates the codec context from the
+  // (re-opened) parser while preserving the ring, the absolute frame
+  // counter, and every consumer's cursor/wake state — consumers keep
+  // reading across the break with continuous frame numbering. Rejects a
+  // source whose dimensions changed (consumer buffers are sized from the
+  // init-time geometry).
+  int Reopen(const Parser& parser);
+
   // Sends one packet and stores any resulting frame into the ring.
   // Returns TS_OK when a frame was produced, AVERROR(EAGAIN) when the
   // decoder needs more input, TS_EOF at end of stream, <0 on error.

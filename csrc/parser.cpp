@@ -200,9 +200,26 @@ void Parser::Close() {
     dump_ctx_ = nullptr;
   }
   if (fmt_) avformat_close_input(&fmt_);
+  // video_stream_ pointed into fmt_, which is gone now — null it so the
+  // width()/height()/codecpar() accessors cannot read freed memory.
+  video_stream_ = nullptr;
+  video_index_ = -1;
   if (last_) av_packet_free(&last_);
   if (annexb_) av_packet_free(&annexb_);
   closed_ = true;
+}
+
+int Parser::Reopen() {
+  // Tears the demuxer down and re-runs Init with the stored parameters —
+  // the elastic-recovery hook for live sources whose connection died
+  // (the reference declared Parser::Reset but never implemented it,
+  // include/Parser.h:104). Dump taps are not re-opened (enable_dumps
+  // would truncate the first connection's bitstream.h264).
+  ParserParams params = params_;
+  params.enable_dumps = false;
+  auto logger = logger_;
+  Close();
+  return Init(params, logger);
 }
 
 }  // namespace ts

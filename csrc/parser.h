@@ -48,6 +48,8 @@ class Parser {
   // or TS_REPEAT.
   int Analyze(const AVPacket* pkt);
   void Close();
+  // Close + re-Init with the stored parameters (live-source reconnect).
+  int Reopen();
 
   int width() const;
   int height() const;

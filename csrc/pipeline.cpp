@@ -101,7 +101,7 @@ int Pipeline::loopIteration(
   sts = decoder_->Decode(parsed_);
   if (sts == AVERROR(EAGAIN)) return TS_REPEAT;
   if (sts == AVERROR_EOF) return TS_EOF;
-  if (sts != TS_OK) return TS_ERROR;
+  if (sts != TS_OK) return TS_DECODE_ERROR;
 
   // Pacing (reference: WrapperPython.cpp:186-216).
   int sleep_ms = 0;
@@ -168,11 +168,56 @@ void Pipeline::processingLoop() {
       sts = loopIteration(start_dts, start_time, framerate_mode_);
     }
     if (sts == TS_REPEAT) continue;
-    if (sts != TS_OK) break;  // EOF / timeout / error -> finish
+    if (sts == TS_OK) continue;
+    if (params_.reconnect && should_work_) {
+      if (sts == TS_DECODE_ERROR) {
+        // A live packet that would not decode (e.g. joined mid-GOP
+        // after a reconnect, waiting for the next keyframe): skip it.
+        logger_->log("Undecodable packet skipped (reconnect mode)", LOG_LOW);
+        continue;
+      }
+      // EOF / timeout / read error: the source died — re-open it and
+      // keep the consumers blocked (frame numbering continues).
+      if (tryReconnect() == TS_OK) {
+        start_dts = {0, false};
+        start_time = {std::chrono::steady_clock::now(), false};
+        continue;
+      }
+    }
+    break;  // EOF / timeout / error -> finish
   }
   logger_->log("Processing was interrupted or stream has ended", LOG_LOW);
   if (decoder_) decoder_->notifyConsumers();
   logger_->log("All consumers were notified about processing end", LOG_LOW);
+}
+
+int Pipeline::tryReconnect() {
+  logger_->log("Source lost; reconnecting to " + params_.input, LOG_LOW);
+  for (int attempt = 0;
+       params_.reconnect_attempts < 0 || attempt < params_.reconnect_attempts;
+       attempt++) {
+    if (!should_work_) return TS_ERROR;
+    {
+      std::lock_guard<std::mutex> iter_lk(iter_sync_);
+      int sts = parser_->Reopen();
+      if (sts == TS_OK) sts = decoder_->Reopen(*parser_);
+      if (sts == TS_OK) {
+        logger_->log("Reconnected after " + std::to_string(attempt + 1) +
+                         " attempt(s)",
+                     LOG_LOW);
+        return TS_OK;
+      }
+    }
+    // Interruptible backoff: Stop() must never wait out a full delay.
+    int remaining = params_.reconnect_delay_ms;
+    while (remaining > 0 && should_work_) {
+      int slice = remaining < 50 ? remaining : 50;
+      std::this_thread::sleep_for(std::chrono::milliseconds(slice));
+      remaining -= slice;
+    }
+  }
+  logger_->log("Reconnect attempts exhausted", LOG_LOW);
+  return TS_ERROR;
 }
 
 int Pipeline::Start() {
@@ -226,6 +271,7 @@ int Pipeline::Step() {
     sts = loopIteration(dts, t, FR_FAST);
   }
   if (sts == TS_EOF && decoder_) decoder_->notifyConsumers();
+  if (sts == TS_DECODE_ERROR) sts = TS_ERROR;  // internal code stays internal
   return sts;
 }
 

@@ -41,6 +41,17 @@ struct PipelineParams {
   int decode_threads = 0;
   bool loop = false;
   bool fast_decode = false;  // see DecoderParams::fast_decode
+  // Elastic recovery for live sources (beyond the reference, whose only
+  // retry was Python-side initialize(repeat_number), SURVEY §5.3): when
+  // the source dies mid-stream (EOF/timeout/read error), the producer
+  // re-opens the URL with backoff instead of finishing; consumers keep
+  // blocking and frame numbering continues. Decode errors on packets of
+  // a live connection (e.g. joining mid-GOP after a reconnect) are
+  // skipped rather than fatal. For local files prefer `loop` (replay
+  // without re-probing).
+  bool reconnect = false;
+  int reconnect_delay_ms = 500;   // backoff between attempts
+  int reconnect_attempts = 20;    // per outage; <0 = retry forever
 };
 
 class Pipeline {
@@ -125,6 +136,10 @@ class Pipeline {
 
  private:
   void registerCursorAndWake(const std::string& consumer);
+  // Re-opens the dead source with bounded backoff (params_.reconnect_*).
+  // Returns TS_OK when parser+decoder are live again, TS_ERROR when the
+  // attempts are exhausted or Stop() was requested.
+  int tryReconnect();
   // `framerate_mode` is passed by value (not read from framerate_mode_)
   // so Step() can run an unpaced iteration without mutating state that
   // GetFrame/Stop read concurrently.

@@ -35,6 +35,10 @@ enum Status {
   TS_EOF = -4,          // end of stream reached
   TS_FINISHED = -5,     // decoding finished; readers must stop
   TS_TIMEOUT = -6,      // read timed out (reference: interrupt callback abort)
+  TS_DECODE_ERROR = -7, // packet reached the decoder but failed to decode
+                        // (internal: lets the reconnect path distinguish a
+                        // bad packet from a dead source; mapped to
+                        // TS_ERROR at the API surface)
 };
 
 // Log levels (reference: include/Common.h:29-34). The sign convention of

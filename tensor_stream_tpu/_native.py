@@ -63,6 +63,9 @@ def load():
         sig("ts_pipeline_init_ex", c_int,
             [c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_int, c_int,
              c_int])
+        sig("ts_pipeline_init_ex2", c_int,
+            [c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_int, c_int,
+             c_int, c_int, c_int, c_int])
         sig("ts_pipeline_seek_frame", c_int, [c_void_p, ctypes.c_longlong])
         sig("ts_pipeline_start", c_int, [c_void_p])
         sig("ts_pipeline_step", c_int, [c_void_p])

@@ -99,7 +99,10 @@ class TensorStreamConverter:
                  decode_threads=0,
                  loop=False,
                  enable_dumps=False,
-                 fast_decode=False):
+                 fast_decode=False,
+                 reconnect=False,
+                 reconnect_delay=0.5,
+                 reconnect_attempts=20):
         self.log = logging.getLogger(__name__)
         self.log.info("Create TensorStream")
         self._lib = _native.load()
@@ -124,6 +127,15 @@ class TensorStreamConverter:
         # ~23% more decode throughput — NOT bit-exact; for data-loading
         # jobs that trade fidelity for speed.
         self.fast_decode = fast_decode
+        # TPU extension (elastic recovery): when a live source dies
+        # mid-stream, the producer re-opens the URL with backoff instead
+        # of finishing; readers keep blocking and frame numbering
+        # continues. reconnect_delay is in seconds between attempts;
+        # reconnect_attempts < 0 retries forever. For local files prefer
+        # loop= (replay without re-probing).
+        self.reconnect = reconnect
+        self.reconnect_delay = reconnect_delay
+        self.reconnect_attempts = reconnect_attempts
         # Debug taps like the reference's enableDumps (WrapperC.h init
         # param): bitstream.h264 from the demuxer + NV12.yuv from the
         # decoder, written in the working directory.
@@ -148,14 +160,17 @@ class TensorStreamConverter:
         repeat = repeat_number
         while status != StatusLevel.OK.value and repeat > 0:
             self._handle = self._lib.ts_pipeline_create()
-            status_native = self._lib.ts_pipeline_init_ex(
+            status_native = self._lib.ts_pipeline_init_ex2(
                 self._handle, str(self.stream_url).encode(),
                 int(self.max_consumers), int(self.buffer_size),
                 int(self.framerate_mode.value
                     if isinstance(self.framerate_mode, FrameRate)
                     else self.framerate_mode),
                 1 if self.enable_dumps else 0, int(self.decode_threads),
-                1 if self.loop else 0, 1 if self.fast_decode else 0)
+                1 if self.loop else 0, 1 if self.fast_decode else 0,
+                1 if self.reconnect else 0,
+                int(self.reconnect_delay * 1000),
+                int(self.reconnect_attempts))
             status = (StatusLevel.OK.value if status_native == _native.TS_OK
                       else StatusLevel.ERROR.value)
             if status != StatusLevel.OK.value:
