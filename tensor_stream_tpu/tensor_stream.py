@@ -385,6 +385,13 @@ class TensorStreamConverter:
         # args is several times slower than a direct H2D copy here.
         dy, duv = self._device_put(y, uv)
         tensor = build_vpp(cfg, self.device_index)(dy, duv)
+        if self.enable_dumps:
+            # Per-consumer processed-output tap, like the reference's VPP
+            # debug dump (reference: VideoProcessor.cpp:152-163 appends
+            # the converted buffer to Processed_<consumer>.yuv).
+            import numpy as np
+            with open(f"Processed_{name}.yuv", "ab") as f:
+                f.write(np.asarray(tensor).tobytes())
         # The dispatch stays fully asynchronous; _consumer_buffers blocks
         # on this tensor before the staging slot it used is overwritten
         # (_STAGING_DEPTH reads later).

@@ -163,10 +163,17 @@ def test_enable_dumps_writes_debug_taps(tmp_path, monkeypatch):
                                    enable_dumps=True)
     reader.initialize(repeat_number=3)
     reader.start()
-    reader.read(name="c", pixel_format=FourCC.Y800, width=96, height=64)
+    t1 = np.asarray(reader.read(name="c", pixel_format=FourCC.Y800,
+                                width=96, height=64))
+    t2 = np.asarray(reader.read(name="c", pixel_format=FourCC.Y800,
+                                width=96, height=64))
     reader.stop()
     assert os.path.getsize("bitstream.h264") > 0
     assert os.path.getsize("NV12.yuv") >= 1080 * 608 * 3 // 2
+    # Per-consumer processed tap (reference: VideoProcessor.cpp:152-163):
+    # the appended bytes are exactly the returned tensors' bytes.
+    dumped = open("Processed_c.yuv", "rb").read()
+    assert dumped == t1.tobytes() + t2.tobytes()
 
 
 def test_seek_frame_positions_reads():
