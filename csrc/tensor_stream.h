@@ -67,9 +67,19 @@ class TensorStream {
   }
 
   int startProcessing() { return pipeline_.Start(); }
-  void endProcessing() { pipeline_.Stop(); }
+  // CloseLevel kept for surface parity (reference: Common.h:39-43);
+  // HARD vs SOFT only differed in whether the log-file handler closed,
+  // and here the Logger owns its file for the object's lifetime, so
+  // both levels behave like the reference's SOFT.
+  void endProcessing(int /*close_level*/ = 1) { pipeline_.Stop(); }
   void enableLogs(int level) { pipeline_.enableLogs(level); }
   void skipAnalyzeStage() { pipeline_.skipAnalyze(); }
+  // Process-global read timeout in ms, exactly like the reference's
+  // timeoutFrame global (WrapperC.cpp:107-113, src/Common.cpp:4).
+  void setTimeout(int timeout_ms) { g_timeout_ms.store(timeout_ms); }
+  int getTimeout() const { return g_timeout_ms.load(); }
+  // Per-frame real-time delay in ms (reference: WrapperC.cpp:387-389).
+  int getDelay() const { return pipeline_.realTimeDelayMs(); }
 
   // Reads the (latest + index) frame for `consumer` and runs the full
   // host VPP chain. T is uint8_t or float and must agree with
