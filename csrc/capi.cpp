@@ -258,6 +258,9 @@ int ts_pipeline_frame_index(void* p) { return static_cast<Pipeline*>(p)->frameIn
 int ts_pipeline_analyze_errors(void* p) {
   return static_cast<Pipeline*>(p)->analyzeErrorMask();
 }
+int ts_pipeline_reconnect_count(void* p) {
+  return static_cast<Pipeline*>(p)->reconnectCount();
+}
 int ts_pipeline_slept_ms(void* p) {
   return static_cast<int>(static_cast<Pipeline*>(p)->sleptMs());
 }

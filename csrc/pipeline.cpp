@@ -202,6 +202,7 @@ int Pipeline::tryReconnect() {
       int sts = parser_->Reopen();
       if (sts == TS_OK) sts = decoder_->Reopen(*parser_);
       if (sts == TS_OK) {
+        reconnects_.fetch_add(1);
         logger_->log("Reconnected after " + std::to_string(attempt + 1) +
                          " attempt(s)",
                      LOG_LOW);

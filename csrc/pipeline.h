@@ -117,6 +117,9 @@ class Pipeline {
   int realTimeDelayMs() const { return real_time_delay_ms_; }
   int frameIndex() const { return decoder_ ? decoder_->frameIndex() : 0; }
   int analyzeErrorMask() const { return analyze_errors_.load(); }
+  // Successful live-source reconnects since Start() (observability for
+  // the elastic-recovery path).
+  int reconnectCount() const { return reconnects_.load(); }
   // Total milliseconds the producer loop spent in pacing sleeps —
   // lets tests assert NATIVE/NATIVE_SIMPLE pacing on the pipeline's own
   // accounting instead of flaky wall-clock reads.
@@ -164,6 +167,7 @@ class Pipeline {
   // Atomic: skipAnalyze() may be called while the producer loop runs.
   std::atomic<bool> skip_analyze_{false};
   std::atomic<int> analyze_errors_{0};
+  std::atomic<int> reconnects_{0};
   std::atomic<int64_t> slept_ms_{0};
 
   std::atomic<bool> should_work_{false};

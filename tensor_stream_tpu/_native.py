@@ -108,7 +108,7 @@ def load():
         sig("ts_pipeline_destroy", None, [c_void_p])
         for name in ("width", "height", "fps_num", "fps_den", "delay_ms",
                      "frame_index", "analyze_errors", "keeps_buffer",
-                     "slept_ms"):
+                     "slept_ms", "reconnect_count"):
             sig(f"ts_pipeline_{name}", c_int, [c_void_p])
         sig("ts_pipeline_skip_analyze", None, [c_void_p])
         sig("ts_pipeline_enable_logs", None, [c_void_p, c_int])

@@ -296,6 +296,14 @@ class TensorStreamConverter:
             return 0
         return self._lib.ts_pipeline_analyze_errors(self._handle)
 
+    @property
+    def reconnects(self):
+        """Successful live-source reconnects since start() (see the
+        reconnect= constructor option)."""
+        if self._handle is None:
+            return 0
+        return self._lib.ts_pipeline_reconnect_count(self._handle)
+
     # ----------------------------------------------------------------- read
 
     # Staging rotation depth: reads can run this many frames ahead of the

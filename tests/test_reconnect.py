@@ -95,8 +95,10 @@ def test_reconnect_resumes_live_stream(h264_bytes):
         assert len(indices) >= 12, (indices, server.connections)
         # No-drop cursor across the reconnect: strictly sequential from 1.
         assert indices == list(range(1, len(indices) + 1))
-        # The break really happened and was survived.
+        # The break really happened and was survived, and the
+        # observability counter recorded it.
         assert server.connections == 2
+        assert lib.ts_pipeline_reconnect_count(p) >= 1
     finally:
         lib.ts_pipeline_stop(p)
         lib.ts_pipeline_destroy(p)
