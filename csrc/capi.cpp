@@ -77,7 +77,9 @@ int ts_pipeline_init_ex2(void* p, const char* url, int max_consumers,
   params.loop = loop != 0;
   params.fast_decode = fast_decode != 0;
   params.reconnect = reconnect != 0;
-  if (reconnect_delay_ms > 0) params.reconnect_delay_ms = reconnect_delay_ms;
+  // >= 0 so an explicit zero delay (retry immediately) is representable;
+  // negative keeps the default.
+  if (reconnect_delay_ms >= 0) params.reconnect_delay_ms = reconnect_delay_ms;
   params.reconnect_attempts = reconnect_attempts;
   return static_cast<Pipeline*>(p)->Init(params);
 }

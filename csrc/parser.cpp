@@ -5,9 +5,15 @@ namespace ts {
 std::atomic<int> g_timeout_ms{-1};
 
 int Parser::interruptCallback(void* opaque) {
+  auto* self = static_cast<Parser*>(opaque);
+  // Abort any blocking avformat call (open/probe/read) when the owning
+  // pipeline is shutting down — without this, Stop() during a reconnect
+  // whose server accepts but never sends data would hang in
+  // avformat_open_input forever (no read timeout is set by default).
+  const std::atomic<bool>* alive = self->keep_running_;
+  if (alive && !alive->load(std::memory_order_relaxed)) return 1;
   int timeout = g_timeout_ms.load(std::memory_order_relaxed);
   if (timeout < 0) return 0;
-  auto* self = static_cast<Parser*>(opaque);
   auto elapsed = std::chrono::duration_cast<std::chrono::milliseconds>(
                      std::chrono::steady_clock::now() - self->last_packet_time_)
                      .count();
@@ -23,6 +29,11 @@ int Parser::Init(const ParserParams& params, std::shared_ptr<Logger> logger) {
   av_dict_set(&opts, "rtsp_transport", "tcp", 0);
   fmt_ = avformat_alloc_context();
   if (!fmt_) return TS_ERROR;
+  // From here on there are resources to free: mark open so a failed
+  // partial Init can still be torn down by Close() (otherwise a
+  // reconnect retry loop would leak one AVFormatContext + socket per
+  // failed attempt).
+  closed_ = false;
   if (!params_.keep_buffer) fmt_->flags |= AVFMT_FLAG_NOBUFFER;
   last_packet_time_ = std::chrono::steady_clock::now();
   fmt_->interrupt_callback.callback = &Parser::interruptCallback;
@@ -40,6 +51,8 @@ int Parser::Init(const ParserParams& params, std::shared_ptr<Logger> logger) {
   video_index_ = av_find_best_stream(fmt_, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
   if (video_index_ < 0) return TS_ERROR;
   video_stream_ = fmt_->streams[video_index_];
+  width_ = video_stream_->codecpar->width;
+  height_ = video_stream_->codecpar->height;
   is_h264_ = video_stream_->codecpar->codec_id == AV_CODEC_ID_H264;
   is_hevc_ = video_stream_->codecpar->codec_id == AV_CODEC_ID_HEVC;
   is_vp9_ = video_stream_->codecpar->codec_id == AV_CODEC_ID_VP9;
@@ -58,6 +71,7 @@ int Parser::Init(const ParserParams& params, std::shared_ptr<Logger> logger) {
     }
     sts = avformat_write_header(dump_ctx_, nullptr);
     if (sts < 0) return sts;
+    dump_header_written_ = true;
   }
 
   if (is_h264_ || is_hevc_) {
@@ -75,7 +89,6 @@ int Parser::Init(const ParserParams& params, std::shared_ptr<Logger> logger) {
   annexb_ = av_packet_alloc();
   last_ = av_packet_alloc();
   last_taken_ = true;
-  closed_ = false;
   return TS_OK;
 }
 
@@ -174,8 +187,11 @@ int Parser::Analyze(const AVPacket* pkt) {
   return result;
 }
 
-int Parser::width() const { return video_stream_ ? video_stream_->codecpar->width : 0; }
-int Parser::height() const { return video_stream_ ? video_stream_->codecpar->height : 0; }
+// Served from the init-time cache, not the live AVStream: the C-ABI
+// accessors are lock-free and a reconnect replaces the stream objects on
+// the producer thread.
+int Parser::width() const { return width_.load(std::memory_order_relaxed); }
+int Parser::height() const { return height_.load(std::memory_order_relaxed); }
 const AVCodecParameters* Parser::codecpar() const {
   return video_stream_ ? video_stream_->codecpar : nullptr;
 }
@@ -193,11 +209,12 @@ void Parser::Close() {
   if (closed_) return;
   if (bsf_) av_bsf_free(&bsf_);
   if (dump_ctx_) {
-    av_write_trailer(dump_ctx_);
+    if (dump_header_written_) av_write_trailer(dump_ctx_);
     if (!(dump_ctx_->oformat->flags & AVFMT_NOFILE) && dump_ctx_->pb)
       avio_closep(&dump_ctx_->pb);
     avformat_free_context(dump_ctx_);
     dump_ctx_ = nullptr;
+    dump_header_written_ = false;
   }
   if (fmt_) avformat_close_input(&fmt_);
   // video_stream_ pointed into fmt_, which is gone now — null it so the

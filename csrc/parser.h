@@ -71,6 +71,12 @@ class Parser {
   bool keepsBuffer() const {
     return fmt_ ? !(fmt_->flags & AVFMT_FLAG_NOBUFFER) : params_.keep_buffer;
   }
+  // Optional liveness flag consulted by the interrupt callback: when it
+  // reads false, any blocking avformat call aborts. Lets the pipeline's
+  // Stop() interrupt a reconnect-time avformat_open_input.
+  void setKeepRunningFlag(const std::atomic<bool>* flag) {
+    keep_running_ = flag;
+  }
 
  private:
   static int interruptCallback(void* opaque);
@@ -95,6 +101,12 @@ class Parser {
   bool is_av1_ = false;
   int64_t frames_read_ = 0;
   bool closed_ = true;
+  bool dump_header_written_ = false;
+  // Cached stream geometry: written during Init, NOT cleared by Close,
+  // so the lock-free width()/height() accessors stay valid while a
+  // reconnect tears down and rebuilds the AVFormatContext.
+  std::atomic<int> width_{0}, height_{0};
+  const std::atomic<bool>* keep_running_ = nullptr;
   std::chrono::steady_clock::time_point last_packet_time_;
 };
 

@@ -37,6 +37,9 @@ int Pipeline::Init(const PipelineParams& params) {
 
   Span span(logger_.get(), "Pipeline::Init");
   parser_ = std::make_unique<Parser>();
+  // Lets Stop() abort any blocking avformat call (including a
+  // reconnect-time re-open) through the interrupt callback.
+  parser_->setKeepRunningFlag(&should_work_);
   ParserParams pp{params.input, keep_buffer, params.enable_dumps, params.loop};
   int sts = parser_->Init(pp, logger_);
   if (sts != TS_OK) return sts == TS_OK ? TS_OK : TS_ERROR;
@@ -160,6 +163,13 @@ void Pipeline::processingLoop() {
   std::pair<int64_t, bool> start_dts{0, false};
   std::pair<std::chrono::steady_clock::time_point, bool> start_time{
       std::chrono::steady_clock::now(), false};
+  // Bounds the reconnect-mode undecodable-packet skip: a transient
+  // mid-GOP join recovers within one GOP, but a PERMANENT decode
+  // failure (e.g. a live source switching resolution, which storeFrame
+  // rejects) must not become an infinite full-speed skip loop that
+  // never releases the consumers.
+  constexpr int kMaxConsecutiveSkips = 1000;
+  int consecutive_skips = 0;
   while (should_work_) {
     Span span(logger_.get(), "Pipeline::processingLoop");
     int sts;
@@ -168,17 +178,25 @@ void Pipeline::processingLoop() {
       sts = loopIteration(start_dts, start_time, framerate_mode_);
     }
     if (sts == TS_REPEAT) continue;
-    if (sts == TS_OK) continue;
+    if (sts == TS_OK) {
+      consecutive_skips = 0;
+      continue;
+    }
     if (params_.reconnect && should_work_) {
-      if (sts == TS_DECODE_ERROR) {
+      if (sts == TS_DECODE_ERROR && ++consecutive_skips < kMaxConsecutiveSkips) {
         // A live packet that would not decode (e.g. joined mid-GOP
         // after a reconnect, waiting for the next keyframe): skip it.
         logger_->log("Undecodable packet skipped (reconnect mode)", LOG_LOW);
         continue;
       }
+      if (sts == TS_DECODE_ERROR) {
+        logger_->log("Decode failing persistently; giving up", LOG_LOW);
+        break;
+      }
       // EOF / timeout / read error: the source died — re-open it and
       // keep the consumers blocked (frame numbering continues).
       if (tryReconnect() == TS_OK) {
+        consecutive_skips = 0;
         start_dts = {0, false};
         start_time = {std::chrono::steady_clock::now(), false};
         continue;
@@ -209,8 +227,12 @@ int Pipeline::tryReconnect() {
         return TS_OK;
       }
     }
-    // Interruptible backoff: Stop() must never wait out a full delay.
-    int remaining = params_.reconnect_delay_ms;
+    // Interruptible backoff, only when another attempt will follow:
+    // Stop() must never wait out a full delay, and a decided outcome
+    // must not keep consumers blocked for one more period.
+    bool last_attempt = params_.reconnect_attempts >= 0 &&
+                        attempt + 1 >= params_.reconnect_attempts;
+    int remaining = last_attempt ? 0 : params_.reconnect_delay_ms;
     while (remaining > 0 && should_work_) {
       int slice = remaining < 50 ? remaining : 50;
       std::this_thread::sleep_for(std::chrono::milliseconds(slice));

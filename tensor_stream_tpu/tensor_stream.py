@@ -141,6 +141,7 @@ class TensorStreamConverter:
         # decoder, written in the working directory.
         self.enable_dumps = enable_dumps
         self._buffers = {}  # consumer -> (y, uv) pinned host staging
+        self._dumped_consumers = set()  # Processed_ taps written this run
         self._batch_staging = {}  # (consumer, batch) -> flat NV12 staging
         self._retired = []  # stopped handles awaiting safe destruction
         self._started = False
@@ -156,6 +157,8 @@ class TensorStreamConverter:
         (reference: tensor_stream.py:187-206)."""
         self.log.info("Initialize TensorStream")
         self._reap_retired()
+        # Fresh pipeline => fresh Processed_ taps (first write truncates).
+        self._dumped_consumers = set()
         status = StatusLevel.REPEAT.value
         repeat = repeat_number
         while status != StatusLevel.OK.value and repeat > 0:
@@ -396,9 +399,13 @@ class TensorStreamConverter:
         if self.enable_dumps:
             # Per-consumer processed-output tap, like the reference's VPP
             # debug dump (reference: VideoProcessor.cpp:152-163 appends
-            # the converted buffer to Processed_<consumer>.yuv).
-            import numpy as np
-            with open(f"Processed_{name}.yuv", "ab") as f:
+            # the converted buffer to Processed_<consumer>.yuv). The first
+            # write after initialize() truncates, matching the C-side taps
+            # (NV12.yuv/bitstream.h264) so a re-run never carries a stale
+            # prefix from a previous pipeline in the same directory.
+            mode = "ab" if name in self._dumped_consumers else "wb"
+            self._dumped_consumers.add(name)
+            with open(f"Processed_{name}.yuv", mode) as f:
                 f.write(np.asarray(tensor).tobytes())
         # The dispatch stays fully asynchronous; _consumer_buffers blocks
         # on this tensor before the staging slot it used is overwritten

@@ -174,6 +174,14 @@ def test_enable_dumps_writes_debug_taps(tmp_path, monkeypatch):
     # the appended bytes are exactly the returned tensors' bytes.
     dumped = open("Processed_c.yuv", "rb").read()
     assert dumped == t1.tobytes() + t2.tobytes()
+    # A fresh pipeline truncates the tap — no stale prefix from the
+    # previous run survives in a reused working directory.
+    reader.initialize(repeat_number=3)
+    reader.start()
+    t3 = np.asarray(reader.read(name="c", pixel_format=FourCC.Y800,
+                                width=96, height=64))
+    reader.stop()
+    assert open("Processed_c.yuv", "rb").read() == t3.tobytes()
 
 
 def test_seek_frame_positions_reads():
