@@ -189,7 +189,8 @@ void ts_resize_nv12_host(const uint8_t* y, const uint8_t* uv, int sw, int sh,
 int ts_vpp_convert_host(const uint8_t* y, const uint8_t* uv, int src_w,
                         int src_h, int crop_left, int crop_top, int crop_right,
                         int crop_bottom, int dst_w, int dst_h, int resize_algo,
-                        int fourcc, int planes, int normalization, void* out) {
+                        int fourcc, int planes, int normalization,
+                        int standard, void* out) {
   ts::HostVppParams p;
   p.crop_left = crop_left;
   p.crop_top = crop_top;
@@ -201,6 +202,7 @@ int ts_vpp_convert_host(const uint8_t* y, const uint8_t* uv, int src_w,
   p.fourcc = fourcc;
   p.planes = planes;
   p.normalization = normalization != 0;
+  p.standard = standard;
   return ts::VppConvertHost(y, uv, src_w, src_h, p, out);
 }
 
@@ -232,7 +234,7 @@ int ts_pipeline_get_converted(void* p, const char* consumer, int index,
                               int crop_left, int crop_top, int crop_right,
                               int crop_bottom, int dst_w, int dst_h,
                               int resize_algo, int fourcc, int planes,
-                              int normalization, void* out) {
+                              int normalization, int standard, void* out) {
   auto* pipe = static_cast<Pipeline*>(p);
   int w = pipe->width(), h = pipe->height();
   std::vector<uint8_t> y(static_cast<size_t>(w) * h);
@@ -243,7 +245,7 @@ int ts_pipeline_get_converted(void* p, const char* consumer, int index,
   int sts = ts_vpp_convert_host(y.data(), uv.data(), w, h, crop_left,
                                 crop_top, crop_right, crop_bottom, dst_w,
                                 dst_h, resize_algo, fourcc, planes,
-                                normalization, out);
+                                normalization, standard, out);
   if (sts != 0) return ts::TS_ERROR;
   return idx;
 }

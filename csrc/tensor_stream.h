@@ -36,6 +36,9 @@ struct ColorOptions {
   ConvFourCC dstFourCC = FCC_RGB24;
   ConvPlanes planesPos = PLANES_MERGED;
   bool normalization = false;
+  // TPU extension: 0 = BT601 (the reference's exact constants),
+  // 1 = BT709 for HD-mastered content.
+  int standard = 0;
 };
 
 struct FrameParameters {
@@ -142,6 +145,7 @@ class TensorStream {
     p.fourcc = params.color.dstFourCC;
     p.planes = params.color.planesPos;
     p.normalization = params.color.normalization;
+    p.standard = params.color.standard;
     return p;
   }
 

@@ -16,6 +16,26 @@ const float kBU = 2.017999649f;
 const float kGV = -0.812999725f;
 const float kGU = -0.390999794f;
 
+// BT.709 limited-range constants (TPU extension; Kr=0.2126, Kb=0.0722,
+// scaled by 255/224 like the BT.601 set — must match ops/color.py's
+// _STANDARD_COEFS[1] bit-for-bit, hence the same double-math-then-f32
+// construction).
+const float kRV709 = static_cast<float>(2 * (1 - 0.2126) * 255 / 224);
+const float kBU709 = static_cast<float>(2 * (1 - 0.0722) * 255 / 224);
+const float kGV709 =
+    static_cast<float>(-(2 * (1 - 0.2126) * 0.2126 / 0.7152) * 255 / 224);
+const float kGU709 =
+    static_cast<float>(-(2 * (1 - 0.0722) * 0.0722 / 0.7152) * 255 / 224);
+
+struct YuvCoefs {
+  float rv, bu, gv, gu;
+};
+
+inline YuvCoefs CoefsFor(int standard) {
+  if (standard == 1) return {kRV709, kBU709, kGV709, kGU709};
+  return {kRV, kBU, kGV, kGU};
+}
+
 inline int Clamp255(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
 
 // Exact x/255 for integer-valued x: a true IEEE single division is
@@ -29,21 +49,22 @@ inline float Norm255(int x) {
 // Operation order matches ops/color.py nv12_to_rgb_channels exactly; the
 // translation unit is compiled -ffp-contract=off so no FMA re-association
 // can change the rounding.
-inline void Nv12Rgb(uint8_t yv, uint8_t uu, uint8_t vv, int* r, int* g,
-                    int* b) {
+inline void Nv12Rgb(uint8_t yv, uint8_t uu, uint8_t vv, const YuvCoefs& c,
+                    int* r, int* g, int* b) {
   float yf = std::max(0.0f, static_cast<float>(yv) - 16.0f) * kYCoef;
   float vi = static_cast<float>(static_cast<int>(vv) - 128);
   float ui = static_cast<float>(static_cast<int>(uu) - 128);
-  *r = Clamp255(static_cast<int>(yf + (kRV * vi + 0.5f)));
-  *b = Clamp255(static_cast<int>(yf + (kBU * ui + 0.5f)));
-  *g = Clamp255(static_cast<int>(yf + (kGV * vi + kGU * ui + 0.5f)));
+  *r = Clamp255(static_cast<int>(yf + (c.rv * vi + 0.5f)));
+  *b = Clamp255(static_cast<int>(yf + (c.bu * ui + 0.5f)));
+  *g = Clamp255(static_cast<int>(yf + (c.gv * vi + c.gu * ui + 0.5f)));
 }
 
 // NV12 -> RGB24/BGR24, planar [3,H,W] or merged [H,W,3]
 // (src/ColorConversion.cu:41-93).
 template <typename T>
 void RgbPlane(const uint8_t* y, const uint8_t* uv, int w, int h, bool swap_rb,
-              bool planar, T* out) {
+              bool planar, int standard, T* out) {
+  const YuvCoefs coefs = CoefsFor(standard);
   const size_t plane = static_cast<size_t>(w) * h;
   for (int i = 0; i < h; i++) {
     const uint8_t* yrow = y + static_cast<size_t>(i) * w;
@@ -51,7 +72,7 @@ void RgbPlane(const uint8_t* y, const uint8_t* uv, int w, int h, bool swap_rb,
     for (int j = 0; j < w; j++) {
       int uvcol = j & ~1;  // even-aligned UV column (ColorConversion.cu:16-21)
       int r, g, b;
-      Nv12Rgb(yrow[j], uvrow[uvcol], uvrow[uvcol + 1], &r, &g, &b);
+      Nv12Rgb(yrow[j], uvrow[uvcol], uvrow[uvcol + 1], coefs, &r, &g, &b);
       if (swap_rb) std::swap(r, b);
       size_t px = static_cast<size_t>(i) * w + j;
       T rv, gv, bv;
@@ -240,14 +261,16 @@ void Nv12MergePlane(const uint8_t* y, const uint8_t* uv, int w, int h,
 // Merged normalized RGB f32 -> merged HSV f32: H scaled to [0,1] from
 // degrees/360, S = 1 - min/max, V = max (src/ColorConversion.cu:235-278;
 // ops/color.py rgb_to_hsv incl. the max==min early-return quirk).
-void HsvPlane(const uint8_t* y, const uint8_t* uv, int w, int h, float* out) {
+void HsvPlane(const uint8_t* y, const uint8_t* uv, int w, int h, int standard,
+              float* out) {
+  const YuvCoefs coefs = CoefsFor(standard);
   for (int i = 0; i < h; i++) {
     const uint8_t* yrow = y + static_cast<size_t>(i) * w;
     const uint8_t* uvrow = uv + static_cast<size_t>(i / 2) * w;
     for (int j = 0; j < w; j++) {
       int uvcol = j & ~1;
       int ri, gi, bi;
-      Nv12Rgb(yrow[j], uvrow[uvcol], uvrow[uvcol + 1], &ri, &gi, &bi);
+      Nv12Rgb(yrow[j], uvrow[uvcol], uvrow[uvcol + 1], coefs, &ri, &gi, &bi);
       float r = Norm255(ri), g = Norm255(gi), b = Norm255(bi);
       float min_v = std::min(std::min(r, g), b);
       float max_v = std::max(std::max(r, g), b);
@@ -296,7 +319,8 @@ bool ConvertedIsFloat(int fourcc, bool normalization) {
 }
 
 int ConvertNV12Host(const uint8_t* y, const uint8_t* uv, int w, int h,
-                    int fourcc, int planes, bool normalization, void* out) {
+                    int fourcc, int planes, bool normalization, int standard,
+                    void* out) {
   const bool as_float = ConvertedIsFloat(fourcc, normalization);
   switch (fourcc) {
     case FCC_RGB24:
@@ -304,9 +328,11 @@ int ConvertNV12Host(const uint8_t* y, const uint8_t* uv, int w, int h,
       bool swap = fourcc == FCC_BGR24;
       bool planar = planes == PLANES_PLANAR;
       if (as_float)
-        RgbPlane(y, uv, w, h, swap, planar, static_cast<float*>(out));
+        RgbPlane(y, uv, w, h, swap, planar, standard,
+                 static_cast<float*>(out));
       else
-        RgbPlane(y, uv, w, h, swap, planar, static_cast<uint8_t*>(out));
+        RgbPlane(y, uv, w, h, swap, planar, standard,
+                 static_cast<uint8_t*>(out));
       return 0;
     }
     case FCC_Y800:
@@ -334,7 +360,7 @@ int ConvertNV12Host(const uint8_t* y, const uint8_t* uv, int w, int h,
         Nv12MergePlane(y, uv, w, h, static_cast<uint8_t*>(out));
       return 0;
     case FCC_HSV:
-      HsvPlane(y, uv, w, h, static_cast<float*>(out));
+      HsvPlane(y, uv, w, h, standard, static_cast<float*>(out));
       return 0;
     default:
       return -1;  // unknown FourCC: nothing was written
@@ -406,7 +432,7 @@ int VppConvertHost(const uint8_t* y, const uint8_t* uv, int src_w, int src_h,
   // HSV forces normalization (VideoProcessor.h:39-52) — ConvertedIsFloat
   // already answers float for it; pass normalization through unchanged.
   return ConvertNV12Host(cy, cuv, cur_w, cur_h, p.fourcc, p.planes,
-                         p.normalization, out);
+                         p.normalization, p.standard, out);
 }
 
 }  // namespace ts

@@ -55,10 +55,13 @@ bool ConvertedIsFloat(int fourcc, bool normalization);
 // elements of u8 or f32 per ConvertedIsFloat. Layouts follow the tensor
 // contract (WrapperPython.cpp:318-341): RGB/BGR planar [3,H,W] or merged
 // [H,W,3]; YUV444 planar bytes; UYVY row-interleaved U0 Y0 V0 Y1; NV12
-// Y then UV; HSV merged [H,W,3] f32. Returns 0, or -1 on an unknown
-// FourCC (nothing written).
+// Y then UV; HSV merged [H,W,3] f32. `standard` selects the YUV->RGB
+// matrix (0 = the reference's BT.601 constants, 1 = BT.709; only
+// RGB/BGR/HSV apply it). Returns 0, or -1 on an unknown FourCC
+// (nothing written).
 int ConvertNV12Host(const uint8_t* y, const uint8_t* uv, int w, int h,
-                    int fourcc, int planes, bool normalization, void* out);
+                    int fourcc, int planes, bool normalization, int standard,
+                    void* out);
 
 // Full host VPP chain: crop -> resize -> convert, with the reference's
 // defaulting rules (VideoProcessor.cpp:106-135): a crop box is applied
@@ -76,6 +79,7 @@ struct HostVppParams {
   int fourcc = FCC_RGB24;
   int planes = PLANES_MERGED;
   bool normalization = false;
+  int standard = 0;  // 0 = BT601 (reference-exact), 1 = BT709
 };
 
 void VppOutputSize(int src_w, int src_h, const HostVppParams& p, int* out_w,

@@ -13,8 +13,8 @@ Public API mirrors the reference package (tensor_stream/__init__.py):
 """
 from .data import (FrameLoader, MultiStreamLoader, PooledStreamLoader,
                    ShardedStreamLoader)
-from .enums import (FourCC, FrameRate, LogsLevel, LogsType, Planes,
-                    ResizeType, StatusLevel)
+from .enums import (ColorStandard, FourCC, FrameRate, LogsLevel, LogsType,
+                    Planes, ResizeType, StatusLevel)
 from .tensor_stream import FrameParameters, TensorStreamConverter
 
 __version__ = "0.1.0"
@@ -24,4 +24,5 @@ __all__ = [
     "MultiStreamLoader", "PooledStreamLoader", "ShardedStreamLoader",
     "StatusLevel", "LogsLevel",
     "LogsType", "FourCC", "ResizeType", "Planes", "FrameRate",
+    "ColorStandard",
 ]

@@ -88,7 +88,7 @@ def load():
              c_int, c_int])
         sig("ts_vpp_convert_host", c_int,
             [c_void_p, c_void_p, c_int, c_int, c_int, c_int, c_int, c_int,
-             c_int, c_int, c_int, c_int, c_int, c_int, c_void_p])
+             c_int, c_int, c_int, c_int, c_int, c_int, c_int, c_void_p])
         sig("ts_vpp_output_elements", ctypes.c_longlong,
             [c_int, c_int, c_int])
         sig("ts_vpp_is_float", c_int, [c_int, c_int])
@@ -97,7 +97,7 @@ def load():
              ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)])
         sig("ts_pipeline_get_converted", c_int,
             [c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_int, c_int,
-             c_int, c_int, c_int, c_int, c_int, c_void_p])
+             c_int, c_int, c_int, c_int, c_int, c_int, c_void_p])
         sig("ts_pool_create", c_void_p, [c_int])
         sig("ts_pool_add_stream", c_int, [c_void_p, c_char_p, c_int, c_int, c_int])
         sig("ts_pool_start", c_int, [c_void_p])

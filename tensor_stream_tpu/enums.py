@@ -54,6 +54,15 @@ class Planes(Enum):
     MERGED = 1
 
 
+class ColorStandard(Enum):
+    """YUV->RGB matrix selection (TPU extension; the reference hardcodes
+    BT.601 limited-range constants, src/ColorConversion.cu:23-35, which
+    mis-render HD/BT.709 content). Default stays BT601 for parity with
+    every committed oracle."""
+    BT601 = 0
+    BT709 = 1
+
+
 class FrameRate(Enum):
     """Stream reading/pacing modes (reference: tensor_stream.py:87-97)."""
     NATIVE = 0

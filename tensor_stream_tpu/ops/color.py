@@ -24,6 +24,19 @@ _BU = np.float32(2.017999649)
 _GV = np.float32(-0.812999725)
 _GU = np.float32(-0.390999794)
 
+# BT.709 limited-range constants (TPU extension; Kr=0.2126, Kb=0.0722,
+# scaled by 255/224 like the reference's BT.601 set). Same Y excursion.
+_RV709 = np.float32(2 * (1 - 0.2126) * 255 / 224)
+_BU709 = np.float32(2 * (1 - 0.0722) * 255 / 224)
+_GV709 = np.float32(-(2 * (1 - 0.2126) * 0.2126 / 0.7152) * 255 / 224)
+_GU709 = np.float32(-(2 * (1 - 0.0722) * 0.0722 / 0.7152) * 255 / 224)
+
+# standard value (enums.ColorStandard) -> (Rv, Bu, Gv, Gu)
+_STANDARD_COEFS = {
+    0: (_RV, _BU, _GV, _GU),           # BT601 (reference-exact)
+    1: (_RV709, _BU709, _GV709, _GU709),
+}
+
 # Correctly-rounded i/255 table. XLA rewrites division by a constant into
 # reciprocal multiplication (1-ulp off); the reference's CUDA `/= 255` is a
 # true IEEE division, so integer-valued channels go through this LUT to stay
@@ -50,24 +63,27 @@ def _upsample_uv(uv):
     return u, v
 
 
-def nv12_to_rgb_channels(y, uv):
+def nv12_to_rgb_channels(y, uv, standard: int = 0):
     """Returns clamped integer (R, G, B) int32 planes
-    (src/ColorConversion.cu:6-39)."""
+    (src/ColorConversion.cu:6-39). `standard` selects the YUV matrix
+    (0 = the reference's BT.601 constants, 1 = BT.709)."""
+    rv, bu, gv, gu = _STANDARD_COEFS[standard]
     u, v = _upsample_uv(uv)
     yf = jnp.maximum(jnp.float32(0), y.astype(jnp.float32) - jnp.float32(16)) * _Y_COEF
     vi = (v.astype(jnp.int32) - 128).astype(jnp.float32)
     ui = (u.astype(jnp.int32) - 128).astype(jnp.float32)
-    r = (yf + (_RV * vi + jnp.float32(0.5))).astype(jnp.int32)
-    b = (yf + (_BU * ui + jnp.float32(0.5))).astype(jnp.int32)
-    g = (yf + (_GV * vi + _GU * ui + jnp.float32(0.5))).astype(jnp.int32)
+    r = (yf + (rv * vi + jnp.float32(0.5))).astype(jnp.int32)
+    b = (yf + (bu * ui + jnp.float32(0.5))).astype(jnp.int32)
+    g = (yf + (gv * vi + gu * ui + jnp.float32(0.5))).astype(jnp.int32)
     clip = lambda x: jnp.clip(x, 0, 255)
     return clip(r), clip(g), clip(b)
 
 
-def nv12_to_rgb(y, uv, swap_rb: bool, planar: bool, normalization: bool):
+def nv12_to_rgb(y, uv, swap_rb: bool, planar: bool, normalization: bool,
+                standard: int = 0):
     """NV12 -> RGB24/BGR24, planar [3,H,W] or merged [H,W,3]
     (src/ColorConversion.cu:41-93)."""
-    r, g, b = nv12_to_rgb_channels(y, uv)
+    r, g, b = nv12_to_rgb_channels(y, uv, standard)
     if swap_rb:
         r, b = b, r
     chans = [r, g, b]
@@ -234,8 +250,9 @@ def rgb_to_hsv(rgb):
     return jnp.stack([h, s, v], axis=-1)
 
 
-def nv12_to_hsv(y, uv):
+def nv12_to_hsv(y, uv, standard: int = 0):
     """HSV is always produced from normalized merged RGB float
     (src/ColorConversion.cu:360-372)."""
-    rgb = nv12_to_rgb(y, uv, swap_rb=False, planar=False, normalization=True)
+    rgb = nv12_to_rgb(y, uv, swap_rb=False, planar=False, normalization=True,
+                      standard=standard)
     return rgb_to_hsv(rgb)

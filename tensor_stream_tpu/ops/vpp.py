@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..enums import FourCC, Planes, ResizeType, channels_by_fourcc
+from ..enums import (ColorStandard, FourCC, Planes, ResizeType,
+                     channels_by_fourcc)
 from . import color as color_ops
 from .crop import crop_nv12
 from .resize import resize_nv12
@@ -35,6 +36,11 @@ class VPPConfig:
     fourcc: FourCC = FourCC.RGB24
     planes: Planes = Planes.MERGED
     normalization: bool = False
+    # YUV->RGB matrix (TPU extension): BT601 = the reference's exact
+    # constants (every committed oracle); BT709 for HD-mastered content.
+    # Only affects RGB24/BGR24/HSV — the YUV-domain formats never apply
+    # the matrix.
+    standard: ColorStandard = ColorStandard.BT601
 
     def __post_init__(self):
         # HSV output is always normalized float (VideoProcessor.h:39-52).
@@ -98,6 +104,7 @@ def make_vpp_fn(cfg: VPPConfig):
     use_pallas = (not do_crop and not do_resize and
                   cfg.fourcc in (FourCC.RGB24, FourCC.BGR24) and
                   cfg.planes == Planes.PLANAR and
+                  cfg.standard == ColorStandard.BT601 and
                   cfg.src_height % 8 == 0 and
                   jax.default_backend() == "tpu")
     if use_pallas:
@@ -121,7 +128,8 @@ def make_vpp_fn(cfg: VPPConfig):
         if four in (FourCC.RGB24, FourCC.BGR24):
             return color_ops.nv12_to_rgb(y, uv, swap_rb=(four == FourCC.BGR24),
                                          planar=(cfg.planes == Planes.PLANAR),
-                                         normalization=cfg.normalization)
+                                         normalization=cfg.normalization,
+                                         standard=cfg.standard.value)
         if four == FourCC.Y800:
             return color_ops.nv12_to_y800(y, cfg.normalization)
         if four == FourCC.UYVY:
@@ -136,7 +144,7 @@ def make_vpp_fn(cfg: VPPConfig):
         if four == FourCC.NV12:
             return color_ops.nv12_merge(y, uv, cfg.normalization)
         if four == FourCC.HSV:
-            return color_ops.nv12_to_hsv(y, uv)
+            return color_ops.nv12_to_hsv(y, uv, standard=cfg.standard.value)
         raise ValueError(f"unsupported FourCC {four}")
 
     return fn

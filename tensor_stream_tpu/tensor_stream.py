@@ -23,8 +23,8 @@ import jax
 import numpy as np
 
 from . import _native
-from .enums import (FourCC, FrameRate, LogsLevel, LogsType, Planes,
-                    ResizeType, StatusLevel, channels_by_fourcc)
+from .enums import (ColorStandard, FourCC, FrameRate, LogsLevel, LogsType,
+                    Planes, ResizeType, StatusLevel, channels_by_fourcc)
 from .ops.vpp import VPPConfig, build_vpp, build_vpp_batched_flat
 
 
@@ -38,7 +38,8 @@ class FrameParameters:
                  resize_type=ResizeType.NEAREST,
                  pixel_format=FourCC.RGB24,
                  planes_pos=Planes.MERGED,
-                 normalization=None):
+                 normalization=None,
+                 color_standard=ColorStandard.BT601):
         self.width = width
         self.height = height
         self.crop_coords = tuple(crop_coords)
@@ -48,6 +49,8 @@ class FrameParameters:
         # None means "library decides": False everywhere except HSV, which
         # forces normalization (reference: VideoProcessor.h:39-52).
         self.normalization = normalization
+        # TPU extension: YUV->RGB matrix; BT601 = reference-exact default.
+        self.color_standard = color_standard
 
     def to_config(self, src_width: int, src_height: int) -> VPPConfig:
         norm = self.normalization
@@ -57,7 +60,8 @@ class FrameParameters:
                          crop=self.crop_coords, width=self.width,
                          height=self.height, resize_type=self.resize_type,
                          fourcc=self.pixel_format, planes=self.planes_pos,
-                         normalization=bool(norm))
+                         normalization=bool(norm),
+                         standard=self.color_standard)
 
     def __repr__(self):
         return (f"FrameParameters(\n"
@@ -374,13 +378,15 @@ class TensorStreamConverter:
              planes_pos=Planes.MERGED,
              normalization=None,
              delay=0,
-             return_index=False):
+             return_index=False,
+             color_standard=ColorStandard.BT601):
         """Reads the next decoded frame as a jax.Array
         (reference: tensor_stream.py:248-273)."""
         frame_parameters = FrameParameters(
             width=width, height=height, crop_coords=crop_coords,
             resize_type=resize_type, pixel_format=pixel_format,
-            planes_pos=planes_pos, normalization=normalization)
+            planes_pos=planes_pos, normalization=normalization,
+            color_standard=color_standard)
         return self.param_read(frame_parameters, name=name, delay=delay,
                                return_index=return_index)
 

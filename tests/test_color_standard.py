@@ -1,0 +1,123 @@
+"""ColorStandard (BT.601 vs BT.709) — TPU extension.
+
+The reference hardcodes BT.601 limited-range constants
+(reference: src/ColorConversion.cu:23-35), which mis-render HD/BT.709
+content. The extension adds a `color_standard` knob while the default
+(BT601) stays pinned to every committed oracle (the whole CRC/raster
+suite runs on the default path).
+"""
+import numpy as np
+import pytest
+
+from tensor_stream_tpu.enums import ColorStandard, FourCC, Planes
+from tensor_stream_tpu.ops.vpp import VPPConfig, vpp_numpy
+
+
+@pytest.fixture(scope="module")
+def chroma_frame():
+    """A synthetic frame with strong chroma so the matrices separate."""
+    rng = np.random.default_rng(7)
+    h, w = 64, 96
+    y = rng.integers(16, 236, (h, w), np.uint8)
+    uv = rng.integers(0, 256, (h // 2, w), np.uint8)
+    return y, uv, w, h
+
+
+def _reference_rgb(y, uv, rv, bu, gv, gu):
+    """Independent float64 reimplementation of the conversion semantics
+    (max(0, Y-16)*1.164 + coef*(C-128) + 0.5, truncate, clamp)."""
+    u = np.repeat(np.repeat(uv[:, 0::2], 2, 0), 2, 1).astype(np.float64)
+    v = np.repeat(np.repeat(uv[:, 1::2], 2, 0), 2, 1).astype(np.float64)
+    yf = np.maximum(0.0, y.astype(np.float64) - 16.0) * np.float32(1.163999557)
+    r = np.clip((yf + (rv * (v - 128) + 0.5)).astype(np.int64), 0, 255)
+    b = np.clip((yf + (bu * (u - 128) + 0.5)).astype(np.int64), 0, 255)
+    g = np.clip((yf + (gv * (v - 128) + gu * (u - 128) + 0.5)).astype(np.int64),
+                0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_bt709_differs_from_bt601(chroma_frame):
+    y, uv, w, h = chroma_frame
+    out601 = vpp_numpy(VPPConfig(src_width=w, src_height=h,
+                                 fourcc=FourCC.RGB24), y, uv)
+    out709 = vpp_numpy(VPPConfig(src_width=w, src_height=h,
+                                 fourcc=FourCC.RGB24,
+                                 standard=ColorStandard.BT709), y, uv)
+    assert not np.array_equal(out601, out709)
+    # The red coefficient grows (1.596 -> 1.793): saturated chroma maps
+    # to visibly different reds on a significant pixel fraction.
+    assert (out601 != out709).mean() > 0.2
+
+
+def test_bt709_matches_independent_reference(chroma_frame):
+    """Device BT.709 output vs a float64 reimplementation: at most the
+    truncation-boundary pixels may differ by one step (f32 vs f64
+    product rounding), everything else exact."""
+    y, uv, w, h = chroma_frame
+    rv = np.float32(2 * (1 - 0.2126) * 255 / 224)
+    bu = np.float32(2 * (1 - 0.0722) * 255 / 224)
+    gv = np.float32(-(2 * (1 - 0.2126) * 0.2126 / 0.7152) * 255 / 224)
+    gu = np.float32(-(2 * (1 - 0.0722) * 0.0722 / 0.7152) * 255 / 224)
+    expected = _reference_rgb(y, uv, float(rv), float(bu), float(gv),
+                              float(gu))
+    out = np.asarray(vpp_numpy(VPPConfig(src_width=w, src_height=h,
+                                         fourcc=FourCC.RGB24,
+                                         standard=ColorStandard.BT709),
+                               y, uv))
+    diff = np.abs(out.astype(np.int32) - expected.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.01
+
+
+def test_native_bt709_matches_device(native, chroma_frame):
+    """The C++ host converter and the jitted device path agree bit-for-
+    bit on BT.709 for every affected FourCC (same f32 constants, same
+    operation order)."""
+    from test_native_convert import native_vpp
+    y, uv, w, h = chroma_frame
+    for fourcc, planes in [(FourCC.RGB24, Planes.MERGED),
+                           (FourCC.BGR24, Planes.PLANAR),
+                           (FourCC.HSV, Planes.MERGED)]:
+        dev = np.asarray(vpp_numpy(
+            VPPConfig(src_width=w, src_height=h, fourcc=fourcc,
+                      planes=planes, standard=ColorStandard.BT709),
+            y, uv)).reshape(-1)
+        nat = native_vpp(native, y, uv, w, h, fourcc, planes=planes,
+                         standard=1)
+        if fourcc == FourCC.HSV:
+            assert np.abs(nat - dev).max() <= 1e-6
+        else:
+            np.testing.assert_array_equal(nat, dev, err_msg=str(fourcc))
+
+
+def test_yuv_formats_ignore_standard(chroma_frame):
+    """Y800/UYVY/YUV444/NV12 never apply the RGB matrix: identical
+    bytes under either standard."""
+    y, uv, w, h = chroma_frame
+    for fourcc in (FourCC.Y800, FourCC.UYVY, FourCC.YUV444, FourCC.NV12):
+        a = vpp_numpy(VPPConfig(src_width=w, src_height=h, fourcc=fourcc,
+                                planes=Planes.PLANAR), y, uv)
+        b = vpp_numpy(VPPConfig(src_width=w, src_height=h, fourcc=fourcc,
+                                planes=Planes.PLANAR,
+                                standard=ColorStandard.BT709), y, uv)
+        np.testing.assert_array_equal(a, b, err_msg=str(fourcc))
+
+
+def test_api_read_accepts_color_standard():
+    """End-to-end: read(color_standard=BT709) returns different bytes
+    than the default on real video."""
+    from conftest import resource
+    from tensor_stream_tpu import FrameRate, TensorStreamConverter
+    reader = TensorStreamConverter(
+        resource("bbb_720x480_RGB24_250.h264"),
+        framerate_mode=FrameRate.BLOCKING)
+    reader.initialize(repeat_number=3)
+    reader.start()
+    t601 = np.asarray(reader.read(name="c", pixel_format=FourCC.RGB24,
+                                  width=160, height=96))
+    t709 = np.asarray(reader.read(name="c", pixel_format=FourCC.RGB24,
+                                  width=160, height=96,
+                                  color_standard=ColorStandard.BT709))
+    reader.stop()
+    assert t601.shape == t709.shape
+    assert not np.array_equal(t601, t709)

@@ -27,7 +27,7 @@ HOST_ALGO = {ResizeType.NEAREST: 0, ResizeType.BILINEAR: 1,
 
 def native_vpp(native, y, uv, w, h, fourcc, planes=Planes.MERGED,
                normalization=False, crop=(0, 0, 0, 0), width=0, height=0,
-               resize_type=ResizeType.NEAREST):
+               resize_type=ResizeType.NEAREST, standard=0):
     """Runs the full native chain via the C ABI and returns a NumPy array."""
     ow, oh = ctypes.c_int(), ctypes.c_int()
     native.ts_vpp_output_size(w, h, *crop, width, height,
@@ -38,7 +38,7 @@ def native_vpp(native, y, uv, w, h, fourcc, planes=Planes.MERGED,
     rc = native.ts_vpp_convert_host(
         y.ctypes.data, uv.ctypes.data, w, h, *crop, width, height,
         HOST_ALGO[resize_type], fourcc.value, planes.value,
-        int(normalization), out.ctypes.data)
+        int(normalization), standard, out.ctypes.data)
     assert rc == 0
     return out
 
@@ -115,7 +115,7 @@ def test_pipeline_get_converted_end_to_end(native):
     out = np.empty(h * w * 3, np.uint8)
     idx = native.ts_pipeline_get_converted(
         p, b"cpp", 0, 0, 0, 0, 0, 0, 0, 0,
-        FourCC.RGB24.value, Planes.MERGED.value, 0, out.ctypes.data)
+        FourCC.RGB24.value, Planes.MERGED.value, 0, 0, out.ctypes.data)
     native.ts_pipeline_stop(p)
     native.ts_pipeline_destroy(p)
     assert idx == 1
@@ -157,16 +157,16 @@ def test_native_invalid_params_rejected(native, bbb_frame0):
     rc = native.ts_vpp_convert_host(
         y.ctypes.data, uv.ctypes.data, w, h,
         0, h // 2, 300, h + h // 2 - 2, 0, 0, 0,
-        FourCC.NV12.value, 0, 0, out.ctypes.data)
+        FourCC.NV12.value, 0, 0, 0, out.ctypes.data)
     assert rc == -1
     # Odd resize target (NV12 UV interleave cannot express it).
     rc = native.ts_vpp_convert_host(
         y.ctypes.data, uv.ctypes.data, w, h,
         0, 0, 0, 0, 223, 224, 0,
-        FourCC.RGB24.value, 0, 0, out.ctypes.data)
+        FourCC.RGB24.value, 0, 0, 0, out.ctypes.data)
     assert rc == -1
     # Unknown FourCC.
     rc = native.ts_vpp_convert_host(
         y.ctypes.data, uv.ctypes.data, w, h,
-        0, 0, 0, 0, 0, 0, 0, 99, 0, 0, out.ctypes.data)
+        0, 0, 0, 0, 0, 0, 0, 99, 0, 0, 0, out.ctypes.data)
     assert rc == -1
