@@ -17,6 +17,7 @@
 #include "pipeline.h"
 #include "stream_pool.h"
 #include "vpp_convert.h"
+#include "vpp_host_simd.h"
 
 using ts::BitReader;
 using ts::HEVCAnalyzer;
@@ -178,6 +179,10 @@ void ts_resize_nv12_host(const uint8_t* y, const uint8_t* uv, int sw, int sh,
   ts::ResizeNV12Host(y, uv, sw, sh, out_y, out_uv, dw, dh,
                      static_cast<ts::HostResizeAlgo>(algo));
 }
+
+// Whether the AVX2+FMA bilinear inner loops are active in this process
+// (CPU support AND the TS_HOST_SIMD env toggle; see vpp_host_simd.h).
+int ts_host_simd_available(void) { return ts::simd::Available() ? 1 : 0; }
 
 // ------------------------------------------------- host VPP (C++ twin)
 

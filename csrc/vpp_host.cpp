@@ -1,5 +1,7 @@
 #include "vpp_host.h"
 
+#include "vpp_host_simd.h"
+
 #include <algorithm>
 #include <cmath>
 #include <limits>
@@ -194,6 +196,18 @@ inline uint8_t Blend4(float a, float b, float c, float d, float wx, float wy) {
 
 void BilinearY(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
                int dh, const AxisTables& ax, const AxisTables& ay) {
+  int vec = 0;
+  if (simd::Available()) {
+    // SIMD lanes gather a 4-byte window at base[j]; hand the columns
+    // whose window would cross the row end (and the +1-tap border
+    // collapse with them) to the scalar tail below. base[] is
+    // nondecreasing, so scanning back from the edge finds the cutoff.
+    vec = dw;
+    while (vec > 0 && ax.base[vec - 1] + 3 >= sw) vec--;
+    vec &= ~7;
+    simd::BilinearY(src, sw, sh, dst, dw, dh, vec, ax.base.data(),
+                    ax.w.data(), ay.base.data(), ay.w.data());
+  }
   for (int i = 0; i < dh; i++) {
     int ra = ay.base[i];
     int rc = (ra + 1 >= sh) ? ra : ra + 1;  // +y tap collapses at border
@@ -201,7 +215,7 @@ void BilinearY(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
     const uint8_t* row_a = src + static_cast<size_t>(ra) * sw;
     const uint8_t* row_c = src + static_cast<size_t>(rc) * sw;
     uint8_t* out = dst + static_cast<size_t>(i) * dw;
-    for (int j = 0; j < dw; j++) {
+    for (int j = vec; j < dw; j++) {
       int ca = ax.base[j];
       int cb = (ca + 1 >= sw) ? ca : ca + 1;
       out[j] = Blend4(row_a[ca], row_a[cb], row_c[ca], row_c[cb],
@@ -214,6 +228,16 @@ void BilinearY(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
 // (x -> 2x+1), half height (src/Resize.cu:235-238, 307-310).
 void BilinearUV(const uint8_t* src, int sw, int sh2, uint8_t* dst, int dw,
                 int dh2, const AxisTables& ax, const AxisTables& ay) {
+  int vec = 0;
+  if (simd::Available()) {
+    // Lane j gathers the 4 bytes at 2*base[j] ([Ua,Va,Ub,Vb]); columns
+    // whose window crosses the row end go to the scalar tail.
+    vec = dw / 2;
+    while (vec > 0 && 2 * ax.base[vec - 1] + 3 >= sw) vec--;
+    vec &= ~7;
+    simd::BilinearUV(src, sw, sh2, dst, dw, dh2, vec, ax.base.data(),
+                     ax.w.data(), ay.base.data(), ay.w.data());
+  }
   for (int i = 0; i < dh2; i++) {
     int ra = ay.base[i];
     int rc = (ra + 1 >= sh2) ? ra : ra + 1;
@@ -221,7 +245,7 @@ void BilinearUV(const uint8_t* src, int sw, int sh2, uint8_t* dst, int dw,
     const uint8_t* row_a = src + static_cast<size_t>(ra) * sw;
     const uint8_t* row_c = src + static_cast<size_t>(rc) * sw;
     uint8_t* out = dst + static_cast<size_t>(i) * dw;
-    for (int j = 0; j < dw / 2; j++) {
+    for (int j = vec; j < dw / 2; j++) {
       float wx = ax.w[j];
       int ua = 2 * ax.base[j];
       int ub = (ua + 2 >= sw) ? ua : ua + 2;

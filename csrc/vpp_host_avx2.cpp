@@ -1,0 +1,154 @@
+// AVX2+FMA implementation of the bilinear resize inner loops.
+// Compiled with -mavx2 -mfma (see Makefile); every other translation
+// unit stays on the portable baseline and reaches this code only through
+// the runtime Available() check.
+//
+// See vpp_host_simd.h for the exactness contract: per lane this is the
+// same mul/mul/mul/fma/fma/fma chain as the scalar Blend4, and vcvttps
+// truncates toward zero exactly like the scalar (int) cast, so the two
+// paths are bit-identical (asserted by tests/test_host_resize.py's
+// TS_HOST_SIMD=0 cross-check).
+#include "vpp_host_simd.h"
+
+#include <cstdlib>
+#include <cstring>
+
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#define TS_SIMD_X86 1
+#endif
+
+namespace ts {
+namespace simd {
+
+bool Available() {
+#ifdef TS_SIMD_X86
+  static const bool ok = [] {
+    const char* env = std::getenv("TS_HOST_SIMD");
+    if (env && env[0] == '0') return false;
+    return __builtin_cpu_supports("avx2") && __builtin_cpu_supports("fma");
+  }();
+  return ok;
+#else
+  return false;
+#endif
+}
+
+#ifdef TS_SIMD_X86
+
+namespace {
+
+// The scalar path computes, per pixel (Blend4 in vpp_host.cpp):
+//   t3 = (b*wx)*omy;  s = fma(a*omx, omy, t3);
+//   s  = fma(c*wy, omx, s);  s = fma(d, wx*wy, s);  out = (int)s
+// with omx = 1-wx, omy = 1-wy. Identical sequence below, 8 lanes wide.
+inline __m256i Blend4Vec(__m256 a, __m256 b, __m256 c, __m256 d, __m256 wx,
+                         __m256 wy, __m256 omy) {
+  const __m256 one = _mm256_set1_ps(1.0f);
+  __m256 omx = _mm256_sub_ps(one, wx);
+  __m256 t3 = _mm256_mul_ps(_mm256_mul_ps(b, wx), omy);
+  __m256 s = _mm256_fmadd_ps(_mm256_mul_ps(a, omx), omy, t3);
+  s = _mm256_fmadd_ps(_mm256_mul_ps(c, wy), omx, s);
+  s = _mm256_fmadd_ps(d, _mm256_mul_ps(wx, wy), s);
+  return _mm256_cvttps_epi32(s);  // truncation toward zero, like (int)
+}
+
+const __m256i kByteMask = _mm256_set1_epi32(0xFF);
+
+inline __m256 ByteAt(__m256i quad, int shift) {
+  return _mm256_cvtepi32_ps(_mm256_and_si256(
+      shift ? _mm256_srli_epi32(quad, shift) : quad, kByteMask));
+}
+
+// Pack 8 int32 lanes (each already in [0, 255]) to 8 bytes and store.
+inline void Store8(uint8_t* out, __m256i v32) {
+  __m256i p16 = _mm256_packus_epi32(v32, v32);
+  __m256i p8 = _mm256_packus_epi16(p16, p16);
+  uint32_t lo = static_cast<uint32_t>(_mm256_extract_epi32(p8, 0));
+  uint32_t hi = static_cast<uint32_t>(_mm256_extract_epi32(p8, 4));
+  std::memcpy(out, &lo, 4);
+  std::memcpy(out + 4, &hi, 4);
+}
+
+}  // namespace
+
+void BilinearY(const uint8_t* src, int src_w, int src_h, uint8_t* dst,
+               int dst_w, int nrows, int ncols_vec, const int* xbase,
+               const float* xw, const int* ybase, const float* yw) {
+  for (int i = 0; i < nrows; i++) {
+    int ra = ybase[i];
+    int rc = (ra + 1 >= src_h) ? ra : ra + 1;
+    const uint8_t* row_a = src + static_cast<size_t>(ra) * src_w;
+    const uint8_t* row_c = src + static_cast<size_t>(rc) * src_w;
+    uint8_t* out = dst + static_cast<size_t>(i) * dst_w;
+    __m256 wy = _mm256_set1_ps(yw[i]);
+    __m256 omy = _mm256_sub_ps(_mm256_set1_ps(1.0f), wy);
+    for (int j = 0; j < ncols_vec; j += 8) {
+      __m256i idx = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(xbase + j));
+      // One 32-bit gather per row yields taps (base, base+1) as the low
+      // two bytes; caller guarantees base[j] + 3 < src_w so the window
+      // never crosses the plane row (and base+1 never collapses).
+      __m256i qa = _mm256_i32gather_epi32(
+          reinterpret_cast<const int*>(row_a), idx, 1);
+      __m256i qc = _mm256_i32gather_epi32(
+          reinterpret_cast<const int*>(row_c), idx, 1);
+      __m256 wx = _mm256_loadu_ps(xw + j);
+      __m256i v = Blend4Vec(ByteAt(qa, 0), ByteAt(qa, 8), ByteAt(qc, 0),
+                            ByteAt(qc, 8), wx, wy, omy);
+      Store8(out + j, v);
+    }
+  }
+}
+
+void BilinearUV(const uint8_t* src, int src_w, int src_h2, uint8_t* dst,
+                int dst_w, int nrows2, int npairs_vec, const int* xbase,
+                const float* xw, const int* ybase, const float* yw) {
+  for (int i = 0; i < nrows2; i++) {
+    int ra = ybase[i];
+    int rc = (ra + 1 >= src_h2) ? ra : ra + 1;
+    const uint8_t* row_a = src + static_cast<size_t>(ra) * src_w;
+    const uint8_t* row_c = src + static_cast<size_t>(rc) * src_w;
+    uint8_t* out = dst + static_cast<size_t>(i) * dst_w;
+    __m256 wy = _mm256_set1_ps(yw[i]);
+    __m256 omy = _mm256_sub_ps(_mm256_set1_ps(1.0f), wy);
+    for (int j = 0; j < npairs_vec; j += 8) {
+      __m256i base = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(xbase + j));
+      __m256i idx = _mm256_slli_epi32(base, 1);  // ua = 2*base
+      // Bytes of the gathered word at ua: [Ua, Va, Ub, Vb] — all four
+      // horizontal taps for both chroma channels in one gather per row
+      // (caller guarantees 2*base + 3 < src_w, so the +2 taps never
+      // collapse and the load stays inside the row).
+      __m256i qa = _mm256_i32gather_epi32(
+          reinterpret_cast<const int*>(row_a), idx, 1);
+      __m256i qc = _mm256_i32gather_epi32(
+          reinterpret_cast<const int*>(row_c), idx, 1);
+      __m256 wx = _mm256_loadu_ps(xw + j);
+      __m256i u = Blend4Vec(ByteAt(qa, 0), ByteAt(qa, 16), ByteAt(qc, 0),
+                            ByteAt(qc, 16), wx, wy, omy);
+      __m256i v = Blend4Vec(ByteAt(qa, 8), ByteAt(qa, 24), ByteAt(qc, 8),
+                            ByteAt(qc, 24), wx, wy, omy);
+      // Interleave to [U0,V0,U1,V1,...]: each 32-bit lane becomes the
+      // 16-bit little-endian pair U | V<<8, then narrow.
+      __m256i pair = _mm256_or_si256(u, _mm256_slli_epi32(v, 8));
+      __m256i p16 = _mm256_packus_epi32(pair, pair);
+      _mm_storel_epi64(reinterpret_cast<__m128i*>(out + 2 * j),
+                       _mm256_castsi256_si128(p16));
+      _mm_storel_epi64(reinterpret_cast<__m128i*>(out + 2 * j + 8),
+                       _mm256_extracti128_si256(p16, 1));
+    }
+  }
+}
+
+#else  // !TS_SIMD_X86 — never reached (Available() is false)
+
+void BilinearY(const uint8_t*, int, int, uint8_t*, int, int, int,
+               const int*, const float*, const int*, const float*) {}
+void BilinearUV(const uint8_t*, int, int, uint8_t*, int, int, int,
+                const int*, const float*, const int*, const float*) {}
+
+#endif
+
+}  // namespace simd
+}  // namespace ts

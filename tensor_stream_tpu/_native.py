@@ -86,6 +86,7 @@ def load():
         sig("ts_resize_nv12_host", None,
             [c_void_p, c_void_p, c_int, c_int, c_void_p, c_void_p, c_int,
              c_int, c_int])
+        sig("ts_host_simd_available", c_int, [])
         sig("ts_vpp_convert_host", c_int,
             [c_void_p, c_void_p, c_int, c_int, c_int, c_int, c_int, c_int,
              c_int, c_int, c_int, c_int, c_int, c_int, c_int, c_void_p])

@@ -98,3 +98,58 @@ def test_read_batch_host_resize_matches_device_path(native):
     # matrix (R gain 1.164*dY + 1.596*dV) to at most ~3 RGB steps.
     assert np.abs(dev - host).max() <= 4.0 / 255 + 1e-7
     assert (dev == host).mean() > 0.9
+
+
+def test_simd_bilinear_bit_identical_to_scalar(native):
+    """The AVX2 bilinear inner loops (csrc/vpp_host_avx2.cpp) must be
+    bit-for-bit equal to the scalar Blend4 path: per lane they execute
+    the identical IEEE mul/mul/mul/fma/fma/fma sequence, so this is an
+    equality assertion, not a tolerance. Scalar results come from a
+    subprocess with TS_HOST_SIMD=0 (the toggle is latched at first use).
+    Shapes cover down/up-scale, odd ratios, and right-edge tails where
+    the gather window forces the scalar fallback columns.
+    """
+    import hashlib
+    import os
+    import subprocess
+    import sys
+
+    if not native.ts_host_simd_available():
+        pytest.skip("AVX2+FMA not available on this CPU")
+
+    code = r'''
+import sys; sys.path.insert(0, %r)
+import ctypes, hashlib
+import numpy as np
+from tensor_stream_tpu import _native
+lib = _native.load()
+assert lib.ts_host_simd_available() == %d
+rng = np.random.default_rng(7)
+h = hashlib.sha256()
+shapes = [(1920, 1080, 224, 224), (1920, 1080, 480, 360),
+          (720, 480, 1920, 1080), (720, 480, 540, 304),
+          (640, 360, 638, 358), (16, 16, 1024, 768),
+          (1920, 1080, 8, 8), (102, 62, 100, 60), (100, 60, 102, 62)]
+for sw, sh, dw, dh in shapes:
+    y = np.ascontiguousarray(rng.integers(0, 255, (sh, sw), np.uint8))
+    uv = np.ascontiguousarray(rng.integers(0, 255, (sh // 2, sw), np.uint8))
+    oy = np.zeros((dh, dw), np.uint8)
+    ouv = np.zeros((dh // 2, dw), np.uint8)
+    for algo in (1, 3):  # bilinear + area-upscale reuse the blend loops
+        lib.ts_resize_nv12_host(y.ctypes.data, uv.ctypes.data, sw, sh,
+                                oy.ctypes.data, ouv.ctypes.data, dw, dh, algo)
+        h.update(oy.tobytes()); h.update(ouv.tobytes())
+print(h.hexdigest())
+'''
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def digest(simd_on):
+        env = dict(os.environ)
+        env["TS_HOST_SIMD"] = "1" if simd_on else "0"
+        r = subprocess.run(
+            [sys.executable, "-c", code % (repo, 1 if simd_on else 0)],
+            env=env, capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout.strip()
+
+    assert digest(True) == digest(False)
