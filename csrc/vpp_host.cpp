@@ -289,13 +289,13 @@ ColTaps BuildColTaps(const BicubicAxis& ax, int ncols, int col_scale,
 void BicubicPlane(const uint8_t* src, int src_w, const BicubicAxis& ay,
                   int row_bound, const BicubicAxis& ax, int ncols,
                   const ColTaps& col_taps, uint8_t* dst, int dst_w,
-                  int nrows, int out_stride, int out_off) {
+                  int nrows, int out_stride, int out_off, int j_start = 0) {
   for (int i = 0; i < nrows; i++) {
     int rt[4];
     BicubicTaps(ay.base[i], 1, row_bound, rt);
     double cy[4];
     for (int k = 0; k < 4; k++) cy[k] = ay.c[k][i];
-    for (int j = 0; j < ncols; j++) {
+    for (int j = j_start; j < ncols; j++) {
       int ct[4];
       for (int k = 0; k < 4; k++) ct[k] = col_taps.t[k][j];
       double cx[4];
@@ -326,10 +326,10 @@ void AreaDownPlane(const uint8_t* src, int plane_w, int plane_h,
                    const std::vector<int>& y_base, const AreaPattern& py,
                    const std::vector<int>& x_base, const AreaPattern& px,
                    uint8_t* dst, int dst_w, int nrows, int ncols, int stride,
-                   int col_off, int out_stride, int out_off) {
+                   int col_off, int out_stride, int out_off, int j_start = 0) {
   for (int i = 0; i < nrows; i++) {
     const float* wy = &py.rows[static_cast<size_t>(i % py.period) * py.taps];
-    for (int j = 0; j < ncols; j++) {
+    for (int j = j_start; j < ncols; j++) {
       const float* wx = &px.rows[static_cast<size_t>(j % px.period) * px.taps];
       // nvcc contracts `colorSum += data * weight` (src/Resize.cu:172-173)
       // into a single-rounding FMA per tap; `divide += weight` stays a
@@ -379,7 +379,18 @@ AxisTables BuildAreaUpAxis(int dst_n, int src_n) {
 struct BicubicPlan {
   BicubicAxis ax, ay;
   ColTaps y_ct, u_ct, v_ct;
+  // SIMD column cutoffs: leading columns whose widest tap keeps the
+  // 4-byte gather window inside the row (multiple of 4).
+  int vec_y = 0, vec_u = 0, vec_v = 0;
 };
+
+int BicubicVecCutoff(const ColTaps& ct, int ncols, int src_w) {
+  int vec = 0;
+  while (vec < ncols && ct.t[0][vec] + 3 < src_w && ct.t[1][vec] + 3 < src_w &&
+         ct.t[2][vec] + 3 < src_w && ct.t[3][vec] + 3 < src_w)
+    vec++;
+  return vec & ~3;
+}
 
 const BicubicPlan& GetBicubicPlan(int sw, int sh, int dw, int dh) {
   static std::mutex mu;
@@ -395,6 +406,9 @@ const BicubicPlan& GetBicubicPlan(int sw, int sh, int dw, int dh) {
     plan->y_ct = BuildColTaps(plan->ax, dw, 1, 0, 1, sw);
     plan->u_ct = BuildColTaps(plan->ax, dw / 2, 2, 0, 2, sw);
     plan->v_ct = BuildColTaps(plan->ax, dw / 2, 2, 1, 2, sw);
+    plan->vec_y = BicubicVecCutoff(plan->y_ct, dw, sw);
+    plan->vec_u = BicubicVecCutoff(plan->u_ct, dw / 2, sw);
+    plan->vec_v = BicubicVecCutoff(plan->v_ct, dw / 2, sw);
     it = cache.emplace(key, std::move(plan)).first;
   }
   return *it->second;
@@ -403,13 +417,45 @@ const BicubicPlan& GetBicubicPlan(int sw, int sh, int dw, int dh) {
 void ResizeBicubic(const uint8_t* y, const uint8_t* uv, int sw, int sh,
                    uint8_t* out_y, uint8_t* out_uv, int dw, int dh) {
   const BicubicPlan& p = GetBicubicPlan(sw, sh, dw, dh);
-  BicubicPlane(y, sw, p.ay, sh, p.ax, dw, p.y_ct, out_y, dw, dh, 1, 0);
+  int vy = 0, vu = 0, vv = 0;
+  if (simd::Available()) {
+    vy = p.vec_y;
+    vu = p.vec_u;
+    vv = p.vec_v;
+    // Row taps (BicubicTaps over the y axis) precomputed once per call
+    // for the SIMD twin; the scalar tail recomputes them per row.
+    std::vector<int> rt_y(4 * static_cast<size_t>(dh));
+    for (int i = 0; i < dh; i++)
+      BicubicTaps(p.ay.base[i], 1, sh, &rt_y[4 * static_cast<size_t>(i)]);
+    std::vector<int> rt_uv(4 * static_cast<size_t>(dh / 2));
+    for (int i = 0; i < dh / 2; i++)
+      BicubicTaps(p.ay.base[i], 1, sh / 2, &rt_uv[4 * static_cast<size_t>(i)]);
+    simd::BicubicPlane(y, sw, rt_y.data(), p.ay.c[0].data(), p.ay.c[1].data(),
+                       p.ay.c[2].data(), p.ay.c[3].data(), p.ax.c[0].data(),
+                       p.ax.c[1].data(), p.ax.c[2].data(), p.ax.c[3].data(),
+                       p.y_ct.t[0].data(), p.y_ct.t[1].data(),
+                       p.y_ct.t[2].data(), p.y_ct.t[3].data(), out_y, dw, dh,
+                       vy, 1, 0);
+    simd::BicubicPlane(uv, sw, rt_uv.data(), p.ay.c[0].data(),
+                       p.ay.c[1].data(), p.ay.c[2].data(), p.ay.c[3].data(),
+                       p.ax.c[0].data(), p.ax.c[1].data(), p.ax.c[2].data(),
+                       p.ax.c[3].data(), p.u_ct.t[0].data(),
+                       p.u_ct.t[1].data(), p.u_ct.t[2].data(),
+                       p.u_ct.t[3].data(), out_uv, dw, dh / 2, vu, 2, 0);
+    simd::BicubicPlane(uv, sw, rt_uv.data(), p.ay.c[0].data(),
+                       p.ay.c[1].data(), p.ay.c[2].data(), p.ay.c[3].data(),
+                       p.ax.c[0].data(), p.ax.c[1].data(), p.ax.c[2].data(),
+                       p.ax.c[3].data(), p.v_ct.t[0].data(),
+                       p.v_ct.t[1].data(), p.v_ct.t[2].data(),
+                       p.v_ct.t[3].data(), out_uv, dw, dh / 2, vv, 2, 1);
+  }
+  BicubicPlane(y, sw, p.ay, sh, p.ax, dw, p.y_ct, out_y, dw, dh, 1, 0, vy);
   // UV: rows bounded by the half-height plane; U at even columns
   // (x -> 2x, stride-2 taps), V at odd (ops/resize.py resize_bicubic).
   BicubicPlane(uv, sw, p.ay, sh / 2, p.ax, dw / 2, p.u_ct, out_uv, dw,
-               dh / 2, 2, 0);
+               dh / 2, 2, 0, vu);
   BicubicPlane(uv, sw, p.ay, sh / 2, p.ax, dw / 2, p.v_ct, out_uv, dw,
-               dh / 2, 2, 1);
+               dh / 2, 2, 1, vv);
 }
 
 // Cached per-(src,dst) AREA tables (patterns + bases for downscale, or
@@ -419,6 +465,10 @@ struct AreaPlan {
   AreaPattern px, py;
   std::vector<int> xb, yb;
   AxisTables up_x, up_y, up_x_uv, up_y_uv;
+  // SIMD support tables (downscale only): transposed expanded column
+  // weights [taps][dw] and tap-0 columns for the interleaved U/V planes.
+  std::vector<float> wxT;
+  std::vector<int> cb_u, cb_v;
 };
 
 const AreaPlan& GetAreaPlan(int sw, int sh, int dw, int dh) {
@@ -442,6 +492,18 @@ const AreaPlan& GetAreaPlan(int sw, int sh, int dw, int dh) {
       plan->yb.resize(dh);
       for (int i = 0; i < dh; i++)
         plan->yb[i] = static_cast<int>(y_ratio * static_cast<float>(i));
+      plan->wxT.resize(static_cast<size_t>(plan->px.taps) * dw);
+      for (int tj = 0; tj < plan->px.taps; tj++)
+        for (int j = 0; j < dw; j++)
+          plan->wxT[static_cast<size_t>(tj) * dw + j] =
+              plan->px.rows[static_cast<size_t>(j % plan->px.period) *
+                                plan->px.taps + tj];
+      plan->cb_u.resize(dw / 2);
+      plan->cb_v.resize(dw / 2);
+      for (int j = 0; j < dw / 2; j++) {
+        plan->cb_u[j] = 2 * plan->xb[j];
+        plan->cb_v[j] = 2 * plan->xb[j] + 1;
+      }
     } else {
       plan->up_x = BuildAreaUpAxis(dw, sw);
       plan->up_y = BuildAreaUpAxis(dh, sh);
@@ -461,12 +523,37 @@ void ResizeArea(const uint8_t* y, const uint8_t* uv, int sw, int sh,
                 uint8_t* out_y, uint8_t* out_uv, int dw, int dh) {
   const AreaPlan& p = GetAreaPlan(sw, sh, dw, dh);
   if (p.down) {
+    int vy = 0, vu = 0, vv = 0;
+    if (simd::Available()) {
+      // Vector lanes skip the right-edge tap clamp and gather 4-byte
+      // windows, so they stop where the widest tap window would touch
+      // the row end; the scalar tail (j_start below) finishes the rest.
+      int reach = (p.px.taps - 1);
+      vy = dw;
+      while (vy > 0 && p.xb[vy - 1] + reach + 3 >= sw) vy--;
+      vy &= ~7;
+      vu = dw / 2;
+      while (vu > 0 && p.cb_u[vu - 1] + 2 * reach + 3 >= sw) vu--;
+      vu &= ~7;
+      vv = dw / 2;
+      while (vv > 0 && p.cb_v[vv - 1] + 2 * reach + 3 >= sw) vv--;
+      vv &= ~7;
+      simd::AreaDown(y, sw, sh, p.yb.data(), p.py.rows.data(), p.py.period,
+                     p.py.taps, p.xb.data(), p.wxT.data(), dw, p.px.taps, 1,
+                     out_y, dw, dh, vy, 1, 0);
+      simd::AreaDown(uv, sw, sh / 2, p.yb.data(), p.py.rows.data(),
+                     p.py.period, p.py.taps, p.cb_u.data(), p.wxT.data(), dw,
+                     p.px.taps, 2, out_uv, dw, dh / 2, vu, 2, 0);
+      simd::AreaDown(uv, sw, sh / 2, p.yb.data(), p.py.rows.data(),
+                     p.py.period, p.py.taps, p.cb_v.data(), p.wxT.data(), dw,
+                     p.px.taps, 2, out_uv, dw, dh / 2, vv, 2, 1);
+    }
     AreaDownPlane(y, sw, sh, p.yb, p.py, p.xb, p.px, out_y, dw, dh, dw, 1,
-                  0, 1, 0);
+                  0, 1, 0, vy);
     AreaDownPlane(uv, sw, sh / 2, p.yb, p.py, p.xb, p.px, out_uv, dw,
-                  dh / 2, dw / 2, 2, 0, 2, 0);
+                  dh / 2, dw / 2, 2, 0, 2, 0, vu);
     AreaDownPlane(uv, sw, sh / 2, p.yb, p.py, p.xb, p.px, out_uv, dw,
-                  dh / 2, dw / 2, 2, 1, 2, 1);
+                  dh / 2, dw / 2, 2, 1, 2, 1, vv);
     return;
   }
   // Upscale: bilinear blend with coverage-derived weights.

@@ -141,12 +141,142 @@ void BilinearUV(const uint8_t* src, int src_w, int src_h2, uint8_t* dst,
   }
 }
 
+void AreaDown(const uint8_t* src, int plane_w, int plane_h,
+              const int* ybase, const float* wy_rows, int y_period,
+              int y_taps, const int* colbase, const float* wx_col,
+              int ncols_stride, int x_taps, int x_stride, uint8_t* dst,
+              int dst_w, int nrows, int ncols_vec, int out_stride,
+              int out_off) {
+  for (int i = 0; i < nrows; i++) {
+    const float* wy = wy_rows + static_cast<size_t>(i % y_period) * y_taps;
+    uint8_t* out = dst + static_cast<size_t>(i) * dst_w;
+    for (int j = 0; j < ncols_vec; j += 8) {
+      __m256i col0 = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(colbase + j));
+      __m256 acc = _mm256_setzero_ps();
+      __m256 div = _mm256_setzero_ps();
+      for (int ti = 0; ti < y_taps; ti++) {
+        int row = ybase[i] + ti;
+        if (row > plane_h - 1) row = plane_h - 1;
+        const uint8_t* srow = src + static_cast<size_t>(row) * plane_w;
+        __m256 wyv = _mm256_set1_ps(wy[ti]);
+        for (int tj = 0; tj < x_taps; tj++) {
+          __m256i idx = _mm256_add_epi32(col0,
+                                         _mm256_set1_epi32(tj * x_stride));
+          __m256i quad = _mm256_i32gather_epi32(
+              reinterpret_cast<const int*>(srow), idx, 1);
+          __m256 data = ByteAt(quad, 0);
+          // wx_col is transposed [x_taps][ncols]: per-lane weights for
+          // this tap are contiguous.
+          __m256 wxv = _mm256_loadu_ps(
+              wx_col + static_cast<size_t>(tj) * ncols_stride + j);
+          __m256 w2d = _mm256_mul_ps(wyv, wxv);
+          div = _mm256_add_ps(div, w2d);
+          acc = _mm256_fmadd_ps(data, w2d, acc);
+        }
+      }
+      __m256i v32 = _mm256_cvttps_epi32(_mm256_div_ps(acc, div));
+      if (out_stride == 1) {
+        Store8(out + j + out_off, v32);
+      } else {
+        alignas(32) int vals[8];
+        _mm256_store_si256(reinterpret_cast<__m256i*>(vals), v32);
+        for (int k = 0; k < 8; k++)
+          out[(j + k) * out_stride + out_off] =
+              static_cast<uint8_t>(vals[k]);
+      }
+    }
+  }
+}
+
+namespace {
+
+// Exact std::round (half away from zero): x - trunc(x) is always
+// representable, so the |frac| >= 0.5 test and the +-1 step reproduce
+// the scalar result bit-for-bit (no double-rounding through x + 0.5).
+inline __m256d RoundHalfAway(__m256d x) {
+  const __m256d signbit = _mm256_set1_pd(-0.0);
+  const __m256d half = _mm256_set1_pd(0.5);
+  const __m256d one = _mm256_set1_pd(1.0);
+  __m256d t = _mm256_round_pd(x, _MM_FROUND_TO_ZERO | _MM_FROUND_NO_EXC);
+  __m256d frac = _mm256_sub_pd(x, t);
+  __m256d absfrac = _mm256_andnot_pd(signbit, frac);
+  __m256d step = _mm256_and_pd(_mm256_cmp_pd(absfrac, half, _CMP_GE_OQ),
+                               _mm256_or_pd(_mm256_and_pd(x, signbit), one));
+  return _mm256_add_pd(t, step);
+}
+
+inline __m256d Clamp255(__m256d x) {
+  return _mm256_min_pd(_mm256_max_pd(x, _mm256_setzero_pd()),
+                       _mm256_set1_pd(255.0));
+}
+
+// Gather 4 bytes (one per lane) at per-lane columns and widen to f64.
+inline __m256d GatherBytePd(const uint8_t* row, __m128i idx) {
+  __m128i quad = _mm_i32gather_epi32(reinterpret_cast<const int*>(row), idx,
+                                     1);
+  return _mm256_cvtepi32_pd(_mm_and_si128(quad, _mm_set1_epi32(0xFF)));
+}
+
+}  // namespace
+
+void BicubicPlane(const uint8_t* src, int src_w, const int* rowtaps,
+                  const double* cy0, const double* cy1, const double* cy2,
+                  const double* cy3, const double* cx0, const double* cx1,
+                  const double* cx2, const double* cx3, const int* ct0,
+                  const int* ct1, const int* ct2, const int* ct3,
+                  uint8_t* dst, int dst_w, int nrows, int ncols_vec,
+                  int out_stride, int out_off) {
+  for (int i = 0; i < nrows; i++) {
+    const int* rt = rowtaps + 4 * i;
+    __m256d vy0 = _mm256_set1_pd(cy0[i]), vy1 = _mm256_set1_pd(cy1[i]);
+    __m256d vy2 = _mm256_set1_pd(cy2[i]), vy3 = _mm256_set1_pd(cy3[i]);
+    uint8_t* out = dst + static_cast<size_t>(i) * dst_w;
+    for (int j = 0; j < ncols_vec; j += 4) {
+      __m128i i0 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(ct0 + j));
+      __m128i i1 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(ct1 + j));
+      __m128i i2 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(ct2 + j));
+      __m128i i3 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(ct3 + j));
+      __m256d x0 = _mm256_loadu_pd(cx0 + j), x1 = _mm256_loadu_pd(cx1 + j);
+      __m256d x2 = _mm256_loadu_pd(cx2 + j), x3 = _mm256_loadu_pd(cx3 + j);
+      __m256d rows[4];
+      for (int rk = 0; rk < 4; rk++) {
+        const uint8_t* srow = src + static_cast<size_t>(rt[rk]) * src_w;
+        // Same left-associated mul/add chain as the scalar path — no
+        // FMA contraction (matches -ffp-contract=off semantics).
+        __m256d acc = _mm256_mul_pd(x0, GatherBytePd(srow, i0));
+        acc = _mm256_add_pd(acc, _mm256_mul_pd(x1, GatherBytePd(srow, i1)));
+        acc = _mm256_add_pd(acc, _mm256_mul_pd(x2, GatherBytePd(srow, i2)));
+        acc = _mm256_add_pd(acc, _mm256_mul_pd(x3, GatherBytePd(srow, i3)));
+        rows[rk] = Clamp255(RoundHalfAway(acc));
+      }
+      __m256d acc = _mm256_mul_pd(vy0, rows[0]);
+      acc = _mm256_add_pd(acc, _mm256_mul_pd(vy1, rows[1]));
+      acc = _mm256_add_pd(acc, _mm256_mul_pd(vy2, rows[2]));
+      acc = _mm256_add_pd(acc, _mm256_mul_pd(vy3, rows[3]));
+      __m128i v32 = _mm256_cvttpd_epi32(Clamp255(RoundHalfAway(acc)));
+      alignas(16) int vals[4];
+      _mm_store_si128(reinterpret_cast<__m128i*>(vals), v32);
+      for (int k = 0; k < 4; k++)
+        out[(j + k) * out_stride + out_off] = static_cast<uint8_t>(vals[k]);
+    }
+  }
+}
+
 #else  // !TS_SIMD_X86 — never reached (Available() is false)
 
 void BilinearY(const uint8_t*, int, int, uint8_t*, int, int, int,
                const int*, const float*, const int*, const float*) {}
 void BilinearUV(const uint8_t*, int, int, uint8_t*, int, int, int,
                 const int*, const float*, const int*, const float*) {}
+void AreaDown(const uint8_t*, int, int, const int*, const float*, int, int,
+              const int*, const float*, int, int, int, uint8_t*, int, int,
+              int, int, int) {}
+void BicubicPlane(const uint8_t*, int, const int*, const double*,
+                  const double*, const double*, const double*, const double*,
+                  const double*, const double*, const double*, const int*,
+                  const int*, const int*, const int*, uint8_t*, int, int,
+                  int, int, int) {}
 
 #endif
 

@@ -35,5 +35,41 @@ void BilinearUV(const uint8_t* src, int src_w, int src_h2, uint8_t* dst,
                 int dst_w, int nrows2, int npairs_vec, const int* xbase,
                 const float* xw, const int* ybase, const float* yw);
 
+// AREA-downscale plane: per lane the same fmaf(acc)/plain-add(div)
+// accumulation over the y-outer x-inner tap walk as the scalar
+// AreaDownPlane, then (int)(acc/div). Caller passes:
+//   colbase[j]   = x_base[j]*x_stride + col_off (tap 0 column),
+//   wx_col       = TRANSPOSED per-column weights [x_taps][ncols_stride]
+//                  (wx_col[tj*ncols_stride + j] = pattern(j % period)[tj]),
+//   wy_rows/y_period/y_taps = the periodic row-weight pattern,
+// and guarantees colbase[j] + (x_taps-1)*x_stride + 3 < plane_w for
+// every lane in [0, ncols_vec) (so no tap needs the right-edge clamp
+// and the 4-byte gather window stays inside the row). ncols_vec is a
+// multiple of 8. out_stride/out_off place interleaved UV outputs.
+void AreaDown(const uint8_t* src, int plane_w, int plane_h,
+              const int* ybase, const float* wy_rows, int y_period,
+              int y_taps, const int* colbase, const float* wx_col,
+              int ncols_stride, int x_taps, int x_stride, uint8_t* dst,
+              int dst_w, int nrows, int ncols_vec, int out_stride,
+              int out_off);
+
+// Bicubic plane: 4 f64 lanes execute the scalar BicubicPlane's exact
+// sequence — per row tap a plain mul/add chain over the 4 column taps,
+// std::round (emulated exactly as trunc + step on |frac| >= 0.5, which
+// is exact because x - trunc(x) is representable) and [0,255] clamp per
+// intermediate row, then the vertical mul/add chain with its own
+// round/clamp. Caller passes per-row taps (rowtaps[4*i..4*i+3]), the
+// per-column spline coefficients cx0..cx3 / per-row cy0..cy3, and column
+// taps ct0..ct3, guaranteeing ct{k}[j] + 3 < src_w for every lane in
+// [0, ncols_vec) (multiple of 4). out_stride/out_off place interleaved
+// UV outputs.
+void BicubicPlane(const uint8_t* src, int src_w, const int* rowtaps,
+                  const double* cy0, const double* cy1, const double* cy2,
+                  const double* cy3, const double* cx0, const double* cx1,
+                  const double* cx2, const double* cx3, const int* ct0,
+                  const int* ct1, const int* ct2, const int* ct3,
+                  uint8_t* dst, int dst_w, int nrows, int ncols_vec,
+                  int out_stride, int out_off);
+
 }  // namespace simd
 }  // namespace ts

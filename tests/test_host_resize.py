@@ -100,14 +100,16 @@ def test_read_batch_host_resize_matches_device_path(native):
     assert (dev == host).mean() > 0.9
 
 
-def test_simd_bilinear_bit_identical_to_scalar(native):
-    """The AVX2 bilinear inner loops (csrc/vpp_host_avx2.cpp) must be
-    bit-for-bit equal to the scalar Blend4 path: per lane they execute
-    the identical IEEE mul/mul/mul/fma/fma/fma sequence, so this is an
-    equality assertion, not a tolerance. Scalar results come from a
-    subprocess with TS_HOST_SIMD=0 (the toggle is latched at first use).
-    Shapes cover down/up-scale, odd ratios, and right-edge tails where
-    the gather window forces the scalar fallback columns.
+def test_simd_resize_bit_identical_to_scalar(native):
+    """The AVX2 resize inner loops (csrc/vpp_host_avx2.cpp: bilinear,
+    bicubic, area) must be bit-for-bit equal to the scalar paths: per
+    lane they execute the identical IEEE operation sequences (fmaf
+    chains for bilinear/area, plain-mul/add f64 chains with an exact
+    round-half-away emulation for bicubic), so this is an equality
+    assertion, not a tolerance. Scalar results come from a subprocess
+    with TS_HOST_SIMD=0 (the toggle is latched at first use). Shapes
+    cover down/up-scale, odd ratios, and right-edge tails where the
+    gather window forces the scalar fallback columns.
     """
     import hashlib
     import os
@@ -135,7 +137,7 @@ for sw, sh, dw, dh in shapes:
     uv = np.ascontiguousarray(rng.integers(0, 255, (sh // 2, sw), np.uint8))
     oy = np.zeros((dh, dw), np.uint8)
     ouv = np.zeros((dh // 2, dw), np.uint8)
-    for algo in (1, 3):  # bilinear + area-upscale reuse the blend loops
+    for algo in (1, 2, 3):  # bilinear, bicubic, area (down + upscale)
         lib.ts_resize_nv12_host(y.ctypes.data, uv.ctypes.data, sw, sh,
                                 oy.ctypes.data, ouv.ctypes.data, dw, dh, algo)
         h.update(oy.tobytes()); h.update(ouv.tobytes())
