@@ -96,6 +96,7 @@ class FrameLoader:
             self._pool.put(np.empty(size, np.uint8))
         self._filled = queue.Queue(maxsize=self.prefetch)
         self._pending = collections.deque()  # (buf, tensors) awaiting compute
+        self._device = None  # resolved lazily on the first batch
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._drain, daemon=True)
         self._thread.start()
@@ -149,8 +150,9 @@ class FrameLoader:
             if got < self.batch and self.drop_partial:
                 self._pool.put(buf)
                 continue
-            device = jax.devices()[self.device_index]
-            flat = jax.device_put(buf, device)
+            if self._device is None:
+                self._device = jax.devices()[self.device_index]
+            flat = jax.device_put(buf, self._device)
             tensors = self._vpp(flat)  # async dispatch
             if got < self.batch:
                 tensors = tensors[:got]
