@@ -241,7 +241,13 @@ int ts_pipeline_get_converted(void* p, const char* consumer, int index,
                               int resize_algo, int fourcc, int planes,
                               int normalization, int standard, void* out) {
   auto* pipe = static_cast<Pipeline*>(p);
-  int w = pipe->width(), h = pipe->height();
+  // Size the NV12 staging for the geometry this consumer has
+  // acknowledged — after a mid-stream resolution switch that can differ
+  // from the pipeline's current width()/height() until the consumer
+  // acks (GetFrame returns TS_RENEGOTIATE rather than copying a
+  // mismatched generation).
+  int w = 0, h = 0;
+  pipe->consumerDims(consumer ? consumer : "default", &w, &h);
   std::vector<uint8_t> y(static_cast<size_t>(w) * h);
   std::vector<uint8_t> uv(static_cast<size_t>(w) * (h / 2));
   int idx = pipe->GetFrame(consumer ? consumer : "default", index, y.data(),
@@ -260,6 +266,26 @@ void ts_pipeline_destroy(void* p) { delete static_cast<Pipeline*>(p); }
 
 int ts_pipeline_width(void* p) { return static_cast<Pipeline*>(p)->width(); }
 int ts_pipeline_height(void* p) { return static_cast<Pipeline*>(p)->height(); }
+
+// Geometry renegotiation: when a read returns TS_RENEGOTIATE (-8), the
+// consumer calls this to adopt the new geometry; *w / *h receive the
+// dimensions its buffers must be resized to before retrying. Cursor
+// consumers adopt the geometry at their cursor (exactly at the switch
+// boundary); per-frame consumers adopt the latest.
+int ts_pipeline_ack_renegotiate(void* p, const char* consumer, int* w,
+                                int* h) {
+  return static_cast<Pipeline*>(p)->ackRenegotiate(
+      consumer ? consumer : "default", w, h);
+}
+
+// The geometry this consumer last acknowledged (its required buffer
+// size) — may differ from ts_pipeline_width/height while pre-switch
+// frames still drain.
+void ts_pipeline_consumer_dims(void* p, const char* consumer, int* w,
+                               int* h) {
+  static_cast<Pipeline*>(p)->consumerDims(consumer ? consumer : "default", w,
+                                          h);
+}
 int ts_pipeline_fps_num(void* p) { return static_cast<Pipeline*>(p)->fpsNum(); }
 int ts_pipeline_fps_den(void* p) { return static_cast<Pipeline*>(p)->fpsDen(); }
 int ts_pipeline_delay_ms(void* p) { return static_cast<Pipeline*>(p)->realTimeDelayMs(); }

@@ -38,6 +38,7 @@ int Decoder::Init(const DecoderParams& params, const Parser& parser,
 
   width_ = par->width;
   height_ = par->height;
+  gen_dims_[0] = {width_, height_};
   ring_.resize(params_.buffer_deep > 0 ? params_.buffer_deep : 1);
   decoded_ = av_frame_alloc();
   nv12_ = av_frame_alloc();
@@ -49,14 +50,9 @@ int Decoder::Init(const DecoderParams& params, const Parser& parser,
 int Decoder::Reopen(const Parser& parser) {
   const AVCodecParameters* par = parser.codecpar();
   if (!par) return TS_ERROR;
-  if (par->width != width_ || par->height != height_) {
-    if (logger_)
-      logger_->log("ERROR: reconnected source has different dimensions (" +
-                       std::to_string(par->width) + "x" +
-                       std::to_string(par->height) + ")",
-                   LOG_LOW);
-    return TS_ERROR;
-  }
+  // A reconnected source with different dimensions is a geometry switch
+  // like any other: the first stored frame bumps the generation and
+  // consumers renegotiate (storeFrame detects the change itself).
   const AVCodec* codec = avcodec_find_decoder(par->codec_id);
   if (!codec) return TS_UNSUPPORTED;
   AVCodecContext* fresh = avcodec_alloc_context3(codec);
@@ -93,23 +89,28 @@ int Decoder::Reopen(const Parser& parser) {
 // slot; wakes every consumer (reference: src/Decoder.cpp:149-162).
 int Decoder::storeFrame(AVFrame* frame) {
   int w = frame->width, h = frame->height;
-  if (w != width_ || h != height_) {
-    // Mid-stream resolution change (e.g. an H.264 SPS switch): consumer
-    // buffers were sized from the init-time dimensions, so adopting the
-    // new geometry would corrupt every registered reader's heap. Reject
-    // the frame loudly; re-negotiation requires a new pipeline.
-    if (logger_)
-      logger_->log("ERROR: mid-stream resolution change " +
-                       std::to_string(width_) + "x" + std::to_string(height_) +
-                       " -> " + std::to_string(w) + "x" + std::to_string(h) +
-                       " is not supported; frame dropped",
-                   LOG_LOW);
-    return TS_ERROR;
-  }
   size_t y_size = static_cast<size_t>(w) * h;
   size_t uv_size = static_cast<size_t>(w) * (h / 2);
 
   std::unique_lock<std::mutex> lk(sync_);
+  if (w != width_ || h != height_) {
+    // Mid-stream resolution change (e.g. an H.264 SPS switch in an
+    // adaptive source): adopt the new geometry under a new generation.
+    // Consumers with init-sized buffers get TS_RENEGOTIATE until they
+    // acknowledge (the reference corrupts their heap here instead —
+    // src/Decoder.cpp:149 adopts silently while callers keep old
+    // buffers); the per-slot-resized bulk path rides through.
+    if (logger_)
+      logger_->log("Mid-stream resolution change " + std::to_string(width_) +
+                       "x" + std::to_string(height_) + " -> " +
+                       std::to_string(w) + "x" + std::to_string(h) +
+                       "; consumers must renegotiate",
+                   LOG_LOW);
+    width_ = w;
+    height_ = h;
+    generation_++;
+    gen_dims_[generation_] = {w, h};
+  }
   if (!cursors_.empty()) {
     // Bounded-queue back-pressure: never overwrite a ring slot a cursor
     // consumer has not read yet (frame current_frame_ - deep lives in the
@@ -125,6 +126,9 @@ int Decoder::storeFrame(AVFrame* frame) {
   Slot& slot = ring_[current_frame_ % ring_.size()];
   if (slot.y.size() != y_size) slot.y.resize(y_size);
   if (slot.uv.size() != uv_size) slot.uv.resize(uv_size);
+  slot.w = w;
+  slot.h = h;
+  slot.gen = generation_;
 
   if (frame->format == AV_PIX_FMT_YUV420P || frame->format == AV_PIX_FMT_YUVJ420P) {
     // Fast path: copy Y rows, interleave U/V into the UV plane.
@@ -306,9 +310,52 @@ int Decoder::GetFrame(int index, const std::string& consumer, uint8_t* out_y,
   int aligned = (current_frame_ - 1) % static_cast<int>(ring_.size()) + index;
   if (aligned < 0 || !ring_[aligned].valid) return TS_REPEAT;
   const Slot& slot = ring_[aligned];
+  auto acked = acked_gen_.find(consumer);
+  if (slot.gen != (acked == acked_gen_.end() ? 0 : acked->second)) {
+    // Geometry switch: the caller's buffers are sized for a different
+    // generation. Re-arm the wake flag so the retry after
+    // AckRenegotiate does not wait for yet another frame.
+    it->second = true;
+    return TS_RENEGOTIATE;
+  }
   std::memcpy(out_y, slot.y.data(), slot.y.size());
   std::memcpy(out_uv, slot.uv.data(), slot.uv.size());
   return current_frame_;
+}
+
+int Decoder::AckRenegotiate(const std::string& consumer, int* w, int* h) {
+  std::lock_guard<std::mutex> lk(sync_);
+  auto it = cursors_.find(consumer);
+  if (it != cursors_.end()) {
+    // Cursor consumers adopt the geometry AT the cursor, so drains
+    // resume exactly at the switch boundary even when several switches
+    // are queued in the ring.
+    const Slot& slot = ring_[it->second % ring_.size()];
+    if (slot.valid && it->second < current_frame_) {
+      acked_gen_[consumer] = slot.gen;
+      if (w) *w = slot.w;
+      if (h) *h = slot.h;
+      return TS_OK;
+    }
+  }
+  acked_gen_[consumer] = generation_;
+  if (w) *w = width_;
+  if (h) *h = height_;
+  return TS_OK;
+}
+
+void Decoder::ConsumerDims(const std::string& consumer, int* w, int* h) {
+  std::lock_guard<std::mutex> lk(sync_);
+  auto it = acked_gen_.find(consumer);
+  int gen = it == acked_gen_.end() ? 0 : it->second;
+  auto dims = gen_dims_.find(gen);
+  if (dims == gen_dims_.end()) {
+    if (w) *w = width_;
+    if (h) *h = height_;
+    return;
+  }
+  if (w) *w = dims->second.first;
+  if (h) *h = dims->second.second;
 }
 
 void Decoder::registerCursor(const std::string& consumer) {
@@ -334,7 +381,7 @@ bool Decoder::hasRingHeadroom() {
 }
 
 int Decoder::bulkDrain(const std::string& consumer, int count,
-                       int* first_index, const FrameSink& sink) {
+                       int* first_index, bool uniform, const FrameSink& sink) {
   // Blocks Close() for the duration of the drain; notifyConsumers (which
   // Stop() issues first) sets is_finished_ without needing this guard,
   // so a parked drain wakes, exits the loop, and releases us.
@@ -357,6 +404,20 @@ int Decoder::bulkDrain(const std::string& consumer, int count,
     if (it->second >= current_frame_) break;  // finished and drained
     const Slot& slot = ring_[it->second % ring_.size()];
     if (slot.valid) {
+      auto acked = acked_gen_.find(consumer);
+      int acked_gen = acked == acked_gen_.end() ? 0 : acked->second;
+      if (slot.gen != acked_gen) {
+        if (uniform) {
+          // A batch must keep one geometry: end it at the generation
+          // boundary; an empty batch means the consumer must
+          // renegotiate before any frame can be delivered. The cursor
+          // stays at the boundary either way.
+          if (copied == 0) return TS_RENEGOTIATE;
+          break;
+        }
+        // Per-slot-adaptive sink (resized drain): adopt silently.
+        acked_gen_[consumer] = slot.gen;
+      }
       // Safe to read the slot unlocked: the producer's back-pressure
       // wait (storeFrame) cannot overwrite slot `cursor % size` until
       // this cursor advances past it, and the cursor only advances
@@ -376,14 +437,18 @@ int Decoder::bulkDrain(const std::string& consumer, int count,
 
 int Decoder::GetFramesBulk(const std::string& consumer, int count,
                            uint8_t* out_y, uint8_t* out_uv, int* first_index) {
-  size_t y_size = static_cast<size_t>(width_) * height_;
-  size_t uv_size = static_cast<size_t>(width_) * (height_ / 2);
-  return bulkDrain(consumer, count, first_index,
+  // Frame strides come from the slots themselves: bulkDrain's uniform
+  // mode guarantees every slot of one batch shares the consumer's
+  // acknowledged geometry (which can differ from the CURRENT width_/
+  // height_ while a cursor drains frames stored before a switch).
+  return bulkDrain(consumer, count, first_index, /*uniform=*/true,
                    [&](const Slot& slot, int copied) {
-                     std::memcpy(out_y + static_cast<size_t>(copied) * y_size,
-                                 slot.y.data(), y_size);
-                     std::memcpy(out_uv + static_cast<size_t>(copied) * uv_size,
-                                 slot.uv.data(), uv_size);
+                     std::memcpy(out_y + static_cast<size_t>(copied) *
+                                             slot.y.size(),
+                                 slot.y.data(), slot.y.size());
+                     std::memcpy(out_uv + static_cast<size_t>(copied) *
+                                              slot.uv.size(),
+                                 slot.uv.data(), slot.uv.size());
                    });
 }
 
@@ -393,10 +458,13 @@ int Decoder::GetFramesBulkResized(const std::string& consumer, int count,
                                   int* first_index) {
   size_t y_size = static_cast<size_t>(dst_w) * dst_h;
   size_t uv_size = static_cast<size_t>(dst_w) * (dst_h / 2);
-  int sw = width_, sh = height_;
-  return bulkDrain(consumer, count, first_index,
+  // Per-slot source geometry: the fixed output size makes mid-stream
+  // resolution switches invisible to this consumer (each slot is
+  // resized from its own dimensions), so bulkDrain runs non-uniform.
+  return bulkDrain(consumer, count, first_index, /*uniform=*/false,
                    [&](const Slot& slot, int copied) {
-                     ResizeNV12Host(slot.y.data(), slot.uv.data(), sw, sh,
+                     ResizeNV12Host(slot.y.data(), slot.uv.data(), slot.w,
+                                    slot.h,
                                     out_y + static_cast<size_t>(copied) * y_size,
                                     out_uv + static_cast<size_t>(copied) * uv_size,
                                     dst_w, dst_h,

@@ -56,9 +56,9 @@ class Decoder {
   // Live-source reconnect: recreates the codec context from the
   // (re-opened) parser while preserving the ring, the absolute frame
   // counter, and every consumer's cursor/wake state — consumers keep
-  // reading across the break with continuous frame numbering. Rejects a
-  // source whose dimensions changed (consumer buffers are sized from the
-  // init-time geometry).
+  // reading across the break with continuous frame numbering. A source
+  // whose dimensions changed triggers the normal geometry-renegotiation
+  // path on its first stored frame.
   int Reopen(const Parser& parser);
 
   // Sends one packet and stores any resulting frame into the ring.
@@ -124,9 +124,29 @@ class Decoder {
 
   void Close();
 
+  // Geometry renegotiation: a mid-stream resolution change (H.264 SPS
+  // switch in an adaptive source) bumps the generation; per-frame reads
+  // and uniform bulk reads return TS_RENEGOTIATE until the consumer
+  // acknowledges the new geometry. Acknowledgement adopts the geometry
+  // at the consumer's cursor (cursor consumers resume exactly at the
+  // switch boundary, even across multiple switches) or the latest
+  // geometry (per-frame consumers), and returns it in *w / *h so the
+  // caller can resize its buffers before retrying. The resized bulk
+  // path (GetFramesBulkResized) adapts per slot and never renegotiates.
+  int AckRenegotiate(const std::string& consumer, int* w, int* h);
+
+  // Dimensions of the geometry this consumer last acknowledged (the
+  // size its buffers must have for GetFrame/GetFramesBulk to copy into
+  // them) — NOT necessarily the current width()/height() while older
+  // generations still drain.
+  void ConsumerDims(const std::string& consumer, int* w, int* h);
+
  private:
   struct Slot {
     std::vector<uint8_t> y, uv;
+    // Per-slot geometry + generation: slots written before a mid-stream
+    // resolution switch keep their own dimensions.
+    int w = 0, h = 0, gen = 0;
     bool valid = false;
   };
 
@@ -135,8 +155,12 @@ class Decoder {
   // RELEASED (the producer back-pressure guarantees the slot cannot be
   // overwritten until this consumer's cursor advances past it).
   using FrameSink = std::function<void(const Slot&, int)>;
+  // `uniform`: batch layout requires one geometry — stop at a
+  // generation boundary (TS_RENEGOTIATE when nothing was copied yet,
+  // partial batch otherwise). Non-uniform sinks handle per-slot
+  // geometry and auto-acknowledge switches.
   int bulkDrain(const std::string& consumer, int count, int* first_index,
-                const FrameSink& sink);
+                bool uniform, const FrameSink& sink);
 
   int storeFrame(AVFrame* frame);
   int drainReady();
@@ -153,6 +177,12 @@ class Decoder {
 
   std::vector<Slot> ring_;
   int current_frame_ = 0;  // absolute count of frames stored
+  int generation_ = 0;     // bumped per mid-stream geometry change
+  // Dimensions of every generation seen (tiny: one entry per switch).
+  std::map<int, std::pair<int, int>> gen_dims_;
+  // Last generation each consumer acknowledged (absent => 0, the init
+  // geometry).
+  std::map<std::string, int> acked_gen_;
   std::map<std::string, bool> consumer_status_;
   // Cursor-mode consumers: name -> next absolute frame (0-based) to read.
   std::map<std::string, int64_t> cursors_;

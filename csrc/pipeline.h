@@ -110,8 +110,29 @@ class Pipeline {
 
   void Stop();
 
-  int width() const { return parser_ ? parser_->width() : 0; }
-  int height() const { return parser_ ? parser_->height() : 0; }
+  // Live dimensions: the decoder's current geometry (which a mid-stream
+  // resolution switch updates) once decoding is initialized, the
+  // parser's probe before that.
+  int width() const {
+    return decoder_ && decoder_->width() ? decoder_->width()
+                                         : (parser_ ? parser_->width() : 0);
+  }
+  int height() const {
+    return decoder_ && decoder_->height() ? decoder_->height()
+                                          : (parser_ ? parser_->height() : 0);
+  }
+  // Geometry renegotiation passthroughs (see Decoder::AckRenegotiate).
+  int ackRenegotiate(const std::string& consumer, int* w, int* h) {
+    return decoder_ ? decoder_->AckRenegotiate(consumer, w, h) : TS_ERROR;
+  }
+  void consumerDims(const std::string& consumer, int* w, int* h) {
+    if (decoder_) {
+      decoder_->ConsumerDims(consumer, w, h);
+    } else {
+      if (w) *w = width();
+      if (h) *h = height();
+    }
+  }
   int fpsNum() const { return fps_num_; }
   int fpsDen() const { return fps_den_; }
   int realTimeDelayMs() const { return real_time_delay_ms_; }

@@ -104,19 +104,31 @@ class TensorStream {
       throw std::runtime_error("getFrame<T>: T does not match the output "
                                "element type for these FrameParameters");
     HostVppParams p = toHostParams(params);
-    int out_w = 0, out_h = 0;
-    VppOutputSize(pipeline_.width(), pipeline_.height(), p, &out_w, &out_h);
-    std::vector<T> out(ConvertedElements(out_w, out_h, p.fourcc));
-    std::vector<uint8_t> y(static_cast<size_t>(pipeline_.width()) *
-                           pipeline_.height());
-    std::vector<uint8_t> uv(y.size() / 2);
-    int idx = pipeline_.GetFrame(consumer, index, y.data(), uv.data());
-    if (idx == TS_FINISHED) throw std::runtime_error("Decoding finished");
-    if (idx < 0) throw std::runtime_error("getFrame failed");
-    if (VppConvertHost(y.data(), uv.data(), pipeline_.width(),
-                       pipeline_.height(), p, out.data()) != 0)
-      throw std::runtime_error("invalid FrameParameters");
-    return {std::move(out), idx};
+    // Size staging/output for this consumer's acknowledged geometry; on
+    // a mid-stream resolution switch, acknowledge once and retry (the
+    // C++ twin renegotiates internally — callers just observe the new
+    // output dimensions).
+    for (int attempt = 0; attempt < 4; attempt++) {
+      int src_w = 0, src_h = 0;
+      pipeline_.consumerDims(consumer, &src_w, &src_h);
+      int out_w = 0, out_h = 0;
+      VppOutputSize(src_w, src_h, p, &out_w, &out_h);
+      std::vector<T> out(ConvertedElements(out_w, out_h, p.fourcc));
+      std::vector<uint8_t> y(static_cast<size_t>(src_w) * src_h);
+      std::vector<uint8_t> uv(y.size() / 2);
+      int idx = pipeline_.GetFrame(consumer, index, y.data(), uv.data());
+      if (idx == TS_RENEGOTIATE) {
+        pipeline_.ackRenegotiate(consumer, nullptr, nullptr);
+        continue;
+      }
+      if (idx == TS_FINISHED) throw std::runtime_error("Decoding finished");
+      if (idx < 0) throw std::runtime_error("getFrame failed");
+      if (VppConvertHost(y.data(), uv.data(), src_w, src_h, p, out.data()) !=
+          0)
+        throw std::runtime_error("invalid FrameParameters");
+      return {std::move(out), idx};
+    }
+    throw std::runtime_error("geometry renegotiation did not settle");
   }
 
   // Appends the raw converted buffer to <name>.yuv, like the reference's

@@ -39,6 +39,14 @@ enum Status {
                         // (internal: lets the reconnect path distinguish a
                         // bad packet from a dead source; mapped to
                         // TS_ERROR at the API surface)
+  TS_RENEGOTIATE = -8,  // the stream's geometry changed mid-stream (e.g.
+                        // an H.264 SPS switch in an adaptive source); the
+                        // consumer must re-query width/height, resize its
+                        // buffers, and acknowledge via ack_renegotiate
+                        // before reads proceed. (The reference corrupts
+                        // the consumer heap here — src/Decoder.cpp:149
+                        // adopts the new dims while callers keep
+                        // init-sized buffers; we renegotiate instead.)
 };
 
 // Log levels (reference: include/Common.h:29-34). The sign convention of

@@ -23,6 +23,9 @@ TS_ERROR = -3
 TS_EOF = -4
 TS_FINISHED = -5
 TS_TIMEOUT = -6
+# Mid-stream geometry switch: re-query dims via ts_pipeline_ack_renegotiate
+# and resize consumer buffers before retrying the read.
+TS_RENEGOTIATE = -8
 
 
 def _lib_dir() -> str:
@@ -87,6 +90,12 @@ def load():
             [c_void_p, c_void_p, c_int, c_int, c_void_p, c_void_p, c_int,
              c_int, c_int])
         sig("ts_host_simd_available", c_int, [])
+        sig("ts_pipeline_ack_renegotiate", c_int,
+            [c_void_p, c_char_p, ctypes.POINTER(ctypes.c_int),
+             ctypes.POINTER(ctypes.c_int)])
+        sig("ts_pipeline_consumer_dims", None,
+            [c_void_p, c_char_p, ctypes.POINTER(ctypes.c_int),
+             ctypes.POINTER(ctypes.c_int)])
         sig("ts_vpp_convert_host", c_int,
             [c_void_p, c_void_p, c_int, c_int, c_int, c_int, c_int, c_int,
              c_int, c_int, c_int, c_int, c_int, c_int, c_int, c_void_p])

@@ -25,10 +25,15 @@ import threading
 
 import numpy as np
 
+from . import _native
 from .enums import FourCC, FrameRate, Planes, ResizeType
 from .tensor_stream import (FrameParameters, TensorStreamConverter,
                             host_resize_algo)
 from .ops.vpp import build_vpp_batched_flat
+
+# Queue sentinel: the drain hit a mid-stream resolution switch on the
+# fixed-geometry (full-frame) path.
+_RENEGOTIATED = object()
 
 
 class FrameLoader:
@@ -121,6 +126,14 @@ class FrameLoader:
                 got = lib.ts_pipeline_get_batch(
                     handle, b"loader", self.batch, buf.ctypes.data,
                     buf.ctypes.data + y_size, ctypes.byref(first))
+            if got == _native.TS_RENEGOTIATE:
+                # Mid-stream resolution switch: the full-frame drain's
+                # staging pool and VPP program are sized for the init
+                # geometry. host_resize=True rides through switches
+                # (per-slot native resize to a fixed output); surface a
+                # clear error instead of mis-sized batches here.
+                self._filled.put(_RENEGOTIATED)
+                break
             if got <= 0:
                 self._filled.put(None)  # end-of-stream sentinel
                 break
@@ -146,6 +159,12 @@ class FrameLoader:
             item = self._filled.get()
             if item is None:
                 raise StopIteration
+            if item is _RENEGOTIATED:
+                raise RuntimeError(
+                    "stream resolution changed mid-stream; use "
+                    "FrameLoader(host_resize=True, width=..., height=...) "
+                    "to ride through switches, or restart the loader for "
+                    "the new geometry")
             buf, got, first = item
             if got < self.batch and self.drop_partial:
                 self._pool.put(buf)

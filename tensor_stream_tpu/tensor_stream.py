@@ -320,11 +320,18 @@ class TensorStreamConverter:
     # blocking on the transfer alone does not protect the bytes.
     _STAGING_DEPTH = 4
 
-    def _consumer_buffers(self, name):
+    def _consumer_buffers(self, name, dims=None):
+        """Staging for `name`, sized for the geometry that consumer has
+        acknowledged (per-consumer: after a mid-stream resolution switch
+        consumers renegotiate independently, so one consumer's new
+        geometry must not resize another's buffers)."""
         st = self._buffers.get(name)
-        w, h = self.frame_size
-        if st is None or st["bufs"][0][0].shape != (h, w):
-            st = {"bufs": [(np.empty((h, w), np.uint8),
+        if dims is None:
+            dims = st["dims"] if st is not None else self.frame_size
+        w, h = dims
+        if st is None or st["dims"] != (w, h):
+            st = {"dims": (w, h),
+                  "bufs": [(np.empty((h, w), np.uint8),
                             np.empty((h // 2, w), np.uint8))
                            for _ in range(self._STAGING_DEPTH)],
                   "inflight": [None] * self._STAGING_DEPTH,
@@ -358,10 +365,26 @@ class TensorStreamConverter:
             raise RuntimeError("TensorStream is not initialized")
         if not self._started:
             raise RuntimeError("TensorStream is not started")
+        import ctypes
         y, uv = self._consumer_buffers(name)
-        index = self._lib.ts_pipeline_get(handle, name.encode(),
-                                          int(delay), y.ctypes.data,
-                                          uv.ctypes.data)
+        for _ in range(4):
+            index = self._lib.ts_pipeline_get(handle, name.encode(),
+                                              int(delay), y.ctypes.data,
+                                              uv.ctypes.data)
+            if index != _native.TS_RENEGOTIATE:
+                break
+            # Mid-stream resolution switch (adaptive source): adopt the
+            # new geometry and retry with right-sized buffers. Downstream
+            # shapes follow the staging arrays, so the caller sees the
+            # new size transparently.
+            w = ctypes.c_int(0)
+            h = ctypes.c_int(0)
+            self._lib.ts_pipeline_ack_renegotiate(handle, name.encode(),
+                                                  ctypes.byref(w),
+                                                  ctypes.byref(h))
+            self.frame_size = (self._lib.ts_pipeline_width(handle),
+                               self._lib.ts_pipeline_height(handle))
+            y, uv = self._consumer_buffers(name, (w.value, h.value))
         if index == _native.TS_FINISHED:
             raise RuntimeError("Decoding finished")
         if index < 0:
@@ -396,7 +419,10 @@ class TensorStreamConverter:
                    delay=0,
                    return_index=False):
         y, uv, index = self._get_nv12(name, delay)
-        w, h = self.frame_size
+        # Source dims from the staging arrays themselves: after a
+        # mid-stream resolution switch they carry this consumer's
+        # acknowledged geometry (self.frame_size may already be ahead).
+        h, w = y.shape
         cfg = frame_parameters.to_config(w, h)
         # Explicit device_put: the PJRT argument-donation path for numpy
         # args is several times slower than a direct H2D copy here.
@@ -453,22 +479,37 @@ class TensorStreamConverter:
             raise RuntimeError("TensorStream is not started")
         return_index = kwargs.pop("return_index", False)
         frame_parameters = FrameParameters(**kwargs)
-        w, h = self.frame_size
         if host_resize:
             return self._read_batch_host_resized(
                 batch, name, frame_parameters, return_index)
+        # Source dims for THIS consumer's cursor (equals frame_size until
+        # a mid-stream resolution switch; then the acknowledged geometry
+        # while pre-switch frames drain).
+        cw = ctypes.c_int(0)
+        ch = ctypes.c_int(0)
+        self._lib.ts_pipeline_consumer_dims(handle, name.encode(),
+                                            ctypes.byref(cw), ctypes.byref(ch))
+        w, h = cw.value, ch.value
         # Persistent flat staging: all Y planes then all UV planes. The
         # native drain writes straight into it and it ships to HBM as ONE
         # transfer — allocation and per-plane transfer overhead dominate
         # the consumer side otherwise (measured 56 -> ~200 fps at 1080p).
         key = (name, int(batch))
-        staging = self._batch_staging_slot(key, batch * h * w * 3 // 2)
-        y_size = batch * h * w
-        first = ctypes.c_int(0)
-        got = self._lib.ts_pipeline_get_batch(handle, name.encode(),
-                                               int(batch), staging.ctypes.data,
-                                               staging.ctypes.data + y_size,
-                                               ctypes.byref(first))
+        for _ in range(4):
+            staging = self._batch_staging_slot(key, batch * h * w * 3 // 2)
+            y_size = batch * h * w
+            first = ctypes.c_int(0)
+            got = self._lib.ts_pipeline_get_batch(
+                handle, name.encode(), int(batch), staging.ctypes.data,
+                staging.ctypes.data + y_size, ctypes.byref(first))
+            if got != _native.TS_RENEGOTIATE:
+                break
+            # Geometry switch at the cursor: adopt it (batches keep one
+            # geometry each; the boundary batch was already cut short).
+            self._lib.ts_pipeline_ack_renegotiate(handle, name.encode(),
+                                                  ctypes.byref(cw),
+                                                  ctypes.byref(ch))
+            w, h = cw.value, ch.value
         if got <= 0:
             raise RuntimeError("Decoding finished")
         indices = list(range(first.value, first.value + got))

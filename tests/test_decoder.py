@@ -144,12 +144,14 @@ def test_yuv444_stream_decodes(native):
     native.ts_pipeline_destroy(p)
 
 
-def test_midstream_resolution_change_rejected(native, tmp_path):
-    """A mid-stream resolution switch (new SPS) must be rejected, not
-    adopted: consumer buffers are sized from init-time dimensions, so
-    adopting new geometry would corrupt reader heaps (csrc/decoder.cpp
-    storeFrame). Frames at the initial resolution still decode; the
-    switched portion errors the producer out instead of overflowing."""
+def test_midstream_resolution_change_renegotiates(native, tmp_path):
+    """A mid-stream resolution switch (new SPS) must never write
+    new-geometry bytes into a consumer's init-sized buffers (the
+    reference's latent heap corruption, src/Decoder.cpp:149). Since
+    round 2 the switch is adopted under a new generation: reads return
+    TS_RENEGOTIATE until this consumer acknowledges, then proceed at the
+    new size (full semantics: tests/test_renegotiate.py)."""
+    import ctypes
     a = resource("bbb_1080x608_420_10.h264")
     b = resource("bbb_720x480_RGB24_250.h264")
     mixed = tmp_path / "switch.h264"
@@ -161,21 +163,26 @@ def test_midstream_resolution_change_rejected(native, tmp_path):
     w, h = native.ts_pipeline_width(p), native.ts_pipeline_height(p)
     assert (w, h) == (1080, 608)
     y, uv = buffers(w, h)
-    # Drive the whole stream manually; the first stream's frames decode,
-    # then the resolution switch stops the pipeline with an error instead
-    # of writing 720x480 frames into 1080x608-sized consumer buffers.
-    saw_error = False
-    for _ in range(400):
+    # Drive the stream manually past the switch point.
+    for _ in range(40):
         sts = native.ts_pipeline_step(p)
-        if sts == -3:  # TS_ERROR
-            saw_error = True
-            break
-        if sts == -2:  # TS_EOF
-            break
+        assert sts not in (-2, -3), sts  # no EOF/error this early
     frames = native.ts_pipeline_frame_index(p)
-    assert frames >= 9  # the 1080x608 frames all arrived
-    assert saw_error, "resolution switch must surface as an error"
+    assert frames >= 12  # decoding continued across the switch
+    # The probe follows the live geometry...
+    assert (native.ts_pipeline_width(p),
+            native.ts_pipeline_height(p)) == (720, 480)
+    # ...but this consumer still holds 1080x608 buffers, so the read
+    # renegotiates instead of copying.
     assert native.ts_pipeline_get(p, b"c", 0, y.ctypes.data,
-                                  uv.ctypes.data) == frames
+                                  uv.ctypes.data) == -8  # TS_RENEGOTIATE
+    cw = ctypes.c_int(0)
+    ch = ctypes.c_int(0)
+    assert native.ts_pipeline_ack_renegotiate(p, b"c", ctypes.byref(cw),
+                                              ctypes.byref(ch)) == 0
+    assert (cw.value, ch.value) == (720, 480)
+    y2, uv2 = buffers(cw.value, ch.value)
+    assert native.ts_pipeline_get(p, b"c", 0, y2.ctypes.data,
+                                  uv2.ctypes.data) == frames
     native.ts_pipeline_stop(p)
     native.ts_pipeline_destroy(p)
