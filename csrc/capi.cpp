@@ -114,13 +114,18 @@ int ts_pipeline_get_series(void* p, const char* consumer, int index,
                            int count, uint8_t* out_y, uint8_t* out_uv,
                            int* indices) {
   auto* pipe = static_cast<Pipeline*>(p);
-  int w = pipe->width(), h = pipe->height();
+  // Strides follow the consumer's ACKNOWLEDGED geometry (what GetFrame
+  // will actually copy) — after a mid-stream switch the live probe may
+  // already differ; a mismatched read returns TS_RENEGOTIATE instead of
+  // copying, ending the series early.
+  int w = 0, h = 0;
+  pipe->consumerDims(consumer ? consumer : "default", &w, &h);
   size_t y_size = static_cast<size_t>(w) * h;
   size_t uv_size = y_size / 2;
   for (int i = 0; i < count; i++) {
     int idx = pipe->GetFrame(consumer ? consumer : "default", index,
                              out_y + i * y_size, out_uv + i * uv_size);
-    if (idx < 0) return i;  // TS_FINISHED or error: frames read so far
+    if (idx < 0) return i;  // TS_FINISHED/renegotiate/error: frames so far
     if (indices) indices[i] = idx;
   }
   return count;

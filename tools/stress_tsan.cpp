@@ -154,14 +154,102 @@ void run_pool_round(const std::string& video, int round) {
               reads.load());
 }
 
+// Geometry-renegotiation churn: loop-replaying the two-resolution
+// switch fixture flips the generation every half file (320x240 <->
+// 480x360), so renegotiating consumers race the producer's generation
+// bumps and each other's acks continuously.
+void run_renegotiate_round(const std::string& video, int round) {
+  PipelineParams params;
+  params.input = video;
+  params.buffer_size = 8;
+  params.framerate_mode = ts::FR_FAST;
+  params.loop = true;
+
+  Pipeline p;
+  if (p.Init(params) != ts::TS_OK) {
+    std::fprintf(stderr, "renegotiate fixture init failed\n");
+    std::exit(1);
+  }
+  p.Start();
+  std::atomic<bool> stop{false};
+  std::atomic<int> reads{0}, renegs{0};
+
+  auto latest_consumer = [&](std::string name) {
+    int w = 0, h = 0;
+    p.consumerDims(name, &w, &h);
+    std::vector<uint8_t> y(static_cast<size_t>(w) * h);
+    std::vector<uint8_t> uv(y.size() / 2);
+    while (!stop.load()) {
+      int sts = p.GetFrame(name, 0, y.data(), uv.data());
+      if (sts == ts::TS_RENEGOTIATE) {
+        p.ackRenegotiate(name, &w, &h);
+        y.assign(static_cast<size_t>(w) * h, 0);
+        uv.assign(y.size() / 2, 0);
+        renegs.fetch_add(1);
+        continue;
+      }
+      if (sts == ts::TS_FINISHED || sts == ts::TS_ERROR) break;
+      reads.fetch_add(1);
+    }
+  };
+  auto bulk_consumer = [&](std::string name) {
+    const int B = 4;
+    int w = 0, h = 0, first = 0;
+    p.consumerDims(name, &w, &h);
+    std::vector<uint8_t> y(static_cast<size_t>(B) * w * h);
+    std::vector<uint8_t> uv(y.size() / 2);
+    while (!stop.load()) {
+      int got = p.GetFrameBatch(name, B, y.data(), uv.data(), &first);
+      if (got == ts::TS_RENEGOTIATE) {
+        p.ackRenegotiate(name, &w, &h);
+        y.assign(static_cast<size_t>(B) * w * h, 0);
+        uv.assign(y.size() / 2, 0);
+        renegs.fetch_add(1);
+        continue;
+      }
+      if (got <= 0) break;
+      reads.fetch_add(got);
+    }
+  };
+  auto resized_consumer = [&](std::string name) {
+    // Fixed-output path: rides generation flips with no handshake.
+    const int B = 4, ow = 128, oh = 96;
+    std::vector<uint8_t> y(static_cast<size_t>(B) * ow * oh);
+    std::vector<uint8_t> uv(y.size() / 2);
+    int first = 0;
+    while (!stop.load()) {
+      int got =
+          p.GetFrameBatchResized(name, B, ow, oh, 1, y.data(), uv.data(),
+                                 &first);
+      if (got <= 0) break;
+      reads.fetch_add(got);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.emplace_back(latest_consumer, "a");
+  threads.emplace_back(latest_consumer, "b");
+  threads.emplace_back(bulk_consumer, "bulk");
+  threads.emplace_back(resized_consumer, "resized");
+  std::this_thread::sleep_for(std::chrono::milliseconds(1500));
+  p.Stop();
+  stop.store(true);
+  for (auto& t : threads) t.join();
+  std::printf("renegotiate round %d: %d reads, %d renegotiations, clean\n",
+              round, reads.load(), renegs.load());
+}
+
 int main(int argc, char** argv) {
   if (argc < 2) {
-    std::fprintf(stderr, "usage: %s <video> [rounds]\n", argv[0]);
+    std::fprintf(stderr, "usage: %s <video> [rounds] [switch_fixture]\n",
+                 argv[0]);
     return 1;
   }
   const int rounds = argc > 2 ? std::atoi(argv[2]) : 3;
   for (int i = 0; i < rounds; i++) run_round(argv[1], i);
   for (int i = 0; i < 2; i++) run_pool_round(argv[1], i);
+  if (argc > 3)
+    for (int i = 0; i < 2; i++) run_renegotiate_round(argv[3], i);
   std::printf("OK\n");
   return 0;
 }
