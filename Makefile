@@ -2,7 +2,7 @@
 # build/run/wheel; same spirit, TPU image).
 NAME ?= tensor-stream-tpu
 
-.PHONY: all native test bench wheel docker fixtures clean
+.PHONY: all native test test-fast bench wheel docker fixtures clean
 
 all: native
 
@@ -11,6 +11,12 @@ native:
 
 test: native
 	python -m pytest tests/ -q
+
+# Iteration pass: drops the compile-heavy / spawned-process integration
+# tests (marked `slow`, ~6 min of an ~12 min warm-cache full run); every
+# oracle family stays covered.
+test-fast: native
+	python -m pytest tests/ -q -m "not slow"
 
 bench: native
 	python bench.py

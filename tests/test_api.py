@@ -77,6 +77,7 @@ def test_read_shapes(billiard, fmt, planes, w, h, shape):
     assert tensor.dtype == expected_dtype
 
 
+@pytest.mark.slow
 def test_normalization_gives_float(billiard):
     reader = TensorStreamConverter(billiard, framerate_mode=FrameRate.BLOCKING)
     reader.initialize()

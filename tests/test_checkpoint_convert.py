@@ -12,6 +12,7 @@ REF_FNS = "/root/reference/python_examples/fast_neural_style"
 
 @pytest.mark.skipif(not os.path.exists(os.path.join(REF_FNS, "transfromer_net.py")),
                     reason="reference torch model not available")
+@pytest.mark.slow
 def test_converted_torch_weights_match_torch_output():
     torch = pytest.importorskip("torch")
     sys.path.insert(0, REF_FNS)

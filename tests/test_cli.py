@@ -55,6 +55,7 @@ FIXTURE = "bbb_720x480_RGB24_250.h264"
       "--resize_type", "BILINEAR"), 320 * 240 * 3),
     (("-fc", "Y800", "-w", "160", "-h", "120"), 160 * 120),
 ])
+@pytest.mark.slow
 def test_cli_dump_matches_library_path(tmp_path, args, pixels_per_frame):
     data = run_simple(tmp_path, *args)
     assert data.size == 4 * pixels_per_frame
@@ -113,6 +114,7 @@ def _run_example(script, *args, timeout=300):
     return proc.stdout
 
 
+@pytest.mark.slow
 def test_example_many_consumers():
     """python_examples/many_consumers.py runs end-to-end (reference:
     python_examples/many_consumers.py — 2 readers, one stream)."""
@@ -121,6 +123,7 @@ def test_example_many_consumers():
     assert "read 3 frames" in out
 
 
+@pytest.mark.slow
 def test_example_different_streams():
     """python_examples/different_streams.py: two independent instances."""
     out = _run_example("different_streams.py",
@@ -130,6 +133,7 @@ def test_example_different_streams():
     assert out.strip()
 
 
+@pytest.mark.slow
 def test_example_multi_stream_inference():
     """python_examples/multi_stream_inference.py: batched multi-stream
     loader feeding a model."""
@@ -140,6 +144,7 @@ def test_example_multi_stream_inference():
     assert out.strip()
 
 
+@pytest.mark.slow
 def test_example_train_sharded(tmp_path):
     """fast_neural_style/train_sharded.py: raw NV12 batches feeding the
     full SPMD training step (sharded VPP + TransformerNet + adam) over

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tensor_stream_tpu.models import TransformerNet, init_params
 from tensor_stream_tpu.models.transformer_net import (gram_matrix,
@@ -33,6 +34,7 @@ def test_gram_matrix_properties():
                                rtol=1e-5)  # symmetric
 
 
+@pytest.mark.slow
 def test_loss_grads_finite():
     model = TransformerNet()
     params = init_params(jax.random.PRNGKey(0), 32, 32)

@@ -72,6 +72,7 @@ def test_round_robin_stream_placement():
     assert mapping[0] == mapping[8]  # wraps over 8 devices
 
 
+@pytest.mark.slow
 def test_graft_entry_single_device():
     import __graft_entry__ as ge
     fn, args = ge.entry()
