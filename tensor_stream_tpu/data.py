@@ -491,6 +491,11 @@ class PooledStreamLoader:
                     handle, b"pool", self.per_stream,
                     staging.ctypes.data + y_off,
                     staging.ctypes.data + uv_off, ctypes.byref(first))
+            if got == _native.TS_RENEGOTIATE:
+                raise RuntimeError(
+                    f"stream {k} changed resolution mid-stream; use "
+                    "PooledStreamLoader(host_resize=True) to ride through "
+                    "switches, or restart the pool for the new geometry")
             if got < self.per_stream:
                 raise StopIteration  # a stream drained; shards must match
             indices[k] = list(range(first.value, first.value + got))

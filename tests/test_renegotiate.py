@@ -88,6 +88,9 @@ def test_bulk_batch_renegotiates_at_generation_boundary():
     assert first.value == 13
     got = lib.ts_pipeline_get_batch(p, b"c", 24, y, uv, ctypes.byref(first))
     assert got == 0  # drained
+    # The switch segment starts with a fresh SPS+IDR, so the H.264
+    # stream-health analyzer must not flag it as frame loss.
+    assert lib.ts_pipeline_analyze_errors(p) == 0
     lib.ts_pipeline_stop(p)
     lib.ts_pipeline_destroy(p)
 
