@@ -5,7 +5,7 @@
 // into a raw Annex-B elementary stream.
 //
 //   g++ -O2 -std=c++20 make_fixture.cpp -lavcodec -lavutil -o make_fixture
-//   ./make_fixture out.h264 [frames=250] [w=720] [h=480] [fps=25]
+//   ./make_fixture out.h264 [frames=250] [w=720] [h=480] [fps=25] [codec=libx264] [pix_fmt=yuv420p]
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
@@ -20,29 +20,50 @@ extern "C" {
 
 static void fill_frame(AVFrame* f, int index) {
   const int w = f->width, h = f->height;
+  // 10-bit planar formats store little-endian uint16 samples; 8-bit
+  // values are shifted up by 2 so both depths paint the same picture.
+  const bool ten_bit = f->format == AV_PIX_FMT_YUV420P10;
   // Smooth moving diagonal gradient + a drifting bright square: cheap to
   // encode, exercises inter prediction, deterministic.
   for (int y = 0; y < h; y++) {
     uint8_t* row = f->data[0] + static_cast<size_t>(y) * f->linesize[0];
-    for (int x = 0; x < w; x++)
-      row[x] = static_cast<uint8_t>((x + y + 2 * index) & 0xFF);
+    for (int x = 0; x < w; x++) {
+      int v8 = (x + y + 2 * index) & 0xFF;
+      if (ten_bit)
+        reinterpret_cast<uint16_t*>(row)[x] = static_cast<uint16_t>(v8 << 2);
+      else
+        row[x] = static_cast<uint8_t>(v8);
+    }
   }
   for (int y = 0; y < h / 2; y++) {
     uint8_t* u = f->data[1] + static_cast<size_t>(y) * f->linesize[1];
     uint8_t* v = f->data[2] + static_cast<size_t>(y) * f->linesize[2];
     for (int x = 0; x < w / 2; x++) {
-      u[x] = static_cast<uint8_t>(128 + 40 * std::sin(0.05 * (x + index)));
-      v[x] = static_cast<uint8_t>(128 + 40 * std::cos(0.04 * (y + index)));
+      int u8v = static_cast<int>(128 + 40 * std::sin(0.05 * (x + index)));
+      int v8v = static_cast<int>(128 + 40 * std::cos(0.04 * (y + index)));
+      if (ten_bit) {
+        reinterpret_cast<uint16_t*>(u)[x] = static_cast<uint16_t>(u8v << 2);
+        reinterpret_cast<uint16_t*>(v)[x] = static_cast<uint16_t>(v8v << 2);
+      } else {
+        u[x] = static_cast<uint8_t>(u8v);
+        v[x] = static_cast<uint8_t>(v8v);
+      }
     }
   }
   const int sq = 64, sx = (8 * index) % (w - sq), sy = (3 * index) % (h - sq);
-  for (int y = sy; y < sy + sq; y++)
-    std::memset(f->data[0] + static_cast<size_t>(y) * f->linesize[0] + sx, 235, sq);
+  for (int y = sy; y < sy + sq; y++) {
+    uint8_t* row = f->data[0] + static_cast<size_t>(y) * f->linesize[0];
+    if (ten_bit)
+      for (int x = sx; x < sx + sq; x++)
+        reinterpret_cast<uint16_t*>(row)[x] = 235 << 2;
+    else
+      std::memset(row + sx, 235, sq);
+  }
 }
 
 int main(int argc, char** argv) {
   if (argc < 2) {
-    std::fprintf(stderr, "usage: %s out.bin [frames] [w] [h] [fps] [codec=libx264]\n", argv[0]);
+    std::fprintf(stderr, "usage: %s out.bin [frames] [w] [h] [fps] [codec=libx264] [pix_fmt=yuv420p]\n", argv[0]);
     return 1;
   }
   const char* out_path = argv[1];
@@ -52,6 +73,7 @@ int main(int argc, char** argv) {
   const int fps = argc > 5 ? std::atoi(argv[5]) : 25;
 
   const char* codec_name = argc > 6 ? argv[6] : "libx264";
+  const char* pix_fmt_name = argc > 7 ? argv[7] : "yuv420p";
   const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
   if (!codec) {
     std::fprintf(stderr, "encoder %s not available\n", codec_name);
@@ -66,7 +88,11 @@ int main(int argc, char** argv) {
   ctx->height = h;
   ctx->time_base = {1, fps};
   ctx->framerate = {fps, 1};
-  ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+  ctx->pix_fmt = av_get_pix_fmt(pix_fmt_name);
+  if (ctx->pix_fmt == AV_PIX_FMT_NONE) {
+    std::fprintf(stderr, "unknown pix_fmt %s\n", pix_fmt_name);
+    return 1;
+  }
   ctx->gop_size = 25;
   if (is_x26x) {
     ctx->max_b_frames = 2;  // exercises the analyzer's POC/reorder checks
