@@ -27,13 +27,32 @@ const float kGV709 =
 const float kGU709 =
     static_cast<float>(-(2 * (1 - 0.0722) * 0.0722 / 0.7152) * 255 / 224);
 
+// Full-range (PC/JPEG swing) variants (TPU extension; mirrored from
+// ops/color.py _STANDARD_COEFS[2..3]): Y maps 0..255 directly and the
+// chroma coefficients drop the 255/224 excursion scale.
+const float kRV601F = static_cast<float>(2 * (1 - 0.299));
+const float kBU601F = static_cast<float>(2 * (1 - 0.114));
+const float kGV601F = static_cast<float>(-(2 * (1 - 0.299) * 0.299 / 0.587));
+const float kGU601F = static_cast<float>(-(2 * (1 - 0.114) * 0.114 / 0.587));
+const float kRV709F = static_cast<float>(2 * (1 - 0.2126));
+const float kBU709F = static_cast<float>(2 * (1 - 0.0722));
+const float kGV709F =
+    static_cast<float>(-(2 * (1 - 0.2126) * 0.2126 / 0.7152));
+const float kGU709F =
+    static_cast<float>(-(2 * (1 - 0.0722) * 0.0722 / 0.7152));
+
 struct YuvCoefs {
   float rv, bu, gv, gu;
+  float y_coef, y_off;
 };
 
 inline YuvCoefs CoefsFor(int standard) {
-  if (standard == 1) return {kRV709, kBU709, kGV709, kGU709};
-  return {kRV, kBU, kGV, kGU};
+  switch (standard) {
+    case 1: return {kRV709, kBU709, kGV709, kGU709, kYCoef, 16.0f};
+    case 2: return {kRV601F, kBU601F, kGV601F, kGU601F, 1.0f, 0.0f};
+    case 3: return {kRV709F, kBU709F, kGV709F, kGU709F, 1.0f, 0.0f};
+    default: return {kRV, kBU, kGV, kGU, kYCoef, 16.0f};
+  }
 }
 
 inline int Clamp255(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
@@ -51,7 +70,9 @@ inline float Norm255(int x) {
 // can change the rounding.
 inline void Nv12Rgb(uint8_t yv, uint8_t uu, uint8_t vv, const YuvCoefs& c,
                     int* r, int* g, int* b) {
-  float yf = std::max(0.0f, static_cast<float>(yv) - 16.0f) * kYCoef;
+  // Full-range standards: y_off=0 / y_coef=1 make this the identity on
+  // uint8 input — one expression serves both swings (ops/color.py twin).
+  float yf = std::max(0.0f, static_cast<float>(yv) - c.y_off) * c.y_coef;
   float vi = static_cast<float>(static_cast<int>(vv) - 128);
   float ui = static_cast<float>(static_cast<int>(uu) - 128);
   *r = Clamp255(static_cast<int>(yf + (c.rv * vi + 0.5f)));

@@ -61,6 +61,11 @@ class ColorStandard(Enum):
     every committed oracle."""
     BT601 = 0
     BT709 = 1
+    # Full-range (PC/JPEG swing) variants: Y maps 0..255 directly and
+    # chroma drops the 255/224 excursion scale — for yuvj/full-range
+    # sources the limited matrices would wash out.
+    BT601_FULL = 2
+    BT709_FULL = 3
 
 
 class FrameRate(Enum):

@@ -31,10 +31,27 @@ _BU709 = np.float32(2 * (1 - 0.0722) * 255 / 224)
 _GV709 = np.float32(-(2 * (1 - 0.2126) * 0.2126 / 0.7152) * 255 / 224)
 _GU709 = np.float32(-(2 * (1 - 0.0722) * 0.0722 / 0.7152) * 255 / 224)
 
-# standard value (enums.ColorStandard) -> (Rv, Bu, Gv, Gu)
+# Full-range (PC/JPEG swing) variants (TPU extension): Y maps 0..255
+# directly (no -16 offset, unit gain) and the chroma coefficients drop
+# the 255/224 excursion scale.
+_RV601F = np.float32(2 * (1 - 0.299))
+_BU601F = np.float32(2 * (1 - 0.114))
+_GV601F = np.float32(-(2 * (1 - 0.299) * 0.299 / 0.587))
+_GU601F = np.float32(-(2 * (1 - 0.114) * 0.114 / 0.587))
+_RV709F = np.float32(2 * (1 - 0.2126))
+_BU709F = np.float32(2 * (1 - 0.0722))
+_GV709F = np.float32(-(2 * (1 - 0.2126) * 0.2126 / 0.7152))
+_GU709F = np.float32(-(2 * (1 - 0.0722) * 0.0722 / 0.7152))
+
+_ONE = np.float32(1.0)
+_ZERO = np.float32(0.0)
+
+# standard value (enums.ColorStandard) -> (Rv, Bu, Gv, Gu, Ycoef, Yoff)
 _STANDARD_COEFS = {
-    0: (_RV, _BU, _GV, _GU),           # BT601 (reference-exact)
-    1: (_RV709, _BU709, _GV709, _GU709),
+    0: (_RV, _BU, _GV, _GU, _Y_COEF, np.float32(16)),  # BT601 (ref-exact)
+    1: (_RV709, _BU709, _GV709, _GU709, _Y_COEF, np.float32(16)),
+    2: (_RV601F, _BU601F, _GV601F, _GU601F, _ONE, _ZERO),  # BT601 full
+    3: (_RV709F, _BU709F, _GV709F, _GU709F, _ONE, _ZERO),  # BT709 full
 }
 
 # Correctly-rounded i/255 table. XLA rewrites division by a constant into
@@ -67,9 +84,13 @@ def nv12_to_rgb_channels(y, uv, standard: int = 0):
     """Returns clamped integer (R, G, B) int32 planes
     (src/ColorConversion.cu:6-39). `standard` selects the YUV matrix
     (0 = the reference's BT.601 constants, 1 = BT.709)."""
-    rv, bu, gv, gu = _STANDARD_COEFS[standard]
+    rv, bu, gv, gu, y_coef, y_off = _STANDARD_COEFS[standard]
     u, v = _upsample_uv(uv)
-    yf = jnp.maximum(jnp.float32(0), y.astype(jnp.float32) - jnp.float32(16)) * _Y_COEF
+    # Full-range standards: y_off=0 / y_coef=1 make this the identity on
+    # uint8 input (max(0, x-0)*1.0 is numerically exact), so one
+    # expression serves both swings without changing the limited-range
+    # rounding the oracles pin.
+    yf = jnp.maximum(jnp.float32(0), y.astype(jnp.float32) - y_off) * y_coef
     vi = (v.astype(jnp.int32) - 128).astype(jnp.float32)
     ui = (u.astype(jnp.int32) - 128).astype(jnp.float32)
     r = (yf + (rv * vi + jnp.float32(0.5))).astype(jnp.int32)

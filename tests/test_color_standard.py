@@ -121,3 +121,77 @@ def test_api_read_accepts_color_standard():
     reader.stop()
     assert t601.shape == t709.shape
     assert not np.array_equal(t601, t709)
+
+
+def _reference_rgb_full(y, uv, rv, bu, gv, gu):
+    """Float64 reimplementation of the FULL-range semantics (Y passes
+    through; no 255/224 scale on chroma)."""
+    u = np.repeat(np.repeat(uv[:, 0::2], 2, 0), 2, 1).astype(np.float64)
+    v = np.repeat(np.repeat(uv[:, 1::2], 2, 0), 2, 1).astype(np.float64)
+    yf = y.astype(np.float64)
+    r = np.clip((yf + (rv * (v - 128) + 0.5)).astype(np.int64), 0, 255)
+    b = np.clip((yf + (bu * (u - 128) + 0.5)).astype(np.int64), 0, 255)
+    g = np.clip((yf + (gv * (v - 128) + gu * (u - 128) + 0.5)).astype(np.int64),
+                0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_full_range_gray_is_identity():
+    """BT601_FULL/BT709_FULL: neutral-chroma pixels map Y straight
+    through (the whole point of full swing), where the limited matrices
+    stretch 16..235 to 0..255."""
+    w, h = 32, 16
+    y = np.tile(np.arange(0, 256, 8, np.uint8), (h, 1))
+    uv = np.full((h // 2, w), 128, np.uint8)
+    for std in (ColorStandard.BT601_FULL, ColorStandard.BT709_FULL):
+        out = np.asarray(vpp_numpy(VPPConfig(src_width=w, src_height=h,
+                                             fourcc=FourCC.RGB24,
+                                             standard=std), y, uv))
+        np.testing.assert_array_equal(out, np.repeat(y[..., None], 3, -1),
+                                      err_msg=str(std))
+    limited = np.asarray(vpp_numpy(VPPConfig(src_width=w, src_height=h,
+                                             fourcc=FourCC.RGB24), y, uv))
+    assert limited[0, 0, 0] == 0      # Y=16 -> black
+    assert limited[0, -2, 0] == 255   # Y>=235 saturates
+
+
+def test_full_range_matches_independent_reference(chroma_frame):
+    y, uv, w, h = chroma_frame
+    cases = {
+        ColorStandard.BT601_FULL: (0.299, 0.114, 0.587),
+        ColorStandard.BT709_FULL: (0.2126, 0.0722, 0.7152),
+    }
+    for std, (kr, kb, kg) in cases.items():
+        rv = np.float32(2 * (1 - kr))
+        bu = np.float32(2 * (1 - kb))
+        gv = np.float32(-(2 * (1 - kr) * kr / kg))
+        gu = np.float32(-(2 * (1 - kb) * kb / kg))
+        expected = _reference_rgb_full(y, uv, float(rv), float(bu),
+                                       float(gv), float(gu))
+        out = np.asarray(vpp_numpy(VPPConfig(src_width=w, src_height=h,
+                                             fourcc=FourCC.RGB24,
+                                             standard=std), y, uv))
+        diff = np.abs(out.astype(np.int32) - expected.astype(np.int32))
+        assert diff.max() <= 1, std
+        assert (diff != 0).mean() < 0.01, std
+
+
+def test_native_full_range_matches_device(native, chroma_frame):
+    """C++ host converter vs jitted device path, bit-for-bit, on both
+    full-range standards."""
+    from test_native_convert import native_vpp
+    y, uv, w, h = chroma_frame
+    for std in (ColorStandard.BT601_FULL, ColorStandard.BT709_FULL):
+        for fourcc, planes in [(FourCC.RGB24, Planes.MERGED),
+                               (FourCC.BGR24, Planes.PLANAR),
+                               (FourCC.HSV, Planes.MERGED)]:
+            dev = np.asarray(vpp_numpy(
+                VPPConfig(src_width=w, src_height=h, fourcc=fourcc,
+                          planes=planes, standard=std), y, uv)).reshape(-1)
+            nat = native_vpp(native, y, uv, w, h, fourcc, planes=planes,
+                             standard=std.value)
+            if fourcc == FourCC.HSV:
+                assert np.abs(nat - dev).max() <= 1e-6
+            else:
+                np.testing.assert_array_equal(
+                    nat, dev, err_msg=f"{std} {fourcc}")
