@@ -253,6 +253,7 @@ int ts_pipeline_get_converted(void* p, const char* consumer, int index,
   // mismatched generation).
   int w = 0, h = 0;
   pipe->consumerDims(consumer ? consumer : "default", &w, &h);
+  if (standard < 0) standard = pipe->detectedStandard();  // AUTO
   std::vector<uint8_t> y(static_cast<size_t>(w) * h);
   std::vector<uint8_t> uv(static_cast<size_t>(w) * (h / 2));
   int idx = pipe->GetFrame(consumer ? consumer : "default", index, y.data(),
@@ -290,6 +291,14 @@ void ts_pipeline_consumer_dims(void* p, const char* consumer, int* w,
                                int* h) {
   static_cast<Pipeline*>(p)->consumerDims(consumer ? consumer : "default", w,
                                           h);
+}
+
+// Colorimetry detected from the decoded frames' VUI metadata, as a
+// ColorStandard value (0 BT601, 1 BT709, +2 full-range). Valid once a
+// frame has decoded; unspecified streams report 0 (the reference's
+// hardcoded behavior).
+int ts_pipeline_detected_standard(void* p) {
+  return static_cast<Pipeline*>(p)->detectedStandard();
 }
 int ts_pipeline_fps_num(void* p) { return static_cast<Pipeline*>(p)->fpsNum(); }
 int ts_pipeline_fps_den(void* p) { return static_cast<Pipeline*>(p)->fpsDen(); }

@@ -92,6 +92,15 @@ int Decoder::storeFrame(AVFrame* frame) {
   size_t y_size = static_cast<size_t>(w) * h;
   size_t uv_size = static_cast<size_t>(w) * (h / 2);
 
+  // Colorimetry from the frame's VUI metadata, folded to the matrices
+  // the VPP implements (enums.py ColorStandard): BT.709 matrix -> bit 0,
+  // full range -> bit 1; everything else (incl. unspecified) keeps the
+  // reference's BT.601-limited default.
+  int std_bits = 0;
+  if (frame->colorspace == AVCOL_SPC_BT709) std_bits |= 1;
+  if (frame->color_range == AVCOL_RANGE_JPEG) std_bits |= 2;
+  detected_standard_ = std_bits;
+
   std::unique_lock<std::mutex> lk(sync_);
   if (w != width_ || h != height_) {
     // Mid-stream resolution change (e.g. an H.264 SPS switch in an

@@ -120,6 +120,11 @@ class Decoder {
   int frameIndex() const { return current_frame_; }
   int width() const { return width_; }
   int height() const { return height_; }
+  // Detected colorimetry as a ColorStandard value (enums.py): bit 0 =
+  // BT.709 matrix, bit 1 = full range — from the decoded frames' VUI
+  // metadata (unspecified defaults to BT.601 limited, the reference's
+  // hardcoded behavior).
+  int detectedStandard() const { return detected_standard_; }
   bool finished() const { return is_finished_; }
 
   void Close();
@@ -174,6 +179,7 @@ class Decoder {
   // Atomic: written by the producer on (rare) mid-stream dimension
   // changes, read by consumers sizing their copies without the ring lock.
   std::atomic<int> width_{0}, height_{0};
+  std::atomic<int> detected_standard_{0};
 
   std::vector<Slot> ring_;
   int current_frame_ = 0;  // absolute count of frames stored

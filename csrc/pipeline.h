@@ -121,6 +121,11 @@ class Pipeline {
     return decoder_ && decoder_->height() ? decoder_->height()
                                           : (parser_ ? parser_->height() : 0);
   }
+  // Colorimetry detected from decoded frames (ColorStandard value;
+  // 0 = BT.601 limited until a tagged frame decodes).
+  int detectedStandard() const {
+    return decoder_ ? decoder_->detectedStandard() : 0;
+  }
   // Geometry renegotiation passthroughs (see Decoder::AckRenegotiate).
   int ackRenegotiate(const std::string& consumer, int* w, int* h) {
     return decoder_ ? decoder_->AckRenegotiate(consumer, w, h) : TS_ERROR;

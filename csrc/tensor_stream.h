@@ -104,6 +104,7 @@ class TensorStream {
       throw std::runtime_error("getFrame<T>: T does not match the output "
                                "element type for these FrameParameters");
     HostVppParams p = toHostParams(params);
+    if (p.standard < 0) p.standard = pipeline_.detectedStandard();  // AUTO
     // Size staging/output for this consumer's acknowledged geometry; on
     // a mid-stream resolution switch, acknowledge once and retry (the
     // C++ twin renegotiates internally — callers just observe the new

@@ -96,6 +96,7 @@ def load():
         sig("ts_pipeline_consumer_dims", None,
             [c_void_p, c_char_p, ctypes.POINTER(ctypes.c_int),
              ctypes.POINTER(ctypes.c_int)])
+        sig("ts_pipeline_detected_standard", c_int, [c_void_p])
         sig("ts_vpp_convert_host", c_int,
             [c_void_p, c_void_p, c_int, c_int, c_int, c_int, c_int, c_int,
              c_int, c_int, c_int, c_int, c_int, c_int, c_int, c_void_p])

@@ -22,11 +22,12 @@ import collections
 import ctypes
 import queue
 import threading
+import time
 
 import numpy as np
 
 from . import _native
-from .enums import FourCC, FrameRate, Planes, ResizeType
+from .enums import ColorStandard, FourCC, FrameRate, Planes, ResizeType
 from .tensor_stream import (FrameParameters, TensorStreamConverter,
                             host_resize_algo)
 from .ops.vpp import build_vpp_batched_flat
@@ -78,13 +79,25 @@ class FrameLoader:
         self.reader._lib.ts_pipeline_register_cursor(self.reader._handle,
                                                      b"loader")
         self.reader.start()
+        if self.params.color_standard is ColorStandard.AUTO:
+            # VUI colorimetry comes from decoded frames; the VPP program
+            # is built once here, so wait (bounded) for the first frame
+            # before resolving.
+            lib, handle = self.reader._lib, self.reader._handle
+            deadline = time.monotonic() + 10.0
+            while (lib.ts_pipeline_frame_index(handle) < 1 and
+                   time.monotonic() < deadline):
+                time.sleep(0.02)
+            self.params.color_standard = ColorStandard(
+                lib.ts_pipeline_detected_standard(handle))
         w, h = self.reader.frame_size
         if self.host_resize:
             self._w, self._h = self.params.width, self.params.height
             cfg_params = FrameParameters(
                 pixel_format=self.params.pixel_format,
                 planes_pos=self.params.planes_pos,
-                normalization=self.params.normalization)
+                normalization=self.params.normalization,
+                color_standard=self.params.color_standard)
             self._cfg = cfg_params.to_config(self._w, self._h)
         else:
             self._w, self._h = w, h

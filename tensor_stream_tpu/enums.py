@@ -66,6 +66,10 @@ class ColorStandard(Enum):
     # sources the limited matrices would wash out.
     BT601_FULL = 2
     BT709_FULL = 3
+    # Resolve from the stream's VUI colorimetry metadata (decoded-frame
+    # colorspace/color_range); unspecified streams fall back to the
+    # reference's BT.601-limited behavior.
+    AUTO = -1
 
 
 class FrameRate(Enum):

@@ -320,6 +320,18 @@ class TensorStreamConverter:
     # blocking on the transfer alone does not protect the bytes.
     _STAGING_DEPTH = 4
 
+    def _resolve_standard(self, cfg):
+        """Replaces ColorStandard.AUTO with the colorimetry detected from
+        the stream's decoded frames (safe at every call site: a frame has
+        always been read before the VPP config is built)."""
+        if cfg.standard is not ColorStandard.AUTO:
+            return cfg
+        import dataclasses
+        handle = self._handle
+        detected = (self._lib.ts_pipeline_detected_standard(handle)
+                    if handle is not None else 0)
+        return dataclasses.replace(cfg, standard=ColorStandard(detected))
+
     def _consumer_buffers(self, name, dims=None):
         """Staging for `name`, sized for the geometry that consumer has
         acknowledged (per-consumer: after a mid-stream resolution switch
@@ -423,7 +435,7 @@ class TensorStreamConverter:
         # mid-stream resolution switch they carry this consumer's
         # acknowledged geometry (self.frame_size may already be ahead).
         h, w = y.shape
-        cfg = frame_parameters.to_config(w, h)
+        cfg = self._resolve_standard(frame_parameters.to_config(w, h))
         # Explicit device_put: the PJRT argument-donation path for numpy
         # args is several times slower than a direct H2D copy here.
         dy, duv = self._device_put(y, uv)
@@ -513,7 +525,7 @@ class TensorStreamConverter:
         if got <= 0:
             raise RuntimeError("Decoding finished")
         indices = list(range(first.value, first.value + got))
-        cfg = frame_parameters.to_config(w, h)
+        cfg = self._resolve_standard(frame_parameters.to_config(w, h))
         (flat,) = self._device_put(staging)
         tensors = build_vpp_batched_flat(cfg, int(batch),
                                          self.device_index)(flat)
@@ -549,10 +561,11 @@ class TensorStreamConverter:
         indices = list(range(first.value, first.value + got))
         # The frames arrive already at target size: the device VPP config
         # sees them as native-sized input with no resize stage.
-        cfg = FrameParameters(
+        cfg = self._resolve_standard(FrameParameters(
             width=0, height=0, pixel_format=fp.pixel_format,
             planes_pos=fp.planes_pos,
-            normalization=fp.normalization).to_config(dst_w, dst_h)
+            normalization=fp.normalization,
+            color_standard=fp.color_standard).to_config(dst_w, dst_h))
         (flat,) = self._device_put(staging)
         tensors = build_vpp_batched_flat(cfg, int(batch),
                                          self.device_index)(flat)

@@ -195,3 +195,53 @@ def test_native_full_range_matches_device(native, chroma_frame):
             else:
                 np.testing.assert_array_equal(
                     nat, dev, err_msg=f"{std} {fourcc}")
+
+
+@pytest.mark.slow
+def test_auto_standard_resolves_from_vui():
+    """ColorStandard.AUTO reads the stream's VUI colorimetry: on a
+    bt709+full-range-tagged fixture it matches the explicit BT709_FULL
+    conversion; on an untagged stream it falls back to the reference's
+    BT.601-limited behavior."""
+    from conftest import resource
+    from tensor_stream_tpu import FrameRate, TensorStreamConverter
+
+    def grab(path, std):
+        r = TensorStreamConverter(path, framerate_mode=FrameRate.BLOCKING,
+                                  buffer_size=8)
+        r.initialize(repeat_number=3)
+        r.start()
+        out = np.asarray(r.read(name="c", pixel_format=FourCC.RGB24,
+                                width=64, height=48, color_standard=std))
+        r.stop()
+        return out
+
+    tagged = resource("synthetic_320x240_30_bt709full.h264")
+    assert np.array_equal(grab(tagged, ColorStandard.AUTO),
+                          grab(tagged, ColorStandard.BT709_FULL))
+    assert not np.array_equal(grab(tagged, ColorStandard.AUTO),
+                              grab(tagged, ColorStandard.BT601))
+    untagged = resource("bbb_720x480_RGB24_250.h264")
+    assert np.array_equal(grab(untagged, ColorStandard.AUTO),
+                          grab(untagged, ColorStandard.BT601))
+
+
+@pytest.mark.slow
+def test_auto_standard_in_frame_loader():
+    """FrameLoader(color_standard=AUTO) waits for the first decoded
+    frame, resolves the VUI colorimetry, and bakes it into its one
+    compiled VPP program."""
+    import jax
+    from tensor_stream_tpu import FrameLoader
+    from conftest import resource
+    path = resource("synthetic_320x240_30_bt709full.h264")
+
+    def batches(std):
+        with FrameLoader(path, batch=10, width=64, height=48,
+                         pixel_format=FourCC.RGB24,
+                         color_standard=std) as loader:
+            t, idx = next(loader)
+            return np.asarray(jax.block_until_ready(t))
+
+    assert np.array_equal(batches(ColorStandard.AUTO),
+                          batches(ColorStandard.BT709_FULL))

@@ -74,6 +74,10 @@ int main(int argc, char** argv) {
 
   const char* codec_name = argc > 6 ? argv[6] : "libx264";
   const char* pix_fmt_name = argc > 7 ? argv[7] : "yuv420p";
+  // Optional VUI colorimetry tag: "bt709", "full", or "bt709full" —
+  // written into the bitstream's VUI by the encoder so decoders (and the
+  // ColorStandard.AUTO detection) can recover it.
+  const char* color_tag = argc > 8 ? argv[8] : "";
   const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
   if (!codec) {
     std::fprintf(stderr, "encoder %s not available\n", codec_name);
@@ -94,6 +98,12 @@ int main(int argc, char** argv) {
     return 1;
   }
   ctx->gop_size = 25;
+  if (std::strstr(color_tag, "709")) {
+    ctx->colorspace = AVCOL_SPC_BT709;
+    ctx->color_primaries = AVCOL_PRI_BT709;
+    ctx->color_trc = AVCOL_TRC_BT709;
+  }
+  if (std::strstr(color_tag, "full")) ctx->color_range = AVCOL_RANGE_JPEG;
   if (is_x26x) {
     ctx->max_b_frames = 2;  // exercises the analyzer's POC/reorder checks
     av_opt_set(ctx->priv_data, "preset", "veryfast", 0);
