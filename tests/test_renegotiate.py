@@ -164,3 +164,37 @@ def test_frame_loader_host_resize_rides_switch():
         total += np.asarray(jax.block_until_ready(t)).shape[0]
     loader.close()
     assert total == 24
+
+
+def test_hevc_resolution_switch_renegotiates():
+    """Geometry renegotiation is codec-agnostic: an HEVC stream spliced
+    to a new resolution (fresh VPS/SPS/PPS + IDR) takes the same
+    generation/ack path as H.264, and the HEVC stream-health analyzer
+    stays clean across the splice."""
+    lib = _native.load()
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "switch_hevc_320x240_480x360_20.h265")
+    p = lib.ts_pipeline_create()
+    assert lib.ts_pipeline_init_ex(p, path.encode(), 5, 32, 3, 0, 0, 0,
+                                   0) == 0
+    lib.ts_pipeline_register_cursor(p, b"c")
+    lib.ts_pipeline_start(p)
+    first = ctypes.c_int(0)
+    y = ctypes.create_string_buffer(20 * 480 * 360)
+    uv = ctypes.create_string_buffer(20 * 480 * 180)
+    assert lib.ts_pipeline_get_batch(p, b"c", 20, y, uv,
+                                     ctypes.byref(first)) == 10
+    assert first.value == 1
+    assert lib.ts_pipeline_get_batch(p, b"c", 20, y, uv,
+                                     ctypes.byref(first)) == \
+        _native.TS_RENEGOTIATE
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    lib.ts_pipeline_ack_renegotiate(p, b"c", ctypes.byref(w), ctypes.byref(h))
+    assert (w.value, h.value) == (480, 360)
+    assert lib.ts_pipeline_get_batch(p, b"c", 20, y, uv,
+                                     ctypes.byref(first)) == 10
+    assert first.value == 11
+    assert lib.ts_pipeline_analyze_errors(p) == 0
+    lib.ts_pipeline_stop(p)
+    lib.ts_pipeline_destroy(p)
