@@ -157,3 +157,14 @@ def test_example_train_sharded(tmp_path):
     assert "training done" in out
     assert "mesh=" in out
     assert ckpt.exists() and ckpt.stat().st_size > 0
+
+
+@pytest.mark.slow
+def test_example_adaptive_source():
+    """python_examples/adaptive_source.py (TPU extension): shape-following
+    reads across the resolution switch, then fixed-geometry batches."""
+    out = _run_example("adaptive_source.py", "-n", "24")
+    assert "shape -> (240, 320, 3)" in out
+    assert "shape -> (360, 480, 3)" in out
+    out = _run_example("adaptive_source.py", "-n", "24", "--batch")
+    assert "read 24 frames at fixed geometry" in out
