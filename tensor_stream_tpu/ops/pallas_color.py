@@ -24,7 +24,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .color import _BU, _GU, _GV, _RV, _Y_COEF
+from .color import _STANDARD_COEFS
 
 # Correctly-rounded x/255 without a table lookup (Mosaic has no >=2D
 # gather): 1/255 = 2^-8 / (1 - 2^-8) = 2^-8 * (1 + 2^-8 + 2^-16 + ...).
@@ -44,14 +44,17 @@ def _div255_exact(x_f32):
     return (s + x_f32 * _TAIL_255) * jnp.float32(2.0 ** -8)
 
 
-def _rgb_from_planes(y_f32, u_f32, v_f32):
-    """Exact reference math (src/ColorConversion.cu:23-38) on f32 blocks."""
-    yv = jnp.maximum(jnp.float32(0), y_f32 - jnp.float32(16)) * _Y_COEF
+def _rgb_from_planes(y_f32, u_f32, v_f32, standard=0):
+    """Exact reference math (src/ColorConversion.cu:23-38) on f32 blocks;
+    `standard` selects the matrix like ops/color.py (compile-time
+    constants — full-range folds the y_off=0/y_coef=1 identity away)."""
+    rv, bu, gv, gu, y_coef, y_off = _STANDARD_COEFS[standard]
+    yv = jnp.maximum(jnp.float32(0), y_f32 - y_off) * y_coef
     vi = v_f32 - jnp.float32(128)
     ui = u_f32 - jnp.float32(128)
-    r = (yv + (_RV * vi + jnp.float32(0.5))).astype(jnp.int32)
-    b = (yv + (_BU * ui + jnp.float32(0.5))).astype(jnp.int32)
-    g = (yv + (_GV * vi + _GU * ui + jnp.float32(0.5))).astype(jnp.int32)
+    r = (yv + (rv * vi + jnp.float32(0.5))).astype(jnp.int32)
+    b = (yv + (bu * ui + jnp.float32(0.5))).astype(jnp.int32)
+    g = (yv + (gv * vi + gu * ui + jnp.float32(0.5))).astype(jnp.int32)
     clip = lambda x: jnp.clip(x, 0, 255)
     return clip(r), clip(g), clip(b)
 
@@ -63,7 +66,8 @@ def _u8_to_f32(x):
 
 
 def _nv12_rgb_kernel(y_ref, uv_ref, out_ref, *, swap_rb,
-                     normalization, planar, block_w, uv_half_select=False):
+                     normalization, planar, block_w, uv_half_select=False,
+                     standard=0):
     y = _u8_to_f32(y_ref[...])
     # UV row r serves luma rows 2r and 2r+1 — an interleaved doubling
     # (jnp.repeat lowers to broadcast+reshape on the sublane axis; NOT
@@ -84,7 +88,7 @@ def _nv12_rgb_kernel(y_ref, uv_ref, out_ref, *, swap_rb,
     # broadcast each even-lane U to its odd neighbor, odd-lane V to even.
     u = u_even + pltpu.roll(u_even, shift=1, axis=1)
     v = v_odd + pltpu.roll(v_odd, shift=block_w - 1, axis=1)  # roll by -1
-    r, g, b = _rgb_from_planes(y, u, v)
+    r, g, b = _rgb_from_planes(y, u, v, standard)
     if swap_rb:
         r, b = b, r
     if normalization:
@@ -100,7 +104,8 @@ def _nv12_rgb_kernel(y_ref, uv_ref, out_ref, *, swap_rb,
 @functools.lru_cache(maxsize=32)
 def build_pallas_nv12_to_rgb(height: int, width: int, swap_rb: bool,
                              planar: bool, normalization: bool,
-                             block_rows: int = 64, interpret: bool = False):
+                             block_rows: int = 64, interpret: bool = False,
+                             standard: int = 0):
     """Returns a jitted (y [H,W] u8, uv [H/2,W] u8) -> RGB converter.
 
     Requires even H and H % (2*block_rows) paddable; rows are processed in
@@ -162,7 +167,8 @@ def build_pallas_nv12_to_rgb(height: int, width: int, swap_rb: bool,
     kernel = functools.partial(_nv12_rgb_kernel, swap_rb=swap_rb,
                                normalization=normalization, planar=planar,
                                block_w=block_cols,
-                               uv_half_select=uv_half_select)
+                               uv_half_select=uv_half_select,
+                               standard=standard)
     two_d = not planar and grid_cols > 1
     if two_d:
         grid = (height // block_rows, grid_cols)

@@ -104,7 +104,7 @@ def make_vpp_fn(cfg: VPPConfig):
     use_pallas = (not do_crop and not do_resize and
                   cfg.fourcc in (FourCC.RGB24, FourCC.BGR24) and
                   cfg.planes == Planes.PLANAR and
-                  cfg.standard == ColorStandard.BT601 and
+                  cfg.standard.value >= 0 and  # AUTO resolved upstream
                   cfg.src_height % 8 == 0 and
                   jax.default_backend() == "tpu")
     if use_pallas:
@@ -112,7 +112,8 @@ def make_vpp_fn(cfg: VPPConfig):
         return build_pallas_nv12_to_rgb(cfg.src_height, cfg.src_width,
                                         cfg.fourcc == FourCC.BGR24,
                                         cfg.planes == Planes.PLANAR,
-                                        cfg.normalization)
+                                        cfg.normalization,
+                                        standard=cfg.standard.value)
 
     def fn(y, uv):
         # named_scope: stage names surface in jax.profiler / XLA metadata,

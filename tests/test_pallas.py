@@ -100,3 +100,21 @@ def test_pallas_merged_hd_correct():
                                  swap_rb=False, planar=False,
                                  normalization=False))
     assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("standard", [1, 2, 3])
+def test_pallas_color_standards_match_xla(standard):
+    """The Mosaic kernel parameterizes the YUV matrix like ops/color.py
+    (BT.709 / full-range variants): bit-identical to the XLA path for
+    every standard (full-range folds the y_off/y_coef identity away at
+    compile time)."""
+    h, w = 64, 256
+    y, uv = _rand_nv12(h, w, seed=11)
+    fn = build_pallas_nv12_to_rgb(h, w, False, True, False,
+                                  block_rows=16, interpret=INTERPRET,
+                                  standard=standard)
+    got = np.asarray(fn(y, uv))
+    ref = np.asarray(nv12_to_rgb(jnp.asarray(y), jnp.asarray(uv),
+                                 swap_rb=False, planar=True,
+                                 normalization=False, standard=standard))
+    assert np.array_equal(got, ref)
