@@ -347,6 +347,20 @@ int Decoder::AckRenegotiate(const std::string& consumer, int* w, int* h) {
       return TS_OK;
     }
   }
+  // Per-frame consumers adopt the LATEST STORED slot's generation, not
+  // generation_: storeFrame bumps the counter before its back-pressure
+  // wait, so between the bump and the store the newest readable frame is
+  // still the previous generation — acking ahead of it would strand the
+  // reader in a renegotiate loop until the switch frame lands.
+  if (current_frame_ > 0) {
+    const Slot& latest = ring_[(current_frame_ - 1) % ring_.size()];
+    if (latest.valid) {
+      acked_gen_[consumer] = latest.gen;
+      if (w) *w = latest.w;
+      if (h) *h = latest.h;
+      return TS_OK;
+    }
+  }
   acked_gen_[consumer] = generation_;
   if (w) *w = width_;
   if (h) *h = height_;
