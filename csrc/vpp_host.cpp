@@ -382,6 +382,9 @@ struct BicubicPlan {
   // SIMD column cutoffs: leading columns whose widest tap keeps the
   // 4-byte gather window inside the row (multiple of 4).
   int vec_y = 0, vec_u = 0, vec_v = 0;
+  // Precomputed per-row taps for the SIMD path (4*dh / 4*(dh/2) ints) —
+  // fully determined by the plan key, so built once here.
+  std::vector<int> rt_y, rt_uv;
 };
 
 int BicubicVecCutoff(const ColTaps& ct, int ncols, int src_w) {
@@ -409,6 +412,13 @@ const BicubicPlan& GetBicubicPlan(int sw, int sh, int dw, int dh) {
     plan->vec_y = BicubicVecCutoff(plan->y_ct, dw, sw);
     plan->vec_u = BicubicVecCutoff(plan->u_ct, dw / 2, sw);
     plan->vec_v = BicubicVecCutoff(plan->v_ct, dw / 2, sw);
+    plan->rt_y.resize(4 * static_cast<size_t>(dh));
+    for (int i = 0; i < dh; i++)
+      BicubicTaps(plan->ay.base[i], 1, sh, &plan->rt_y[4 * static_cast<size_t>(i)]);
+    plan->rt_uv.resize(4 * static_cast<size_t>(dh / 2));
+    for (int i = 0; i < dh / 2; i++)
+      BicubicTaps(plan->ay.base[i], 1, sh / 2,
+                  &plan->rt_uv[4 * static_cast<size_t>(i)]);
     it = cache.emplace(key, std::move(plan)).first;
   }
   return *it->second;
@@ -422,14 +432,8 @@ void ResizeBicubic(const uint8_t* y, const uint8_t* uv, int sw, int sh,
     vy = p.vec_y;
     vu = p.vec_u;
     vv = p.vec_v;
-    // Row taps (BicubicTaps over the y axis) precomputed once per call
-    // for the SIMD twin; the scalar tail recomputes them per row.
-    std::vector<int> rt_y(4 * static_cast<size_t>(dh));
-    for (int i = 0; i < dh; i++)
-      BicubicTaps(p.ay.base[i], 1, sh, &rt_y[4 * static_cast<size_t>(i)]);
-    std::vector<int> rt_uv(4 * static_cast<size_t>(dh / 2));
-    for (int i = 0; i < dh / 2; i++)
-      BicubicTaps(p.ay.base[i], 1, sh / 2, &rt_uv[4 * static_cast<size_t>(i)]);
+    const std::vector<int>& rt_y = p.rt_y;
+    const std::vector<int>& rt_uv = p.rt_uv;
     simd::BicubicPlane(y, sw, rt_y.data(), p.ay.c[0].data(), p.ay.c[1].data(),
                        p.ay.c[2].data(), p.ay.c[3].data(), p.ax.c[0].data(),
                        p.ax.c[1].data(), p.ax.c[2].data(), p.ax.c[3].data(),

@@ -29,7 +29,7 @@ DEFAULT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
 
 def per_frame(reader, frames):
     """Shapes follow the source; the switch is just a new output shape."""
-    last_shape = None
+    last_shape, index = None, None
     for _ in range(frames):
         try:
             tensor, index = reader.read(

@@ -78,6 +78,11 @@ class FrameLoader:
         # already have evicted the head of a short file from the ring).
         self.reader._lib.ts_pipeline_register_cursor(self.reader._handle,
                                                      b"loader")
+        # Baseline BEFORE start: seek_frame pre-sets the absolute frame
+        # counter, so "a frame has decoded" means the counter moved past
+        # this value, not past zero.
+        index_baseline = self.reader._lib.ts_pipeline_frame_index(
+            self.reader._handle)
         self.reader.start()
         if self.params.color_standard is ColorStandard.AUTO:
             # VUI colorimetry comes from decoded frames; the VPP program
@@ -85,7 +90,7 @@ class FrameLoader:
             # before resolving.
             lib, handle = self.reader._lib, self.reader._handle
             deadline = time.monotonic() + 10.0
-            while (lib.ts_pipeline_frame_index(handle) < 1 and
+            while (lib.ts_pipeline_frame_index(handle) <= index_baseline and
                    time.monotonic() < deadline):
                 time.sleep(0.02)
             self.params.color_standard = ColorStandard(
@@ -450,28 +455,47 @@ class PooledStreamLoader:
                 for h in self.handles}
         if self.host_resize:
             self._w, self._h = self.params.width, self.params.height
-            cfg = FrameParameters(
-                pixel_format=self.params.pixel_format,
-                planes_pos=self.params.planes_pos,
-                normalization=self.params.normalization
-            ).to_config(self._w, self._h)
         else:
             if len(dims) != 1:
                 self._lib.ts_pool_destroy(self.pool)
                 raise ValueError(f"streams disagree on geometry {dims}; "
                                  "use host_resize to unify")
             (self._w, self._h), = dims
-            cfg = self.params.to_config(self._w, self._h)
         self.n_streams = len(self.handles)
         self.global_batch = self.n_streams * self.per_stream
-        self._vpp = build_vpp_batched_flat(cfg, self.global_batch,
-                                           device_index)
         size = self.global_batch * self._w * self._h * 3 // 2
         self._staging = [np.empty(size, np.uint8) for _ in range(2)]
         self._inflight = [None, None]
         self._slot = 0
         if self._lib.ts_pool_start(self.pool) != 0:
             raise RuntimeError("StreamPool start failed")
+        if self.params.color_standard is ColorStandard.AUTO:
+            # VUI colorimetry comes from decoded frames; the one shared
+            # VPP program needs every stream to agree on it.
+            deadline = time.monotonic() + 10.0
+            detected = set()
+            for h in self.handles:
+                while (self._lib.ts_pipeline_frame_index(h) < 1 and
+                       time.monotonic() < deadline):
+                    time.sleep(0.02)
+                detected.add(self._lib.ts_pipeline_detected_standard(h))
+            if len(detected) != 1:
+                self.close()
+                raise ValueError(
+                    f"streams disagree on colorimetry {sorted(detected)}; "
+                    "pass an explicit color_standard")
+            self.params.color_standard = ColorStandard(detected.pop())
+        if self.host_resize:
+            cfg = FrameParameters(
+                pixel_format=self.params.pixel_format,
+                planes_pos=self.params.planes_pos,
+                normalization=self.params.normalization,
+                color_standard=self.params.color_standard
+            ).to_config(self._w, self._h)
+        else:
+            cfg = self.params.to_config(self._w, self._h)
+        self._vpp = build_vpp_batched_flat(cfg, self.global_batch,
+                                           device_index)
 
     def __iter__(self):
         return self

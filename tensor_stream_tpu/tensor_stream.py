@@ -522,6 +522,9 @@ class TensorStreamConverter:
                                                   ctypes.byref(cw),
                                                   ctypes.byref(ch))
             w, h = cw.value, ch.value
+        if got == _native.TS_RENEGOTIATE:
+            raise RuntimeError(
+                "stream geometry did not settle after renegotiation retries")
         if got <= 0:
             raise RuntimeError("Decoding finished")
         indices = list(range(first.value, first.value + got))
