@@ -245,3 +245,73 @@ def test_auto_standard_in_frame_loader():
 
     assert np.array_equal(batches(ColorStandard.AUTO),
                           batches(ColorStandard.BT709_FULL))
+
+
+def test_detected_standard_native_probe(native):
+    """Cheap no-jit check of the VUI detection itself (the AUTO
+    round-trips above are slow-marked): tagged fixture reports
+    BT709|FULL, untagged reports the BT.601-limited default."""
+    import ctypes
+    import time
+    from conftest import resource
+
+    def detect(path):
+        p = native.ts_pipeline_create()
+        assert native.ts_pipeline_init_ex(p, path.encode(), 5, 8, 3, 0, 0,
+                                          0, 0) == 0
+        native.ts_pipeline_register_cursor(p, b"c")
+        native.ts_pipeline_start(p)
+        deadline = time.monotonic() + 10
+        while (native.ts_pipeline_frame_index(p) < 1 and
+               time.monotonic() < deadline):
+            time.sleep(0.02)
+        std = native.ts_pipeline_detected_standard(p)
+        native.ts_pipeline_stop(p)
+        native.ts_pipeline_destroy(p)
+        return std
+
+    assert detect(resource("synthetic_320x240_30_bt709full.h264")) == \
+        ColorStandard.BT709_FULL.value
+    assert detect(resource("bbb_1080x608_420_10.h264")) == \
+        ColorStandard.BT601.value
+
+
+@pytest.mark.slow
+def test_auto_follows_mid_stream_colorimetry_change():
+    """A splice that keeps geometry but changes VUI colorimetry
+    (untagged BT.601-limited segment, then a bt709+full-range-tagged
+    one): AUTO re-resolves per read, so frames before the splice match
+    explicit BT601 and frames after match explicit BT709_FULL."""
+    from tensor_stream_tpu import FrameRate, TensorStreamConverter
+    from conftest import resource
+    path = resource("switch_colorimetry_320x240_20.h264")
+
+    def read_all(std):
+        r = TensorStreamConverter(path, framerate_mode=FrameRate.BLOCKING,
+                                  buffer_size=8)
+        r.initialize(repeat_number=3)
+        r.start()
+        frames = {}
+        while True:
+            try:
+                t, i = r.read(name="c", pixel_format=FourCC.RGB24,
+                              width=64, height=48, color_standard=std,
+                              return_index=True)
+            except RuntimeError:
+                break
+            frames[i] = np.asarray(t)
+        r.stop()
+        return frames
+
+    auto = read_all(ColorStandard.AUTO)
+    b601 = read_all(ColorStandard.BT601)
+    b709f = read_all(ColorStandard.BT709_FULL)
+    pre = [i for i in auto if i <= 10 and i in b601]
+    post = [i for i in auto if i > 10 and i in b709f]
+    assert len(pre) >= 5 and len(post) >= 5
+    for i in pre:
+        np.testing.assert_array_equal(auto[i], b601[i], err_msg=str(i))
+    for i in post:
+        np.testing.assert_array_equal(auto[i], b709f[i], err_msg=str(i))
+    # And the two matrices genuinely differ on this content.
+    assert any(not np.array_equal(b601[i], b709f[i]) for i in post)
