@@ -2,7 +2,7 @@
 # build/run/wheel; same spirit, TPU image).
 NAME ?= tensor-stream-tpu
 
-.PHONY: all native test test-fast bench wheel docker fixtures clean
+.PHONY: all native test test-fast bench wheel docker fixtures fuzz clean
 
 all: native
 
@@ -26,6 +26,17 @@ wheel: native
 
 docker:
 	docker build -t $(NAME) .
+
+# Mutation fuzz of the untrusted-bitstream parsers (BitReader + the four
+# stream-health analyzers) under ASan+UBSan. Header-only targets, so no
+# library sources needed.
+fuzz:
+	g++ -O1 -g -std=c++20 -fsanitize=address,undefined -fno-sanitize-recover=all \
+	  tools/fuzz_analyzers.cpp -o tools/fuzz_analyzers
+	./tools/fuzz_analyzers /root/reference/tests/resources/bbb_1080x608_420_10.h264 20000
+	./tools/fuzz_analyzers tests/fixtures/synthetic_640x360_120.h265 10000
+	./tools/fuzz_analyzers tests/fixtures/synthetic_640x360_90_vp9.ivf 10000
+	./tools/fuzz_analyzers tests/fixtures/synthetic_320x240_60_av1.ivf 10000
 
 # Race-detection build: whole native runtime + stress harness under TSAN
 # (the reference shipped no sanitizer coverage; SURVEY §5.2).

@@ -11,6 +11,7 @@
 //     BSF), identical to the reference.
 #pragma once
 
+#include <algorithm>
 #include <cstdint>
 
 #include "bitreader.h"
@@ -128,10 +129,15 @@ class H264Analyzer {
       default:
         break;  // baseline/main: nothing extra before log2_max_frame_num
     }
-    sps_.log2_max_frame_num_minus4 = static_cast<int>(r.readGolomb());
+    // Spec bound is 12 for both log2 fields (H.264 7.4.2.1.1); a corrupt
+    // SPS must not drive the (1 << (log2+4)) wrap math into UB or
+    // readBits into absurd lengths.
+    sps_.log2_max_frame_num_minus4 =
+        static_cast<int>(std::min<uint32_t>(r.readGolomb(), 12));
     sps_.pic_order_cnt_type = static_cast<int>(r.readGolomb());
     if (sps_.pic_order_cnt_type == 0) {
-      sps_.log2_max_pic_order_cnt_lsb_minus4 = static_cast<int>(r.readGolomb());
+      sps_.log2_max_pic_order_cnt_lsb_minus4 =
+          static_cast<int>(std::min<uint32_t>(r.readGolomb(), 12));
     } else if (sps_.pic_order_cnt_type == 1) {
       r.skipBits(1);   // delta_pic_order_always_zero_flag
       r.skipGolomb();  // offset_for_non_ref_pic

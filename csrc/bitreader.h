@@ -29,7 +29,14 @@ class BitReader {
     uint32_t v = 0;
     for (int i = 0; i < n; i++) {
       int64_t byte = bit_pos_ >> 3;
-      if (byte >= size_) { bit_pos_ += n - i; return v << (n - i); }
+      if (byte >= size_) {
+        // Out of bounds: zero-fill the remainder. Shifts >= 32 are UB,
+        // and a corrupt length can request arbitrarily many bits — the
+        // value is all-zero-filled then anyway.
+        bit_pos_ += n - i;
+        int rem = n - i;
+        return rem >= 32 ? 0 : (v << rem);
+      }
       int shift = 7 - static_cast<int>(bit_pos_ & 7);
       v = (v << 1) | ((data_[byte] >> shift) & 1);
       bit_pos_++;
