@@ -238,3 +238,25 @@ def test_fast_decode_trades_exactness_for_speed():
     assert idx == 1
     a = np.asarray(t)
     assert a.shape == (1, 64, 96) and a.std() > 1
+
+
+def test_to_torch_bridge(billiard):
+    """utils.torch_interop.to_torch: read() output lands as a
+    torch.Tensor with identical bytes (the reference's native return
+    type; reference WrapperPython.cpp:315-343)."""
+    import torch
+
+    from tensor_stream_tpu import FourCC, FrameRate, TensorStreamConverter
+    from tensor_stream_tpu.utils.torch_interop import to_torch
+    reader = TensorStreamConverter(billiard,
+                                   framerate_mode=FrameRate.BLOCKING)
+    reader.initialize(repeat_number=3)
+    reader.start()
+    t = reader.read(name="c", pixel_format=FourCC.RGB24, width=160,
+                    height=96)
+    out = to_torch(t)
+    reader.stop()
+    assert isinstance(out, torch.Tensor)
+    assert tuple(out.shape) == (96, 160, 3)
+    assert out.dtype == torch.uint8
+    assert np.array_equal(out.numpy(), np.asarray(t))
