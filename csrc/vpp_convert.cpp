@@ -1,5 +1,7 @@
 #include "vpp_convert.h"
 
+#include "vpp_host_simd.h"
+
 #include <algorithm>
 #include <cmath>
 #include <cstring>
@@ -87,10 +89,20 @@ void RgbPlane(const uint8_t* y, const uint8_t* uv, int w, int h, bool swap_rb,
               bool planar, int standard, T* out) {
   const YuvCoefs coefs = CoefsFor(standard);
   const size_t plane = static_cast<size_t>(w) * h;
+  int vec = 0;
+  if (simd::Available()) {
+    // 8-lane twin of the per-pixel loop below (vpp_host_avx2.cpp);
+    // contiguous loads make every full 8-column group safe.
+    vec = w & ~7;
+    simd::Nv12RgbRows(y, uv, w, h, swap_rb, planar,
+                      std::is_same<T, float>::value, coefs.rv, coefs.bu,
+                      coefs.gv, coefs.gu, coefs.y_coef, coefs.y_off, out,
+                      vec);
+  }
   for (int i = 0; i < h; i++) {
     const uint8_t* yrow = y + static_cast<size_t>(i) * w;
     const uint8_t* uvrow = uv + static_cast<size_t>(i / 2) * w;
-    for (int j = 0; j < w; j++) {
+    for (int j = vec; j < w; j++) {
       int uvcol = j & ~1;  // even-aligned UV column (ColorConversion.cu:16-21)
       int r, g, b;
       Nv12Rgb(yrow[j], uvrow[uvcol], uvrow[uvcol + 1], coefs, &r, &g, &b);

@@ -12,6 +12,7 @@
 
 #include <cstdlib>
 #include <cstring>
+#include <utility>
 
 #if defined(__x86_64__) || defined(_M_X64)
 #include <immintrin.h>
@@ -263,6 +264,95 @@ void BicubicPlane(const uint8_t* src, int src_w, const int* rowtaps,
   }
 }
 
+void Nv12RgbRows(const uint8_t* y, const uint8_t* uv, int w, int h,
+                 bool swap_rb, bool planar, bool as_float, float rv,
+                 float bu, float gv, float gu, float y_coef, float y_off,
+                 void* out, int ncols_vec) {
+  const __m256 vrv = _mm256_set1_ps(rv), vbu = _mm256_set1_ps(bu);
+  const __m256 vgv = _mm256_set1_ps(gv), vgu = _mm256_set1_ps(gu);
+  const __m256 vyc = _mm256_set1_ps(y_coef), vyo = _mm256_set1_ps(y_off);
+  const __m256 half = _mm256_set1_ps(0.5f);
+  const __m256 v128 = _mm256_set1_ps(128.0f);
+  const __m256 inv255 = _mm256_set1_ps(255.0f);
+  const __m256i zero = _mm256_setzero_si256();
+  const __m256i v255i = _mm256_set1_epi32(255);
+  // Even/odd de-interleave of the UV byte pair stream: lane j takes the
+  // U (resp. V) of its pixel pair.
+  const __m256i u_idx = _mm256_setr_epi32(0, 0, 2, 2, 4, 4, 6, 6);
+  const __m256i v_idx = _mm256_setr_epi32(1, 1, 3, 3, 5, 5, 7, 7);
+  const size_t plane = static_cast<size_t>(w) * h;
+
+  for (int i = 0; i < h; i++) {
+    const uint8_t* yrow = y + static_cast<size_t>(i) * w;
+    const uint8_t* uvrow = uv + static_cast<size_t>(i / 2) * w;
+    for (int j = 0; j < ncols_vec; j += 8) {
+      __m256i y8 = _mm256_cvtepu8_epi32(
+          _mm_loadl_epi64(reinterpret_cast<const __m128i*>(yrow + j)));
+      __m256i uv8 = _mm256_cvtepu8_epi32(
+          _mm_loadl_epi64(reinterpret_cast<const __m128i*>(uvrow + j)));
+      __m256 yf = _mm256_mul_ps(
+          _mm256_max_ps(_mm256_setzero_ps(),
+                        _mm256_sub_ps(_mm256_cvtepi32_ps(y8), vyo)),
+          vyc);
+      __m256 uvf = _mm256_cvtepi32_ps(uv8);
+      __m256 ui = _mm256_sub_ps(_mm256_permutevar8x32_ps(uvf, u_idx), v128);
+      __m256 vi = _mm256_sub_ps(_mm256_permutevar8x32_ps(uvf, v_idx), v128);
+      // Scalar order: yf + ((coef*c) + 0.5), g: yf + (((gv*vi)+(gu*ui))+0.5)
+      __m256i r = _mm256_cvttps_epi32(_mm256_add_ps(
+          yf, _mm256_add_ps(_mm256_mul_ps(vrv, vi), half)));
+      __m256i b = _mm256_cvttps_epi32(_mm256_add_ps(
+          yf, _mm256_add_ps(_mm256_mul_ps(vbu, ui), half)));
+      __m256i g = _mm256_cvttps_epi32(_mm256_add_ps(
+          yf, _mm256_add_ps(_mm256_add_ps(_mm256_mul_ps(vgv, vi),
+                                          _mm256_mul_ps(vgu, ui)),
+                            half)));
+      r = _mm256_min_epi32(_mm256_max_epi32(r, zero), v255i);
+      g = _mm256_min_epi32(_mm256_max_epi32(g, zero), v255i);
+      b = _mm256_min_epi32(_mm256_max_epi32(b, zero), v255i);
+      if (swap_rb) std::swap(r, b);
+      size_t px = static_cast<size_t>(i) * w + j;
+      if (as_float) {
+        __m256 rf = _mm256_div_ps(_mm256_cvtepi32_ps(r), inv255);
+        __m256 gf = _mm256_div_ps(_mm256_cvtepi32_ps(g), inv255);
+        __m256 bf = _mm256_div_ps(_mm256_cvtepi32_ps(b), inv255);
+        float* o = static_cast<float*>(out);
+        if (planar) {
+          _mm256_storeu_ps(o + px, rf);
+          _mm256_storeu_ps(o + plane + px, gf);
+          _mm256_storeu_ps(o + 2 * plane + px, bf);
+        } else {
+          alignas(32) float rr[8], gg[8], bb[8];
+          _mm256_store_ps(rr, rf);
+          _mm256_store_ps(gg, gf);
+          _mm256_store_ps(bb, bf);
+          for (int k = 0; k < 8; k++) {
+            o[3 * (px + k)] = rr[k];
+            o[3 * (px + k) + 1] = gg[k];
+            o[3 * (px + k) + 2] = bb[k];
+          }
+        }
+      } else {
+        uint8_t* o = static_cast<uint8_t*>(out);
+        if (planar) {
+          Store8(o + px, r);
+          Store8(o + plane + px, g);
+          Store8(o + 2 * plane + px, b);
+        } else {
+          alignas(32) int rr[8], gg[8], bb[8];
+          _mm256_store_si256(reinterpret_cast<__m256i*>(rr), r);
+          _mm256_store_si256(reinterpret_cast<__m256i*>(gg), g);
+          _mm256_store_si256(reinterpret_cast<__m256i*>(bb), b);
+          for (int k = 0; k < 8; k++) {
+            o[3 * (px + k)] = static_cast<uint8_t>(rr[k]);
+            o[3 * (px + k) + 1] = static_cast<uint8_t>(gg[k]);
+            o[3 * (px + k) + 2] = static_cast<uint8_t>(bb[k]);
+          }
+        }
+      }
+    }
+  }
+}
+
 #else  // !TS_SIMD_X86 — never reached (Available() is false)
 
 void BilinearY(const uint8_t*, int, int, uint8_t*, int, int, int,
@@ -277,6 +367,8 @@ void BicubicPlane(const uint8_t*, int, const int*, const double*,
                   const double*, const double*, const double*, const int*,
                   const int*, const int*, const int*, uint8_t*, int, int,
                   int, int, int) {}
+void Nv12RgbRows(const uint8_t*, const uint8_t*, int, int, bool, bool, bool,
+                 float, float, float, float, float, float, void*, int) {}
 
 #endif
 

@@ -71,5 +71,19 @@ void BicubicPlane(const uint8_t* src, int src_w, const int* rowtaps,
                   uint8_t* dst, int dst_w, int nrows, int ncols_vec,
                   int out_stride, int out_off);
 
+// NV12 -> RGB/BGR rows (the native color conversion of the C++ twin,
+// vpp_convert.cpp RgbPlane): 8 lanes execute the scalar Nv12Rgb op
+// sequence exactly (max/sub/mul Y transform, mul+add chains with the
+// +0.5 bias — no FMA, matching -ffp-contract=off — truncate, clamp;
+// float outputs divide by 255 like scalar Norm255). Processes columns
+// [0, ncols_vec) of every row (multiple of 8; the loads are contiguous,
+// so ncols_vec = w & ~7 is always safe); caller runs the scalar tail.
+// `out` is uint8 or float32 per `as_float`, planar [3,H,W] or merged
+// [H,W,3] per `planar`.
+void Nv12RgbRows(const uint8_t* y, const uint8_t* uv, int w, int h,
+                 bool swap_rb, bool planar, bool as_float, float rv,
+                 float bu, float gv, float gu, float y_coef, float y_off,
+                 void* out, int ncols_vec);
+
 }  // namespace simd
 }  // namespace ts

@@ -170,3 +170,56 @@ def test_native_invalid_params_rejected(native, bbb_frame0):
         y.ctypes.data, uv.ctypes.data, w, h,
         0, 0, 0, 0, 0, 0, 0, 99, 0, 0, 0, out.ctypes.data)
     assert rc == -1
+
+
+def test_simd_rgb_convert_bit_identical_to_scalar(native):
+    """The AVX2 NV12->RGB rows (csrc/vpp_host_avx2.cpp Nv12RgbRows) must
+    equal the scalar Nv12Rgb loop bit-for-bit across fourcc x planes x
+    normalization x all four color standards, including odd widths that
+    force the scalar tail. Scalar results come from a TS_HOST_SIMD=0
+    subprocess (the toggle is latched at first use)."""
+    import hashlib
+    import os
+    import subprocess
+    import sys
+
+    if not native.ts_host_simd_available():
+        pytest.skip("AVX2+FMA not available on this CPU")
+
+    code = r'''
+import sys; sys.path.insert(0, %r)
+import hashlib
+import numpy as np
+from tensor_stream_tpu import _native
+from tensor_stream_tpu.enums import FourCC, Planes
+lib = _native.load()
+rng = np.random.default_rng(3)
+h = hashlib.sha256()
+for (w, hh) in [(1920, 1080), (320, 240), (102, 62), (6, 4)]:
+    y = np.ascontiguousarray(rng.integers(0, 255, (hh, w), np.uint8))
+    uv = np.ascontiguousarray(rng.integers(0, 255, (hh // 2, w), np.uint8))
+    for fourcc in (FourCC.RGB24, FourCC.BGR24):
+        for planes in (Planes.PLANAR, Planes.MERGED):
+            for norm in (0, 1):
+                for std in (0, 1, 2, 3):
+                    out = np.zeros(w * hh * 3,
+                                   np.float32 if norm else np.uint8)
+                    sts = lib.ts_vpp_convert_host(
+                        y.ctypes.data, uv.ctypes.data, w, hh, 0, 0, 0, 0,
+                        0, 0, 0, fourcc.value, planes.value, norm, std,
+                        out.ctypes.data)
+                    assert sts == 0, sts
+                    h.update(out.tobytes())
+print(h.hexdigest())
+'''
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def digest(simd_on):
+        env = dict(os.environ)
+        env["TS_HOST_SIMD"] = "1" if simd_on else "0"
+        r = subprocess.run([sys.executable, "-c", code % repo], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout.strip()
+
+    assert digest(True) == digest(False)
