@@ -37,6 +37,18 @@ from .ops.vpp import build_vpp_batched_flat
 _RENEGOTIATED = object()
 
 
+def _wait_detected_standard(lib, handle, index_baseline, deadline):
+    """Waits (until `deadline`, monotonic) for the frame counter to move
+    past `index_baseline`, then returns the stream's detected
+    ColorStandard value — or None if no frame decoded in time (the
+    detection would just be the default, not a measurement)."""
+    while time.monotonic() < deadline:
+        if lib.ts_pipeline_frame_index(handle) > index_baseline:
+            return lib.ts_pipeline_detected_standard(handle)
+        time.sleep(0.02)
+    return None
+
+
 class FrameLoader:
     """Iterates device-resident batches over a stream (TPU extension)."""
 
@@ -88,13 +100,15 @@ class FrameLoader:
             # VUI colorimetry comes from decoded frames; the VPP program
             # is built once here, so wait (bounded) for the first frame
             # before resolving.
-            lib, handle = self.reader._lib, self.reader._handle
-            deadline = time.monotonic() + 10.0
-            while (lib.ts_pipeline_frame_index(handle) <= index_baseline and
-                   time.monotonic() < deadline):
-                time.sleep(0.02)
-            self.params.color_standard = ColorStandard(
-                lib.ts_pipeline_detected_standard(handle))
+            detected = _wait_detected_standard(
+                self.reader._lib, self.reader._handle, index_baseline,
+                time.monotonic() + 10.0)
+            if detected is None:
+                self.close()
+                raise RuntimeError(
+                    "color_standard=AUTO: no frame decoded within 10s to "
+                    "detect colorimetry from; pass an explicit standard")
+            self.params.color_standard = ColorStandard(detected)
         w, h = self.reader.frame_size
         if self.host_resize:
             self._w, self._h = self.params.width, self.params.height
@@ -471,14 +485,21 @@ class PooledStreamLoader:
             raise RuntimeError("StreamPool start failed")
         if self.params.color_standard is ColorStandard.AUTO:
             # VUI colorimetry comes from decoded frames; the one shared
-            # VPP program needs every stream to agree on it.
+            # VPP program needs every stream to agree on it. A stream
+            # that never decoded within the deadline is a timeout, not a
+            # BT.601 detection — report it as such instead of folding the
+            # default into the agreement check.
             deadline = time.monotonic() + 10.0
             detected = set()
-            for h in self.handles:
-                while (self._lib.ts_pipeline_frame_index(h) < 1 and
-                       time.monotonic() < deadline):
-                    time.sleep(0.02)
-                detected.add(self._lib.ts_pipeline_detected_standard(h))
+            for k, h in enumerate(self.handles):
+                std = _wait_detected_standard(self._lib, h, 0, deadline)
+                if std is None:
+                    self.close()
+                    raise RuntimeError(
+                        f"color_standard=AUTO: stream {k} decoded no frame "
+                        "in time to detect colorimetry from; pass an "
+                        "explicit standard")
+                detected.add(std)
             if len(detected) != 1:
                 self.close()
                 raise ValueError(

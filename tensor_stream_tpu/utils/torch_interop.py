@@ -17,19 +17,27 @@ being ported to TPU, feed the jax.Array directly instead.)
 """
 
 
-def to_torch(x):
+def to_torch(x, copy=False):
     """Converts a jax.Array (or numpy array) to a torch.Tensor.
 
     Zero-copy via DLPack where the backend supports it; otherwise one
-    device-to-host fetch, then a zero-copy numpy wrap."""
+    device-to-host fetch, then a zero-copy numpy wrap.
+
+    A zero-copy result ALIASES the XLA buffer, which JAX treats as
+    immutable — in-place torch ops (`sub_`, `mul_`, ...) on it are
+    undefined behavior against the still-live jax.Array (the reference
+    had the same contract: its tensors aliased decoder-owned CUDA
+    memory, WrapperPython.cpp:315-343). Pass copy=True when the tensor
+    will be mutated."""
     import torch
     try:
-        return torch.utils.dlpack.from_dlpack(x)
+        t = torch.utils.dlpack.from_dlpack(x)
+        return t.clone() if copy else t
     except (AttributeError, BufferError, RuntimeError, TypeError):
         import numpy as np
         arr = np.asarray(x)
-        if not arr.flags.writeable:
-            # torch tensors must be writable; the read-only view means
+        if copy or not arr.flags.writeable:
+            # torch tensors must be writable; a read-only view means
             # zero-copy was impossible anyway, so take the one copy.
             arr = np.array(arr)
         return torch.from_numpy(arr)

@@ -244,7 +244,7 @@ def test_to_torch_bridge(billiard):
     """utils.torch_interop.to_torch: read() output lands as a
     torch.Tensor with identical bytes (the reference's native return
     type; reference WrapperPython.cpp:315-343)."""
-    import torch
+    torch = pytest.importorskip("torch")
 
     from tensor_stream_tpu import FourCC, FrameRate, TensorStreamConverter
     from tensor_stream_tpu.utils.torch_interop import to_torch

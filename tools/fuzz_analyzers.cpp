@@ -44,6 +44,11 @@ std::vector<uint8_t> read_file(const char* path) {
   std::fseek(f, 0, SEEK_END);
   long n = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
+  if (n <= 0) {
+    std::fclose(f);
+    std::fprintf(stderr, "empty or unreadable seed %s\n", path);
+    std::exit(1);
+  }
   std::vector<uint8_t> buf(static_cast<size_t>(n));
   if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
     std::fclose(f);
