@@ -140,6 +140,30 @@ def bench_device_vpp(seconds):
     return frames / elapsed
 
 
+def bench_pool_aggregate(lib, seconds, n_streams=4, workers=0):
+    """Aggregate decode fps of N pooled streams on shared workers
+    (ts::StreamPool) — the many-stream serving path. On a 1-core host
+    this sits at the single-stream decode wall (the workers share the
+    core); on a real TPU-VM host it scales with `workers` toward
+    cores * per-stream decode."""
+    workers = workers or max(1, (os.cpu_count() or 1) - 1)
+    pool = lib.ts_pool_create(workers)
+    for _ in range(n_streams):
+        idx = lib.ts_pool_add_stream(pool, VIDEO.encode(), 16, 1, 0)
+        assert idx >= 0
+    assert lib.ts_pool_start(pool) == 0
+    time.sleep(0.3)
+    handles = [lib.ts_pool_stream(pool, k) for k in range(n_streams)]
+    f0 = sum(lib.ts_pipeline_frame_index(h) for h in handles)
+    t0 = time.perf_counter()
+    time.sleep(seconds)
+    frames = sum(lib.ts_pipeline_frame_index(h) for h in handles) - f0
+    elapsed = time.perf_counter() - t0
+    lib.ts_pool_stop(pool)
+    lib.ts_pool_destroy(pool)
+    return frames / elapsed
+
+
 def bench_scaling(lib):
     """Decode thread-count sweep — the proof that the decode wall scales
     with host cores. Skipped (with reason) when the host cannot show
@@ -207,6 +231,8 @@ def main():
         "transfer_gbps": round(transfer_gbps, 3),
         "transfer_fps_at_224": round(transfer_fps, 1),
         "device_vpp_fps": round(bench_device_vpp(STAGE_SECONDS), 1),
+        "pool_aggregate_fps": round(
+            _best_of(2, bench_pool_aggregate, lib, half), 1),
     }
     result = {
         "metric": "1080p_decode_to_224px_rgb_planar_f32_fps_per_chip",
