@@ -338,15 +338,19 @@ void Nv12RgbRows(const uint8_t* y, const uint8_t* uv, int w, int h,
           Store8(o + plane + px, g);
           Store8(o + 2 * plane + px, b);
         } else {
-          alignas(32) int rr[8], gg[8], bb[8];
-          _mm256_store_si256(reinterpret_cast<__m256i*>(rr), r);
-          _mm256_store_si256(reinterpret_cast<__m256i*>(gg), g);
-          _mm256_store_si256(reinterpret_cast<__m256i*>(bb), b);
-          for (int k = 0; k < 8; k++) {
-            o[3 * (px + k)] = static_cast<uint8_t>(rr[k]);
-            o[3 * (px + k) + 1] = static_cast<uint8_t>(gg[k]);
-            o[3 * (px + k) + 2] = static_cast<uint8_t>(bb[k]);
-          }
+          // One packed RGB0 word per pixel, written as overlapping
+          // 4-byte stores at 3-byte stride (each stray high byte is
+          // overwritten by the next pixel). The final lane writes 3
+          // bytes so the last pixel of the last row never touches
+          // memory past the buffer.
+          __m256i px32 = _mm256_or_si256(
+              r, _mm256_or_si256(_mm256_slli_epi32(g, 8),
+                                 _mm256_slli_epi32(b, 16)));
+          alignas(32) int vals[8];
+          _mm256_store_si256(reinterpret_cast<__m256i*>(vals), px32);
+          uint8_t* o3 = o + 3 * px;
+          for (int k = 0; k < 7; k++) std::memcpy(o3 + 3 * k, &vals[k], 4);
+          std::memcpy(o3 + 21, &vals[7], 3);
         }
       }
     }
