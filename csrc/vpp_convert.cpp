@@ -297,10 +297,16 @@ void Nv12MergePlane(const uint8_t* y, const uint8_t* uv, int w, int h,
 void HsvPlane(const uint8_t* y, const uint8_t* uv, int w, int h, int standard,
               float* out) {
   const YuvCoefs coefs = CoefsFor(standard);
+  int vec = 0;
+  if (simd::Available()) {
+    vec = w & ~7;
+    simd::Nv12HsvRows(y, uv, w, h, coefs.rv, coefs.bu, coefs.gv, coefs.gu,
+                      coefs.y_coef, coefs.y_off, out, vec);
+  }
   for (int i = 0; i < h; i++) {
     const uint8_t* yrow = y + static_cast<size_t>(i) * w;
     const uint8_t* uvrow = uv + static_cast<size_t>(i / 2) * w;
-    for (int j = 0; j < w; j++) {
+    for (int j = vec; j < w; j++) {
       int uvcol = j & ~1;
       int ri, gi, bi;
       Nv12Rgb(yrow[j], uvrow[uvcol], uvrow[uvcol + 1], coefs, &ri, &gi, &bi);

@@ -264,6 +264,46 @@ void BicubicPlane(const uint8_t* src, int src_w, const int* rowtaps,
   }
 }
 
+namespace {
+
+// Shared front half of the RGB/HSV row kernels: 8 pixels' clamped
+// integer R,G,B lanes from the NV12 bytes at column j.
+inline void Nv12RgbLanes(const uint8_t* yrow, const uint8_t* uvrow, int j,
+                         __m256 vrv, __m256 vbu, __m256 vgv, __m256 vgu,
+                         __m256 vyc, __m256 vyo, __m256i* r, __m256i* g,
+                         __m256i* b) {
+  const __m256 half = _mm256_set1_ps(0.5f);
+  const __m256 v128 = _mm256_set1_ps(128.0f);
+  const __m256i zero = _mm256_setzero_si256();
+  const __m256i v255i = _mm256_set1_epi32(255);
+  const __m256i u_idx = _mm256_setr_epi32(0, 0, 2, 2, 4, 4, 6, 6);
+  const __m256i v_idx = _mm256_setr_epi32(1, 1, 3, 3, 5, 5, 7, 7);
+  __m256i y8 = _mm256_cvtepu8_epi32(
+      _mm_loadl_epi64(reinterpret_cast<const __m128i*>(yrow + j)));
+  __m256i uv8 = _mm256_cvtepu8_epi32(
+      _mm_loadl_epi64(reinterpret_cast<const __m128i*>(uvrow + j)));
+  __m256 yf = _mm256_mul_ps(
+      _mm256_max_ps(_mm256_setzero_ps(),
+                    _mm256_sub_ps(_mm256_cvtepi32_ps(y8), vyo)),
+      vyc);
+  __m256 uvf = _mm256_cvtepi32_ps(uv8);
+  __m256 ui = _mm256_sub_ps(_mm256_permutevar8x32_ps(uvf, u_idx), v128);
+  __m256 vi = _mm256_sub_ps(_mm256_permutevar8x32_ps(uvf, v_idx), v128);
+  __m256i ri = _mm256_cvttps_epi32(
+      _mm256_add_ps(yf, _mm256_add_ps(_mm256_mul_ps(vrv, vi), half)));
+  __m256i bi = _mm256_cvttps_epi32(
+      _mm256_add_ps(yf, _mm256_add_ps(_mm256_mul_ps(vbu, ui), half)));
+  __m256i gi = _mm256_cvttps_epi32(_mm256_add_ps(
+      yf, _mm256_add_ps(
+              _mm256_add_ps(_mm256_mul_ps(vgv, vi), _mm256_mul_ps(vgu, ui)),
+              half)));
+  *r = _mm256_min_epi32(_mm256_max_epi32(ri, zero), v255i);
+  *g = _mm256_min_epi32(_mm256_max_epi32(gi, zero), v255i);
+  *b = _mm256_min_epi32(_mm256_max_epi32(bi, zero), v255i);
+}
+
+}  // namespace
+
 void Nv12RgbRows(const uint8_t* y, const uint8_t* uv, int w, int h,
                  bool swap_rb, bool planar, bool as_float, float rv,
                  float bu, float gv, float gu, float y_coef, float y_off,
@@ -271,44 +311,16 @@ void Nv12RgbRows(const uint8_t* y, const uint8_t* uv, int w, int h,
   const __m256 vrv = _mm256_set1_ps(rv), vbu = _mm256_set1_ps(bu);
   const __m256 vgv = _mm256_set1_ps(gv), vgu = _mm256_set1_ps(gu);
   const __m256 vyc = _mm256_set1_ps(y_coef), vyo = _mm256_set1_ps(y_off);
-  const __m256 half = _mm256_set1_ps(0.5f);
-  const __m256 v128 = _mm256_set1_ps(128.0f);
   const __m256 inv255 = _mm256_set1_ps(255.0f);
-  const __m256i zero = _mm256_setzero_si256();
-  const __m256i v255i = _mm256_set1_epi32(255);
-  // Even/odd de-interleave of the UV byte pair stream: lane j takes the
-  // U (resp. V) of its pixel pair.
-  const __m256i u_idx = _mm256_setr_epi32(0, 0, 2, 2, 4, 4, 6, 6);
-  const __m256i v_idx = _mm256_setr_epi32(1, 1, 3, 3, 5, 5, 7, 7);
   const size_t plane = static_cast<size_t>(w) * h;
 
   for (int i = 0; i < h; i++) {
     const uint8_t* yrow = y + static_cast<size_t>(i) * w;
     const uint8_t* uvrow = uv + static_cast<size_t>(i / 2) * w;
     for (int j = 0; j < ncols_vec; j += 8) {
-      __m256i y8 = _mm256_cvtepu8_epi32(
-          _mm_loadl_epi64(reinterpret_cast<const __m128i*>(yrow + j)));
-      __m256i uv8 = _mm256_cvtepu8_epi32(
-          _mm_loadl_epi64(reinterpret_cast<const __m128i*>(uvrow + j)));
-      __m256 yf = _mm256_mul_ps(
-          _mm256_max_ps(_mm256_setzero_ps(),
-                        _mm256_sub_ps(_mm256_cvtepi32_ps(y8), vyo)),
-          vyc);
-      __m256 uvf = _mm256_cvtepi32_ps(uv8);
-      __m256 ui = _mm256_sub_ps(_mm256_permutevar8x32_ps(uvf, u_idx), v128);
-      __m256 vi = _mm256_sub_ps(_mm256_permutevar8x32_ps(uvf, v_idx), v128);
-      // Scalar order: yf + ((coef*c) + 0.5), g: yf + (((gv*vi)+(gu*ui))+0.5)
-      __m256i r = _mm256_cvttps_epi32(_mm256_add_ps(
-          yf, _mm256_add_ps(_mm256_mul_ps(vrv, vi), half)));
-      __m256i b = _mm256_cvttps_epi32(_mm256_add_ps(
-          yf, _mm256_add_ps(_mm256_mul_ps(vbu, ui), half)));
-      __m256i g = _mm256_cvttps_epi32(_mm256_add_ps(
-          yf, _mm256_add_ps(_mm256_add_ps(_mm256_mul_ps(vgv, vi),
-                                          _mm256_mul_ps(vgu, ui)),
-                            half)));
-      r = _mm256_min_epi32(_mm256_max_epi32(r, zero), v255i);
-      g = _mm256_min_epi32(_mm256_max_epi32(g, zero), v255i);
-      b = _mm256_min_epi32(_mm256_max_epi32(b, zero), v255i);
+      __m256i r, g, b;
+      Nv12RgbLanes(yrow, uvrow, j, vrv, vbu, vgv, vgu, vyc, vyo, &r, &g,
+                   &b);
       if (swap_rb) std::swap(r, b);
       size_t px = static_cast<size_t>(i) * w + j;
       if (as_float) {
@@ -357,6 +369,76 @@ void Nv12RgbRows(const uint8_t* y, const uint8_t* uv, int w, int h,
   }
 }
 
+void Nv12HsvRows(const uint8_t* y, const uint8_t* uv, int w, int h,
+                 float rv, float bu, float gv, float gu, float y_coef,
+                 float y_off, float* out, int ncols_vec) {
+  const __m256 vrv = _mm256_set1_ps(rv), vbu = _mm256_set1_ps(bu);
+  const __m256 vgv = _mm256_set1_ps(gv), vgu = _mm256_set1_ps(gu);
+  const __m256 vyc = _mm256_set1_ps(y_coef), vyo = _mm256_set1_ps(y_off);
+  const __m256 v255 = _mm256_set1_ps(255.0f);
+  const __m256 one = _mm256_set1_ps(1.0f);
+  const __m256 zero = _mm256_setzero_ps();
+  const __m256 sixty = _mm256_set1_ps(60.0f);
+  const __m256 v120 = _mm256_set1_ps(120.0f);
+  const __m256 v240 = _mm256_set1_ps(240.0f);
+  const __m256 v360 = _mm256_set1_ps(360.0f);
+
+  for (int i = 0; i < h; i++) {
+    const uint8_t* yrow = y + static_cast<size_t>(i) * w;
+    const uint8_t* uvrow = uv + static_cast<size_t>(i / 2) * w;
+    for (int j = 0; j < ncols_vec; j += 8) {
+      __m256i ri, gi, bi;
+      Nv12RgbLanes(yrow, uvrow, j, vrv, vbu, vgv, vgu, vyc, vyo, &ri, &gi,
+                   &bi);
+      __m256 r = _mm256_div_ps(_mm256_cvtepi32_ps(ri), v255);
+      __m256 g = _mm256_div_ps(_mm256_cvtepi32_ps(gi), v255);
+      __m256 b = _mm256_div_ps(_mm256_cvtepi32_ps(bi), v255);
+      __m256 min_v = _mm256_min_ps(_mm256_min_ps(r, g), b);
+      __m256 max_v = _mm256_max_ps(_mm256_max_ps(r, g), b);
+      // S = max != 0 ? 1 - min/max : 0  (per-lane division like scalar).
+      __m256 m_nz = _mm256_cmp_ps(max_v, zero, _CMP_NEQ_OQ);
+      __m256 s = _mm256_and_ps(
+          m_nz, _mm256_sub_ps(one, _mm256_div_ps(min_v, max_v)));
+      // Hue: select the scalar branch's numerator and offset per lane,
+      // then perform the SINGLE division the selected branch would —
+      // identical operands => identical rounding.
+      __m256 delta = _mm256_sub_ps(max_v, min_v);
+      __m256 m_rmax = _mm256_cmp_ps(r, max_v, _CMP_EQ_OQ);
+      __m256 m_gmax = _mm256_andnot_ps(
+          m_rmax, _mm256_cmp_ps(g, max_v, _CMP_EQ_OQ));
+      __m256 m_gge = _mm256_cmp_ps(g, b, _CMP_GE_OQ);
+      __m256 num = _mm256_blendv_ps(
+          _mm256_mul_ps(sixty, _mm256_sub_ps(r, g)),        // else: r-g
+          _mm256_mul_ps(sixty, _mm256_sub_ps(b, r)), m_gmax);  // g max
+      num = _mm256_blendv_ps(
+          num, _mm256_mul_ps(sixty, _mm256_sub_ps(g, b)), m_rmax);
+      __m256 off = _mm256_blendv_ps(v240, v120, m_gmax);
+      off = _mm256_blendv_ps(
+          off, _mm256_andnot_ps(m_gge, v360), m_rmax);  // r max: 0 or +360
+      __m256 hh = _mm256_add_ps(_mm256_div_ps(num, delta), off);
+      // Scalar guard `if (hh < 0) hh += 360` (vestigial after the
+      // offsets, but kept operation-for-operation).
+      hh = _mm256_add_ps(
+          hh, _mm256_and_ps(_mm256_cmp_ps(hh, zero, _CMP_LT_OQ), v360));
+      hh = _mm256_div_ps(hh, v360);
+      // max == min: hue is exactly 0 (delta was 0; the division above
+      // produced inf/nan in those lanes — masked off here).
+      __m256 m_flat = _mm256_cmp_ps(max_v, min_v, _CMP_NEQ_OQ);
+      hh = _mm256_and_ps(hh, m_flat);
+      alignas(32) float hs[8], ss[8], vv[8];
+      _mm256_store_ps(hs, hh);
+      _mm256_store_ps(ss, s);
+      _mm256_store_ps(vv, max_v);
+      float* px = out + (static_cast<size_t>(i) * w + j) * 3;
+      for (int k = 0; k < 8; k++) {
+        px[3 * k] = hs[k];
+        px[3 * k + 1] = ss[k];
+        px[3 * k + 2] = vv[k];
+      }
+    }
+  }
+}
+
 #else  // !TS_SIMD_X86 — never reached (Available() is false)
 
 void BilinearY(const uint8_t*, int, int, uint8_t*, int, int, int,
@@ -373,6 +455,8 @@ void BicubicPlane(const uint8_t*, int, const int*, const double*,
                   int, int, int) {}
 void Nv12RgbRows(const uint8_t*, const uint8_t*, int, int, bool, bool, bool,
                  float, float, float, float, float, float, void*, int) {}
+void Nv12HsvRows(const uint8_t*, const uint8_t*, int, int, float, float,
+                 float, float, float, float, float*, int) {}
 
 #endif
 

@@ -85,5 +85,14 @@ void Nv12RgbRows(const uint8_t* y, const uint8_t* uv, int w, int h,
                  float bu, float gv, float gu, float y_coef, float y_off,
                  void* out, int ncols_vec);
 
+// NV12 -> HSV (merged [H,W,3] float32, the only HSV layout): per lane
+// the scalar HsvPlane sequence — Nv12Rgb, /255, min/max, S = 1-min/max,
+// the four hue branches resolved by masks with the SELECTED numerator
+// divided once by delta (bit-identical to the scalar per-branch
+// division), /360 scale. Same ncols_vec contract as Nv12RgbRows.
+void Nv12HsvRows(const uint8_t* y, const uint8_t* uv, int w, int h,
+                 float rv, float bu, float gv, float gu, float y_coef,
+                 float y_off, float* out, int ncols_vec);
+
 }  // namespace simd
 }  // namespace ts

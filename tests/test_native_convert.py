@@ -210,6 +210,18 @@ for (w, hh) in [(1920, 1080), (320, 240), (102, 62), (6, 4)]:
                         out.ctypes.data)
                     assert sts == 0, sts
                     h.update(out.tobytes())
+    # HSV (float merged only): the vectorized hue-branch selection must
+    # match the scalar branch-by-branch math bit-for-bit, including
+    # flat-gray (delta == 0) and black (max == 0) lanes.
+    y[:2] = 0
+    uv[:1] = 128
+    for std in (0, 1, 2, 3):
+        out = np.zeros(w * hh * 3, np.float32)
+        sts = lib.ts_vpp_convert_host(
+            y.ctypes.data, uv.ctypes.data, w, hh, 0, 0, 0, 0, 0, 0, 0,
+            FourCC.HSV.value, Planes.MERGED.value, 1, std, out.ctypes.data)
+        assert sts == 0, sts
+        h.update(out.tobytes())
 print(h.hexdigest())
 '''
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
