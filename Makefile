@@ -37,6 +37,8 @@ fuzz:
 	./tools/fuzz_analyzers tests/fixtures/synthetic_640x360_120.h265 10000
 	./tools/fuzz_analyzers tests/fixtures/synthetic_640x360_90_vp9.ivf 10000
 	./tools/fuzz_analyzers tests/fixtures/synthetic_320x240_60_av1.ivf 10000
+	./tools/fuzz_analyzers tests/fixtures/switch_320x240_480x360_24.h264 10000
+	./tools/fuzz_analyzers tests/fixtures/switch_hevc_320x240_480x360_20.h265 10000
 	g++ -O1 -g -std=c++20 -fsanitize=address,undefined -fno-sanitize-recover=all \
 	  -ffp-contract=off -mavx2 -mfma \
 	  tools/asan_vpp_sweep.cpp csrc/vpp_host.cpp csrc/vpp_convert.cpp csrc/vpp_host_avx2.cpp \
