@@ -39,10 +39,25 @@ fuzz:
 	./tools/fuzz_analyzers tests/fixtures/synthetic_320x240_60_av1.ivf 10000
 	./tools/fuzz_analyzers tests/fixtures/switch_320x240_480x360_24.h264 10000
 	./tools/fuzz_analyzers tests/fixtures/switch_hevc_320x240_480x360_20.h265 10000
-	g++ -O1 -g -std=c++20 -fsanitize=address,undefined -fno-sanitize-recover=all \
-	  -ffp-contract=off -mavx2 -mfma \
-	  tools/asan_vpp_sweep.cpp csrc/vpp_host.cpp csrc/vpp_convert.cpp csrc/vpp_host_avx2.cpp \
-	  -o tools/asan_vpp_sweep
+	$(MAKE) fuzz-vpp
+
+# The VPP sweep mirrors the library build's SIMD isolation: only the
+# AVX2 TU gets -mavx2/-mfma (behind the runtime simd::Available()
+# check), so the sweep still runs on x86 hosts without AVX2 and on
+# non-x86 targets.
+FUZZ_CXX = g++ -O1 -g -std=c++20 -fsanitize=address,undefined \
+  -fno-sanitize-recover=all -ffp-contract=off
+TARGET_ARCH := $(shell g++ -dumpmachine 2>/dev/null)
+ifneq (,$(findstring x86_64,$(TARGET_ARCH)))
+FUZZ_SIMD_FLAGS = -mavx2 -mfma
+else
+FUZZ_SIMD_FLAGS =
+endif
+.PHONY: fuzz-vpp
+fuzz-vpp:
+	$(FUZZ_CXX) $(FUZZ_SIMD_FLAGS) -c csrc/vpp_host_avx2.cpp -o csrc/vpp_host_avx2.asan.o
+	$(FUZZ_CXX) tools/asan_vpp_sweep.cpp csrc/vpp_host.cpp csrc/vpp_convert.cpp \
+	  csrc/vpp_host_avx2.asan.o -o tools/asan_vpp_sweep
 	./tools/asan_vpp_sweep
 
 # Race-detection build: whole native runtime + stress harness under TSAN

@@ -18,6 +18,7 @@ min-bounded by the slowest stage, decode on a 1-core host):
   host_resize_fps  + native NV12 resize 1080p -> 224x224 in the drain
   transfer_gbps    host->device device_put of resized NV12 batches
   device_vpp_fps   batched convert+normalize on device, compute only
+  pool_aggregate_fps  N pooled streams on shared workers, aggregate decode
 
 `scaling` measures decode thread scaling when cores allow, and records
 the skip reason on hosts where it cannot (TS_BENCH_SCALING=1 forces it).

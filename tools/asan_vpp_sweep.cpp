@@ -49,28 +49,49 @@ int main() {
         runs++;
       }
     }
-    // Full conversion chain at native size: all FourCCs x planes x
-    // normalization x standards.
+    // Full conversion chain: all FourCCs x planes x normalization x
+    // standards, each in three geometric modes — native size, cropped
+    // (random even-aligned box), and crop+resize — so the crop offset
+    // math and the resized-intermediate hand-off are swept too.
     for (int fourcc = 0; fourcc < 7; fourcc++) {
       for (int planes = 0; planes < 2; planes++) {
         for (int norm = 0; norm < 2; norm++) {
           for (int std_ = 0; std_ < 4; std_++) {
-            ts::HostVppParams p;
-            p.fourcc = fourcc;
-            p.planes = planes;
-            p.normalization = norm != 0;
-            p.standard = std_;
-            size_t elems = ts::ConvertedElements(sw, sh, p.fourcc);
-            if (ts::ConvertedIsFloat(p.fourcc, p.normalization)) {
-              std::vector<float> out(elems);
-              if (ts::VppConvertHost(y.data(), uv.data(), sw, sh, p,
-                                     out.data()) == 0)
-                runs++;
-            } else {
-              std::vector<uint8_t> out(elems);
-              if (ts::VppConvertHost(y.data(), uv.data(), sw, sh, p,
-                                     out.data()) == 0)
-                runs++;
+            for (int mode = 0; mode < 3; mode++) {
+              ts::HostVppParams p;
+              p.fourcc = fourcc;
+              p.planes = planes;
+              p.normalization = norm != 0;
+              p.standard = std_;
+              if (mode >= 1 && sw >= 8 && sh >= 8) {
+                // Even-aligned crop box strictly inside the frame.
+                p.crop_left = static_cast<int>(next_rand() % (sw / 4)) & ~1;
+                p.crop_top = static_cast<int>(next_rand() % (sh / 4)) & ~1;
+                p.crop_right =
+                    sw - (static_cast<int>(next_rand() % (sw / 4)) & ~1);
+                p.crop_bottom =
+                    sh - (static_cast<int>(next_rand() % (sh / 4)) & ~1);
+              }
+              if (mode == 2) {
+                p.dst_width = sizes[next_rand() % n_sizes][0];
+                p.dst_height = sizes[next_rand() % n_sizes][1];
+                p.resize_algo =
+                    static_cast<ts::HostResizeAlgo>(next_rand() % 4);
+              }
+              int out_w = 0, out_h = 0;
+              ts::VppOutputSize(sw, sh, p, &out_w, &out_h);
+              size_t elems = ts::ConvertedElements(out_w, out_h, p.fourcc);
+              if (ts::ConvertedIsFloat(p.fourcc, p.normalization)) {
+                std::vector<float> out(elems);
+                if (ts::VppConvertHost(y.data(), uv.data(), sw, sh, p,
+                                       out.data()) == 0)
+                  runs++;
+              } else {
+                std::vector<uint8_t> out(elems);
+                if (ts::VppConvertHost(y.data(), uv.data(), sw, sh, p,
+                                       out.data()) == 0)
+                  runs++;
+              }
             }
           }
         }
