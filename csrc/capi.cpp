@@ -125,7 +125,14 @@ int ts_pipeline_get_series(void* p, const char* consumer, int index,
   for (int i = 0; i < count; i++) {
     int idx = pipe->GetFrame(consumer ? consumer : "default", index,
                              out_y + i * y_size, out_uv + i * uv_size);
-    if (idx < 0) return i;  // TS_FINISHED/renegotiate/error: frames so far
+    if (idx < 0) {
+      // Frames copied so far; but when NOTHING was copied, surface the
+      // stop reason itself — a fresh consumer after a geometry switch
+      // must see TS_RENEGOTIATE (ack-and-retry via
+      // ts_pipeline_ack_renegotiate, then call again), not a permanent
+      // empty series indistinguishable from end-of-stream.
+      return i > 0 ? i : idx;
+    }
     if (indices) indices[i] = idx;
   }
   return count;

@@ -236,6 +236,13 @@ int Parser::Reopen() {
   params.enable_dumps = false;
   auto logger = logger_;
   Close();
+  // The restarted source's frame_num/POC/order_hint spaces restart too:
+  // clear the continuity watermarks so the reconnect itself does not
+  // surface as spurious FRAME_NUM/B_POC drop codes in analyze_errors.
+  analyzer_.reset();
+  hevc_analyzer_.reset();
+  vp9_analyzer_.reset();
+  av1_analyzer_.reset();
   return Init(params, logger);
 }
 

@@ -431,6 +431,10 @@ int VppConvertHost(const uint8_t* y, const uint8_t* uv, int src_w, int src_h,
   if (do_crop && (p.crop_left < 0 || p.crop_top < 0 ||
                   p.crop_right > src_w || p.crop_bottom > src_h))
     return -1;  // box outside the frame: the copies below would overread
+  if (do_crop && (p.crop_left % 2 || p.crop_top % 2 || cw % 2 || ch % 2))
+    return -1;  // NV12 demands even alignment: odd left swaps the U/V
+                // interleave, odd top misaligns chroma by a row, and odd
+                // extents break the pair loops of the converters below
   int cur_w = do_crop ? cw : src_w;
   int cur_h = do_crop ? ch : src_h;
   bool do_resize = p.dst_width && p.dst_height &&

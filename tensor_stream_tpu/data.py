@@ -190,8 +190,17 @@ class FrameLoader:
         while True:
             item = self._filled.get()
             if item is None:
+                # Latch: the drain pushed a single sentinel and exited;
+                # re-put it so repeated next() raises StopIteration again
+                # rather than blocking on the empty queue.
+                self._filled.put(item)
                 raise StopIteration
             if item is _RENEGOTIATED:
+                # Latch the terminal state: the drain thread has exited,
+                # so re-put the sentinel — a caller that catches this and
+                # iterates again fails fast instead of blocking forever
+                # on an empty queue.
+                self._filled.put(item)
                 raise RuntimeError(
                     "stream resolution changed mid-stream; use "
                     "FrameLoader(host_resize=True, width=..., height=...) "

@@ -170,6 +170,17 @@ def test_native_invalid_params_rejected(native, bbb_frame0):
         y.ctypes.data, uv.ctypes.data, w, h,
         0, 0, 0, 0, 0, 0, 0, 99, 0, 0, 0, out.ctypes.data)
     assert rc == -1
+    # Odd-aligned crop boxes: odd left swaps the NV12 U/V interleave,
+    # odd top misaligns chroma by a row, odd extents break the even-pair
+    # assumptions of the UYVY/YUV444 converters — all rejected.
+    for box in ((1, 0, 301, 200),    # odd left
+                (0, 1, 300, 201),    # odd top
+                (0, 0, 301, 200),    # odd width
+                (0, 0, 300, 201)):   # odd height
+        rc = native.ts_vpp_convert_host(
+            y.ctypes.data, uv.ctypes.data, w, h,
+            *box, 0, 0, 0, FourCC.NV12.value, 0, 0, 0, out.ctypes.data)
+        assert rc == -1, box
 
 
 def test_simd_rgb_convert_bit_identical_to_scalar(native):

@@ -147,6 +147,10 @@ def test_frame_loader_full_frame_raises_helpful_error():
         for _ in range(10):
             next(loader)
             batches += 1
+    # The error is latched: iterating again after catching it fails fast
+    # with the same guidance instead of blocking on the drained queue.
+    with pytest.raises(RuntimeError, match="host_resize"):
+        next(loader)
     loader.close()
     assert batches >= 1  # the pre-switch frames were delivered first
 
@@ -196,5 +200,39 @@ def test_hevc_resolution_switch_renegotiates():
                                      ctypes.byref(first)) == 10
     assert first.value == 11
     assert lib.ts_pipeline_analyze_errors(p) == 0
+    lib.ts_pipeline_stop(p)
+    lib.ts_pipeline_destroy(p)
+
+
+def test_series_reader_sees_renegotiate_signal():
+    """A C-ABI series reader whose acknowledged geometry predates a
+    switch gets TS_RENEGOTIATE (not a permanent empty series) when zero
+    frames could be copied, and resumes after the ack handshake."""
+    lib = _native.load()
+    p = lib.ts_pipeline_create()
+    # NATIVE pacing: the producer holds the fixture's frame cadence, so
+    # the stream is still live (latest frame = post-switch generation)
+    # when the late series reader arrives.
+    assert lib.ts_pipeline_init_ex(p, FIXTURE.encode(), 5, 32, 0, 0, 0, 0,
+                                   0) == 0
+    lib.ts_pipeline_start(p)
+    import time
+    deadline = time.monotonic() + 30
+    while (lib.ts_pipeline_frame_index(p) <= 12
+           and time.monotonic() < deadline):
+        time.sleep(0.02)
+    assert lib.ts_pipeline_frame_index(p) > 12
+    ys = np.empty((4, 360, 480), np.uint8)
+    uvs = np.empty((4, 180, 480), np.uint8)
+    got = lib.ts_pipeline_get_series(p, b"late", 0, 4, ys.ctypes.data,
+                                     uvs.ctypes.data, None)
+    assert got == _native.TS_RENEGOTIATE
+    w, h = ctypes.c_int(0), ctypes.c_int(0)
+    assert lib.ts_pipeline_ack_renegotiate(p, b"late", ctypes.byref(w),
+                                           ctypes.byref(h)) == 0
+    assert (w.value, h.value) == (480, 360)
+    got = lib.ts_pipeline_get_series(p, b"late", 0, 1, ys.ctypes.data,
+                                     uvs.ctypes.data, None)
+    assert got == 1
     lib.ts_pipeline_stop(p)
     lib.ts_pipeline_destroy(p)
