@@ -32,12 +32,13 @@ import time
 VIDEO = os.environ.get(
     "TS_BENCH_VIDEO",
     "/root/reference/tests/resources/billiard_1920x1080_420_100.h264")
-# Batch 64 amortizes the per-dispatch overheads (tunnel RPC latency on
-# the transfer + program launch) to <0.1 ms/frame; the headline then
-# tracks the decode wall within ~7% on a 1-core host. Latency per batch
-# at 64 is ~140 ms — a data-loading configuration, not a live-stream one
-# (live consumers use read()/read_batch with small batches).
-BATCH = int(os.environ.get("TS_BENCH_BATCH", "64"))
+# Batch 128 amortizes the per-dispatch overheads (tunnel RPC latency on
+# the transfer + program launch) to <0.06 ms/frame; with the 32-slot
+# ring the headline then tracks the decode wall within noise on a
+# 1-core host. Latency per batch at 128 is ~250 ms — a data-loading
+# configuration, not a live-stream one (live consumers use
+# read()/read_batch with small batches).
+BATCH = int(os.environ.get("TS_BENCH_BATCH", "128"))
 TARGET_SECONDS = float(os.environ.get("TS_BENCH_SECONDS", "12"))
 STAGE_SECONDS = float(os.environ.get("TS_BENCH_STAGE_SECONDS", "4"))
 BASELINE_FPS = 2000.0
@@ -189,8 +190,12 @@ def bench_headline():
 
     from tensor_stream_tpu import FourCC, FrameLoader, Planes, ResizeType
 
+    # Ring of 32 regardless of BATCH (bulk cursors drain with
+    # back-pressure): measured on the 1-core host, ring 64 costs ~40 fps
+    # of headline vs ring 32 — outsized rings pay first-touch page
+    # faults and evict the resize working set from cache.
     loader = FrameLoader(VIDEO, batch=BATCH, prefetch=3, host_resize=True,
-                         buffer_size=max(32, BATCH), loop=True,
+                         buffer_size=32, loop=True,
                          width=224, height=224,
                          resize_type=ResizeType.BILINEAR,
                          pixel_format=FourCC.RGB24, planes_pos=Planes.PLANAR,
@@ -226,7 +231,11 @@ def main():
     transfer_gbps, transfer_fps = bench_transfer(STAGE_SECONDS / 2)
     half = STAGE_SECONDS / 2
     stages = {
-        "decode_fps": round(_best_of(2, bench_decode_only, lib, half), 1),
+        # Full-length window for the decode wall: it is the headline's
+        # denominator (headline/decode_fps = loader efficiency) and 2 s
+        # burst windows read up to +-8% on this host.
+        "decode_fps": round(
+            _best_of(2, bench_decode_only, lib, STAGE_SECONDS), 1),
         "drain_fps": round(_best_of(2, _bench_bulk, lib, half, False), 1),
         "host_resize_fps": round(_best_of(2, _bench_bulk, lib, half, True), 1),
         "transfer_gbps": round(transfer_gbps, 3),
