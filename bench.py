@@ -166,6 +166,40 @@ def bench_pool_aggregate(lib, seconds, n_streams=4, workers=0):
     return frames / elapsed
 
 
+def bench_segment_parallel(lib, seconds, workers=0):
+    """GOP/segment-parallel decode throughput (csrc/segment_reader.cpp):
+    N decoder instances over keyframe-split chunks of a multi-GOP 1080p
+    fixture, per-slot resized to 224x224 in the workers, stitched
+    bit-exactly into serial order (tests/test_segment_parallel.py).
+    ~1x the serial wall on this 1-core host by construction; the stage
+    exists to measure the decode-scaling architecture on multi-core
+    TPU-VM hosts, where it is the only path past frame-threading."""
+    workers = workers or min(4, os.cpu_count() or 1)
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures",
+        "bench_1920x1080_gop25_200.h264")
+    s = lib.ts_segmented_create(fixture.encode(), workers, 64, 1,
+                                224, 224, 1, 1, 0, 48)
+    if not s:
+        return 0.0
+    lib.ts_segmented_start(s)
+    ys = ctypes.create_string_buffer(BATCH * 224 * 224)
+    uvs = ctypes.create_string_buffer(BATCH * 224 * 112)
+    first = ctypes.c_int(0)
+    frames = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        got = lib.ts_segmented_get_batch(s, BATCH, ys, uvs,
+                                         ctypes.byref(first))
+        if got <= 0:
+            break
+        frames += got
+    elapsed = time.perf_counter() - t0
+    lib.ts_segmented_stop(s)
+    lib.ts_segmented_destroy(s)
+    return frames / elapsed
+
+
 def bench_scaling(lib):
     """Decode thread-count sweep — the proof that the decode wall scales
     with host cores. Skipped (with reason) when the host cannot show
@@ -177,12 +211,19 @@ def bench_scaling(lib):
                            "CPU-bound and cannot scale below 4 cores "
                            "(set TS_BENCH_SCALING=1 to force)"}
     sweep = {}
+    seg_sweep = {}
     for threads in (1, 2, 4, min(8, cores)):
         if threads > cores:
             break
         sweep[str(threads)] = round(
             bench_decode_only(lib, STAGE_SECONDS / 2, threads), 1)
-    return {"cpu_cores": cores, "decode_fps_by_threads": sweep}
+        # The segment-parallel sweep is the decode-scaling proof that
+        # frame-threading alone cannot give (~2-3x ceiling): N workers
+        # over disjoint GOP chunks scale decode ~linearly with cores.
+        seg_sweep[str(threads)] = round(
+            bench_segment_parallel(lib, STAGE_SECONDS / 2, threads), 1)
+    return {"cpu_cores": cores, "decode_fps_by_threads": sweep,
+            "segment_parallel_fps_by_workers": seg_sweep}
 
 
 def bench_headline():
@@ -243,6 +284,8 @@ def main():
         "device_vpp_fps": round(bench_device_vpp(STAGE_SECONDS), 1),
         "pool_aggregate_fps": round(
             _best_of(2, bench_pool_aggregate, lib, half), 1),
+        "segment_parallel_fps": round(
+            _best_of(2, bench_segment_parallel, lib, half), 1),
     }
     result = {
         "metric": "1080p_decode_to_224px_rgb_planar_f32_fps_per_chip",

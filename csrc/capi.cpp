@@ -15,6 +15,7 @@
 #include "analyzer.h"
 #include "parser.h"
 #include "pipeline.h"
+#include "segment_reader.h"
 #include "stream_pool.h"
 #include "vpp_convert.h"
 #include "vpp_host_simd.h"
@@ -420,6 +421,78 @@ int ts_parser_init(void* p, const char* url, int keep_buffer, int enable_dumps) 
   if (sts == ts::TS_OK) h->pkt = av_packet_alloc();
   return sts == ts::TS_OK ? ts::TS_OK : ts::TS_ERROR;
 }
+
+// --------------------------------------- GOP/segment-parallel reader
+//
+// Scales software decode of seekable files across host cores by
+// keyframe-splitting (see segment_reader.h). Bulk-cursor surface only;
+// live/paced consumers use the serial pipeline.
+
+// Returns a handle, or NULL when the source is unsupported (not
+// seekable / no frames) or the scan failed.
+void* ts_segmented_create(const char* url, int workers, int window, int loop,
+                          int dst_w, int dst_h, int algo, int decode_threads,
+                          int fast_decode, int chunk_frames) {
+  auto* r = new ts::SegmentedReader();
+  ts::SegmentedParams params;
+  params.input = url ? url : "";
+  params.workers = workers;
+  if (window > 0) params.window = window;
+  params.loop = loop != 0;
+  params.dst_width = dst_w;
+  params.dst_height = dst_h;
+  params.resize_algo = algo;
+  if (decode_threads > 0) params.decode_threads = decode_threads;
+  params.fast_decode = fast_decode != 0;
+  if (chunk_frames > 0) params.chunk_frames = chunk_frames;
+  if (r->Init(params, std::make_shared<ts::Logger>()) != ts::TS_OK) {
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+int ts_segmented_start(void* p) {
+  return static_cast<ts::SegmentedReader*>(p)->Start();
+}
+
+int ts_segmented_get_batch(void* p, int count, uint8_t* out_y,
+                           uint8_t* out_uv, int* first_index) {
+  return static_cast<ts::SegmentedReader*>(p)->GetBatch(count, out_y, out_uv,
+                                                        first_index);
+}
+
+int ts_segmented_width(void* p) {
+  return static_cast<ts::SegmentedReader*>(p)->width();
+}
+int ts_segmented_height(void* p) {
+  return static_cast<ts::SegmentedReader*>(p)->height();
+}
+int ts_segmented_out_width(void* p) {
+  return static_cast<ts::SegmentedReader*>(p)->outWidth();
+}
+int ts_segmented_out_height(void* p) {
+  return static_cast<ts::SegmentedReader*>(p)->outHeight();
+}
+long long ts_segmented_total_frames(void* p) {
+  return static_cast<ts::SegmentedReader*>(p)->totalFrames();
+}
+int ts_segmented_chunks(void* p) {
+  return static_cast<ts::SegmentedReader*>(p)->chunks();
+}
+long long ts_segmented_frames_deposited(void* p) {
+  return static_cast<ts::SegmentedReader*>(p)->framesDeposited();
+}
+void ts_segmented_seek_frame(void* p, long long frame) {
+  static_cast<ts::SegmentedReader*>(p)->SeekFrame(frame);
+}
+void ts_segmented_stop(void* p) {
+  static_cast<ts::SegmentedReader*>(p)->Stop();
+}
+void ts_segmented_destroy(void* p) {
+  delete static_cast<ts::SegmentedReader*>(p);
+}
+
 int ts_parser_width(void* p) { return static_cast<ParserHandle*>(p)->parser.width(); }
 int ts_parser_height(void* p) { return static_cast<ParserHandle*>(p)->parser.height(); }
 int ts_parser_fps_num(void* p) {

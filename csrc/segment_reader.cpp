@@ -1,0 +1,505 @@
+#include "segment_reader.h"
+
+extern "C" {
+#include <libavcodec/bsf.h>
+}
+
+#include <cstring>
+
+namespace ts {
+
+namespace {
+
+// True when the (annexb) access unit starts with an IDR slice — the only
+// H.264/HEVC split points where a cold decoder reproduces the serial
+// decode bit-for-bit (IDR clears the DPB; a CRA/recovery-point keyframe
+// does not forbid leading pictures referencing across it).
+bool IsIdrAccessUnit(const uint8_t* data, int size, AVCodecID codec) {
+  for (int i = 0; i + 3 < size;) {
+    if (data[i] == 0 && data[i + 1] == 0) {
+      int off = 0;
+      if (data[i + 2] == 1)
+        off = 3;
+      else if (i + 4 < size && data[i + 2] == 0 && data[i + 3] == 1)
+        off = 4;
+      if (off) {
+        int hdr = i + off;
+        if (hdr >= size) return false;
+        if (codec == AV_CODEC_ID_H264) {
+          int t = data[hdr] & 0x1F;
+          if (t == 5) return true;
+          if (t == 1) return false;  // non-IDR slice leads the AU
+        } else {  // HEVC: VCL types 0..21; IRAP 16..21, IDR are 19/20
+          int t = (data[hdr] >> 1) & 0x3F;
+          if (t <= 21) return t == 19 || t == 20;
+        }
+        i = hdr + 1;
+        continue;
+      }
+    }
+    i++;
+  }
+  return false;
+}
+
+// Packs a decoded frame into tightly-packed NV12 planes, the same three
+// paths (and the same SWS_POINT fallback) as the serial ring store
+// (csrc/decoder.cpp storeFrame) so segment-parallel output is
+// bit-identical to serial output for every source format.
+int PackNV12(const AVFrame* frame, uint8_t* dy, uint8_t* duv,
+             SwsContext*& sws) {
+  int w = frame->width, h = frame->height;
+  if (frame->format == AV_PIX_FMT_YUV420P ||
+      frame->format == AV_PIX_FMT_YUVJ420P) {
+    const uint8_t* sy = frame->data[0];
+    for (int i = 0; i < h; i++)
+      std::memcpy(dy + static_cast<size_t>(i) * w,
+                  sy + static_cast<size_t>(i) * frame->linesize[0], w);
+    const uint8_t* su = frame->data[1];
+    const uint8_t* sv = frame->data[2];
+    for (int i = 0; i < h / 2; i++) {
+      uint8_t* dst = duv + static_cast<size_t>(i) * w;
+      const uint8_t* u = su + static_cast<size_t>(i) * frame->linesize[1];
+      const uint8_t* v = sv + static_cast<size_t>(i) * frame->linesize[2];
+      for (int j = 0; j < w / 2; j++) {
+        dst[2 * j] = u[j];
+        dst[2 * j + 1] = v[j];
+      }
+    }
+  } else if (frame->format == AV_PIX_FMT_NV12) {
+    for (int i = 0; i < h; i++)
+      std::memcpy(dy + static_cast<size_t>(i) * w,
+                  frame->data[0] + static_cast<size_t>(i) * frame->linesize[0],
+                  w);
+    for (int i = 0; i < h / 2; i++)
+      std::memcpy(duv + static_cast<size_t>(i) * w,
+                  frame->data[1] + static_cast<size_t>(i) * frame->linesize[1],
+                  w);
+  } else {
+    sws = sws_getCachedContext(sws, w, h,
+                               static_cast<AVPixelFormat>(frame->format), w, h,
+                               AV_PIX_FMT_NV12, SWS_POINT, nullptr, nullptr,
+                               nullptr);
+    if (!sws) return TS_ERROR;
+    uint8_t* dst_data[2] = {dy, duv};
+    int dst_linesize[2] = {w, w};
+    sws_scale(sws, frame->data, frame->linesize, 0, h, dst_data, dst_linesize);
+  }
+  return TS_OK;
+}
+
+int64_t PacketTime(const AVPacket* pkt) {
+  return pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+}
+
+}  // namespace
+
+SegmentedReader::~SegmentedReader() {
+  Stop();
+  if (codecpar_) avcodec_parameters_free(&codecpar_);
+}
+
+int SegmentedReader::Init(const SegmentedParams& params,
+                          std::shared_ptr<Logger> logger) {
+  params_ = params;
+  if (params_.workers < 1) params_.workers = 1;
+  if (params_.window < 2) params_.window = 2;
+  if (params_.chunk_frames < 1) params_.chunk_frames = 1;
+  logger_ = std::move(logger);
+  if (params_.dst_width % 2 || params_.dst_height % 2) return TS_ERROR;
+  int sts = scan();
+  if (sts < 0) return sts;
+  window_.resize(params_.window);
+  size_t ys = static_cast<size_t>(outWidth()) * outHeight();
+  for (auto& slot : window_) {
+    slot.y.resize(ys);
+    slot.uv.resize(ys / 2);
+  }
+  return TS_OK;
+}
+
+int SegmentedReader::scan() {
+  AVFormatContext* fmt = nullptr;
+  int sts = avformat_open_input(&fmt, params_.input.c_str(), nullptr, nullptr);
+  if (sts < 0) return sts;
+  sts = avformat_find_stream_info(fmt, nullptr);
+  if (sts < 0) {
+    avformat_close_input(&fmt);
+    return sts;
+  }
+  int vi = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (vi < 0 || !fmt->pb || fmt->pb->seekable != AVIO_SEEKABLE_NORMAL) {
+    avformat_close_input(&fmt);
+    return TS_UNSUPPORTED;  // live/non-seekable: use the serial pipeline
+  }
+  AVStream* vs = fmt->streams[vi];
+  codecpar_ = avcodec_parameters_alloc();
+  if (!codecpar_) {
+    avformat_close_input(&fmt);
+    return TS_ERROR;
+  }
+  avcodec_parameters_copy(codecpar_, vs->codecpar);
+  codec_id_ = vs->codecpar->codec_id;
+  width_ = vs->codecpar->width;
+  height_ = vs->codecpar->height;
+  seek_time_base_ = vs->time_base;
+  byte_seek_ = fmt->iformat && (fmt->iformat->flags & AVFMT_GENERIC_INDEX);
+
+  // IDR checks run on annexb bytes; containers carry AVCC, so route
+  // H.264/HEVC packets through the same BSF the analyzer uses
+  // (csrc/parser.cpp Analyze; reference src/Parser.cpp:337-345).
+  AVBSFContext* bsf = nullptr;
+  if (codec_id_ == AV_CODEC_ID_H264 || codec_id_ == AV_CODEC_ID_HEVC) {
+    const AVBitStreamFilter* filter = av_bsf_get_by_name(
+        codec_id_ == AV_CODEC_ID_H264 ? "h264_mp4toannexb"
+                                      : "hevc_mp4toannexb");
+    if (filter && av_bsf_alloc(filter, &bsf) >= 0) {
+      avcodec_parameters_copy(bsf->par_in, vs->codecpar);
+      bsf->time_base_in = vs->time_base;
+      if (av_bsf_init(bsf) < 0) av_bsf_free(&bsf);
+    }
+  }
+
+  std::vector<SegmentChunk> segments;
+  AVPacket* pkt = av_packet_alloc();
+  AVPacket* filtered = av_packet_alloc();
+  int64_t n = 0;
+  while ((sts = av_read_frame(fmt, pkt)) >= 0) {
+    if (pkt->stream_index != vi) {
+      av_packet_unref(pkt);
+      continue;
+    }
+    bool split = false;
+    if (pkt->flags & AV_PKT_FLAG_KEY) {
+      if (bsf) {
+        AVPacket* probe = av_packet_clone(pkt);
+        if (probe && av_bsf_send_packet(bsf, probe) >= 0) {
+          while (av_bsf_receive_packet(bsf, filtered) >= 0) {
+            if (IsIdrAccessUnit(filtered->data, filtered->size, codec_id_))
+              split = true;
+            av_packet_unref(filtered);
+          }
+        }
+        if (probe) av_packet_free(&probe);
+      } else {
+        split = true;  // VP9/AV1 keyframes reset the reference set
+      }
+    }
+    // The first packet always opens chunk 0: a cold decoder there IS the
+    // serial decode, IDR or not.
+    if (n == 0 || split) {
+      SegmentChunk c;
+      c.byte_pos = pkt->pos;
+      c.pts = PacketTime(pkt);
+      c.first_frame = n;
+      segments.push_back(c);
+    }
+    segments.back().n_frames++;
+    n++;
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  av_packet_free(&filtered);
+  if (bsf) av_bsf_free(&bsf);
+  avformat_close_input(&fmt);
+  if (sts != AVERROR_EOF && sts < 0) return sts;
+  if (n == 0) return TS_UNSUPPORTED;
+  total_frames_ = n;
+
+  // Merge adjacent segments into ~chunk_frames tasks: one seek + one
+  // flush per chunk instead of per GOP.
+  for (const auto& seg : segments) {
+    if (!chunks_.empty() &&
+        chunks_.back().n_frames + seg.n_frames <= params_.chunk_frames) {
+      chunks_.back().n_frames += seg.n_frames;
+    } else {
+      chunks_.push_back(seg);
+    }
+  }
+  if (logger_)
+    logger_->log("SegmentedReader: " + std::to_string(total_frames_) +
+                     " frames, " + std::to_string(segments.size()) +
+                     " segments, " + std::to_string(chunks_.size()) +
+                     " chunks",
+                 LOG_MEDIUM);
+  return TS_OK;
+}
+
+void SegmentedReader::SeekFrame(int64_t frame) {
+  std::lock_guard<std::mutex> lk(mu_);
+  if (frame > 1) cursor_ = frame - 1;
+}
+
+int SegmentedReader::Start() {
+  if (started_ || chunks_.empty()) return TS_ERROR;
+  started_ = true;
+  for (int i = 0; i < params_.workers; i++)
+    threads_.emplace_back([this, i] { worker(i); });
+  return TS_OK;
+}
+
+void SegmentedReader::worker(int id) {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* ctx = nullptr;
+  SwsContext* sws = nullptr;
+  int vi = -1;
+  int rc = avformat_open_input(&fmt, params_.input.c_str(), nullptr, nullptr);
+  if (rc >= 0) rc = avformat_find_stream_info(fmt, nullptr);
+  if (rc >= 0) {
+    vi = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    if (vi < 0) rc = TS_ERROR;
+  }
+  if (rc >= 0) {
+    const AVCodec* codec = avcodec_find_decoder(codec_id_);
+    ctx = codec ? avcodec_alloc_context3(codec) : nullptr;
+    rc = ctx ? avcodec_parameters_to_context(ctx, codecpar_) : TS_ERROR;
+    if (rc >= 0) {
+      ctx->thread_count = params_.decode_threads > 0 ? params_.decode_threads
+                                                     : 1;
+      ctx->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+      if (params_.fast_decode) {
+        ctx->skip_loop_filter = AVDISCARD_ALL;
+        ctx->flags2 |= AV_CODEC_FLAG2_FAST;
+      }
+      rc = avcodec_open2(ctx, codec, nullptr);
+    }
+  }
+  if (rc < 0) {
+    if (logger_)
+      logger_->log("SegmentedReader worker open failed: " + std::to_string(rc),
+                   LOG_LOW);
+    fail(TS_ERROR, -1);  // unknown ownership: stop handing out frames
+  } else {
+    int64_t n_chunks = static_cast<int64_t>(chunks_.size());
+    while (true) {
+      {
+        std::lock_guard<std::mutex> lk(mu_);
+        if (stopped_ || error_) break;
+      }
+      int64_t t = next_task_.fetch_add(1);
+      if (!params_.loop && t >= n_chunks) break;
+      const SegmentChunk& c = chunks_[t % n_chunks];
+      int64_t epoch = t / n_chunks;
+      int64_t base = epoch * total_frames_ + c.first_frame;
+      {
+        // Resume skip: chunks entirely before the cursor need no decode.
+        std::lock_guard<std::mutex> lk(mu_);
+        if (base + c.n_frames <= cursor_) continue;
+      }
+      rc = decodeChunk(fmt, ctx, vi, sws, c, base);
+      if (rc == TS_FINISHED) break;  // stopped mid-deposit
+      if (rc < 0) {
+        fail(rc, base);  // no-op when decodeChunk already set a watermark
+        break;
+      }
+    }
+  }
+  if (sws) sws_freeContext(sws);
+  if (ctx) avcodec_free_context(&ctx);
+  if (fmt) avformat_close_input(&fmt);
+  {
+    std::lock_guard<std::mutex> lk(mu_);
+    done_workers_++;
+  }
+  cons_cv_.notify_all();
+}
+
+int SegmentedReader::decodeChunk(AVFormatContext* fmt, AVCodecContext* ctx,
+                                 int vi, SwsContext*& sws,
+                                 const SegmentChunk& chunk, int64_t base) {
+  int sts;
+  if (byte_seek_)
+    sts = av_seek_frame(fmt, vi, chunk.byte_pos, AVSEEK_FLAG_BYTE);
+  else
+    sts = av_seek_frame(fmt, vi, chunk.pts, AVSEEK_FLAG_BACKWARD);
+  if (sts < 0) return sts;
+  avcodec_flush_buffers(ctx);
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  if (!pkt || !frame) {
+    if (pkt) av_packet_free(&pkt);
+    if (frame) av_frame_free(&frame);
+    return TS_ERROR;
+  }
+  int fed = 0;
+  int64_t out_idx = 0;
+  int rc = TS_OK;
+  // Container seeks land at-or-before the target keyframe; skip demuxed
+  // packets until the chunk's own first packet. Byte seeks land exactly.
+  bool seen_first = byte_seek_;
+
+  auto drain_ready = [&]() -> int {
+    while (true) {
+      int r = avcodec_receive_frame(ctx, frame);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return TS_OK;
+      if (r < 0) return r;
+      r = deposit(base + out_idx, frame, sws);
+      out_idx++;
+      av_frame_unref(frame);
+      if (r < 0) return r;
+    }
+  };
+
+  while (fed < chunk.n_frames && rc == TS_OK) {
+    sts = av_read_frame(fmt, pkt);
+    if (sts == AVERROR_EOF) break;
+    if (sts < 0) {
+      rc = sts;
+      break;
+    }
+    if (pkt->stream_index != vi) {
+      av_packet_unref(pkt);
+      continue;
+    }
+    if (!seen_first) {
+      if (PacketTime(pkt) != chunk.pts) {
+        av_packet_unref(pkt);
+        continue;
+      }
+      seen_first = true;
+    }
+    fed++;
+    sts = avcodec_send_packet(ctx, pkt);
+    if (sts == AVERROR(EAGAIN)) {
+      rc = drain_ready();
+      if (rc == TS_OK) sts = avcodec_send_packet(ctx, pkt);
+    }
+    av_packet_unref(pkt);
+    if (rc == TS_OK && sts < 0 && sts != AVERROR(EAGAIN)) rc = sts;
+    if (rc == TS_OK) rc = drain_ready();
+  }
+  if (rc == TS_OK) {
+    avcodec_send_packet(ctx, nullptr);  // flush delayed frames
+    while (true) {
+      sts = avcodec_receive_frame(ctx, frame);
+      if (sts < 0) break;
+      rc = deposit(base + out_idx, frame, sws);
+      out_idx++;
+      av_frame_unref(frame);
+      if (rc < 0) break;
+    }
+  }
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  if (rc < 0) return rc;
+  if (out_idx != chunk.n_frames) {
+    if (logger_)
+      logger_->log("SegmentedReader: chunk at frame " +
+                       std::to_string(chunk.first_frame) + " produced " +
+                       std::to_string(out_idx) + "/" +
+                       std::to_string(chunk.n_frames) + " frames",
+                   LOG_LOW);
+    fail(TS_ERROR, base + out_idx);
+    return TS_ERROR;  // a hole would stall the ordered window forever
+  }
+  return TS_OK;
+}
+
+void SegmentedReader::fail(int code, int64_t at_frame) {
+  {
+    std::lock_guard<std::mutex> lk(mu_);
+    if (!error_) error_ = code;
+    if (at_frame < error_frame_) error_frame_ = at_frame;
+  }
+  cons_cv_.notify_all();
+  prod_cv_.notify_all();
+}
+
+int SegmentedReader::deposit(int64_t frame_idx, const AVFrame* f,
+                             SwsContext*& sws) {
+  {
+    std::unique_lock<std::mutex> lk(mu_);
+    prod_cv_.wait(lk, [&] {
+      return stopped_ || frame_idx > error_frame_ ||
+             frame_idx < cursor_ + static_cast<int64_t>(window_.size());
+    });
+    if (stopped_) return TS_FINISHED;
+    // The stream is broken below this frame (renegotiate / decode
+    // hole): the cursor will never reach it, so depositing would park
+    // this worker forever.
+    if (frame_idx > error_frame_) return TS_FINISHED;
+    if (frame_idx < cursor_) return TS_OK;  // resume skip inside a chunk
+  }
+  DepSlot& slot = window_[frame_idx % window_.size()];
+  // Exclusive writer: back-pressure bounds live frames to one window, so
+  // no other worker maps to this slot; the consumer ignores it until
+  // `frame` is published below.
+  int rc;
+  if (params_.dst_width) {
+    if (f->width == params_.dst_width && f->height == params_.dst_height) {
+      rc = PackNV12(f, slot.y.data(), slot.uv.data(), sws);
+    } else {
+      // Per-slot resize from the frame's own geometry — rides
+      // resolution switches like the serial bulk-resized path.
+      std::vector<uint8_t> ny(static_cast<size_t>(f->width) * f->height);
+      std::vector<uint8_t> nuv(ny.size() / 2);
+      rc = PackNV12(f, ny.data(), nuv.data(), sws);
+      if (rc == TS_OK)
+        ResizeNV12Host(ny.data(), nuv.data(), f->width, f->height,
+                       slot.y.data(), slot.uv.data(), params_.dst_width,
+                       params_.dst_height,
+                       static_cast<HostResizeAlgo>(params_.resize_algo));
+    }
+  } else if (f->width != width_ || f->height != height_) {
+    // Fixed-geometry deposits cannot express a mid-file resolution
+    // switch; surface the same signal as the serial bulk path. Frames
+    // before the switch still drain (error_frame_ watermark).
+    fail(TS_RENEGOTIATE, frame_idx);
+    return TS_RENEGOTIATE;
+  } else {
+    rc = PackNV12(f, slot.y.data(), slot.uv.data(), sws);
+  }
+  if (rc < 0) return rc;
+  {
+    std::lock_guard<std::mutex> lk(mu_);
+    slot.frame = frame_idx;
+    deposited_.fetch_add(1);
+  }
+  cons_cv_.notify_all();
+  return TS_OK;
+}
+
+int SegmentedReader::GetBatch(int count, uint8_t* out_y, uint8_t* out_uv,
+                              int* first_index) {
+  size_t ys = static_cast<size_t>(outWidth()) * outHeight();
+  size_t uvs = ys / 2;
+  int copied = 0;
+  std::unique_lock<std::mutex> lk(mu_);
+  if (first_index) *first_index = static_cast<int>(cursor_ + 1);
+  while (copied < count) {
+    DepSlot& slot = window_[cursor_ % window_.size()];
+    if (slot.frame != cursor_) {
+      if (stopped_) return copied;
+      bool all_done =
+          started_ && done_workers_ == static_cast<int>(threads_.size());
+      // Drain continuously up to the break point before surfacing the
+      // error (a late consumer still gets every pre-switch frame).
+      if (error_ && (cursor_ >= error_frame_ || all_done))
+        return copied > 0 ? copied : error_;
+      if (all_done) return copied;  // clean end of stream
+      cons_cv_.wait(lk);
+      continue;
+    }
+    std::memcpy(out_y + static_cast<size_t>(copied) * ys, slot.y.data(), ys);
+    std::memcpy(out_uv + static_cast<size_t>(copied) * uvs, slot.uv.data(),
+                uvs);
+    slot.frame = -1;
+    cursor_++;
+    copied++;
+    prod_cv_.notify_all();
+  }
+  return copied;
+}
+
+void SegmentedReader::Stop() {
+  {
+    std::lock_guard<std::mutex> lk(mu_);
+    stopped_ = true;
+  }
+  prod_cv_.notify_all();
+  cons_cv_.notify_all();
+  for (auto& t : threads_) t.join();
+  threads_.clear();
+}
+
+}  // namespace ts

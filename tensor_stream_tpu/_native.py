@@ -86,6 +86,24 @@ def load():
         sig("ts_pipeline_get_batch_resized", c_int,
             [c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_void_p,
              c_void_p, ctypes.POINTER(ctypes.c_int)])
+        # GOP/segment-parallel reader (seekable files; csrc/segment_reader.h)
+        sig("ts_segmented_create", c_void_p,
+            [c_char_p, c_int, c_int, c_int, c_int, c_int, c_int, c_int,
+             c_int, c_int])
+        sig("ts_segmented_start", c_int, [c_void_p])
+        sig("ts_segmented_get_batch", c_int,
+            [c_void_p, c_int, c_void_p, c_void_p,
+             ctypes.POINTER(ctypes.c_int)])
+        sig("ts_segmented_width", c_int, [c_void_p])
+        sig("ts_segmented_height", c_int, [c_void_p])
+        sig("ts_segmented_out_width", c_int, [c_void_p])
+        sig("ts_segmented_out_height", c_int, [c_void_p])
+        sig("ts_segmented_total_frames", ctypes.c_longlong, [c_void_p])
+        sig("ts_segmented_chunks", c_int, [c_void_p])
+        sig("ts_segmented_frames_deposited", ctypes.c_longlong, [c_void_p])
+        sig("ts_segmented_seek_frame", None, [c_void_p, ctypes.c_longlong])
+        sig("ts_segmented_stop", None, [c_void_p])
+        sig("ts_segmented_destroy", None, [c_void_p])
         sig("ts_resize_nv12_host", None,
             [c_void_p, c_void_p, c_int, c_int, c_void_p, c_void_p, c_int,
              c_int, c_int])

@@ -64,15 +64,29 @@ class FrameLoader:
                  drop_partial=False,
                  start_frame=1,
                  fast_decode=False,
+                 segment_parallel=0,
                  **frame_kwargs):
         self.batch = int(batch)
         self.prefetch = max(1, int(prefetch))
         self.host_resize = bool(host_resize)
         self.drop_partial = bool(drop_partial)
         self.device_index = device_index
+        self.stream_url = stream_url
         self.params = FrameParameters(**frame_kwargs)
         if self.host_resize:
             self._algo = host_resize_algo(self.params)
+        self.reader = None
+        self._segmented = None
+        if int(segment_parallel) > 0:
+            # GOP/segment-parallel decode (csrc/segment_reader.h): N
+            # decoder instances over keyframe-split chunks of a seekable
+            # file, stitched bit-exactly into serial frame order. Decode
+            # throughput scales with host cores instead of stopping at
+            # libavcodec frame-threading.
+            self._init_segmented(int(segment_parallel), buffer_size, loop,
+                                 decode_threads, fast_decode, start_frame)
+            self._start_common()
+            return
         self.reader = TensorStreamConverter(
             stream_url, framerate_mode=FrameRate.FAST,
             buffer_size=buffer_size or 4 * self.batch,
@@ -121,8 +135,11 @@ class FrameLoader:
         else:
             self._w, self._h = w, h
             self._cfg = self.params.to_config(w, h)
+        self._start_common()
+
+    def _start_common(self):
         self._vpp = build_vpp_batched_flat(self._cfg, self.batch,
-                                           device_index)
+                                           self.device_index)
         # Rotating staging pool: one buffer per in-flight batch plus one
         # being filled, so the drain thread never writes a buffer the
         # main thread is still shipping.
@@ -135,8 +152,69 @@ class FrameLoader:
         self._pending = collections.deque()  # (buf, tensors) awaiting compute
         self._device = None  # resolved lazily on the first batch
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._drain, daemon=True)
+        target = self._drain_segmented if self._segmented else self._drain
+        self._thread = threading.Thread(target=target, daemon=True)
         self._thread.start()
+
+    def _init_segmented(self, workers, buffer_size, loop, decode_threads,
+                        fast_decode, start_frame):
+        if self.params.color_standard is ColorStandard.AUTO:
+            raise ValueError(
+                "segment_parallel does not support color_standard=AUTO "
+                "(workers decode chunks out of order; pass the stream's "
+                "standard explicitly)")
+        lib = _native.load()
+        dst_w = self.params.width if self.host_resize else 0
+        dst_h = self.params.height if self.host_resize else 0
+        algo = self._algo if self.host_resize else 0
+        handle = lib.ts_segmented_create(
+            str(self.stream_url).encode(), workers,
+            buffer_size or 4 * self.batch, int(bool(loop)), dst_w, dst_h,
+            algo, decode_threads or 1, int(bool(fast_decode)), 0)
+        if not handle:
+            raise RuntimeError(
+                f"segment_parallel: cannot keyframe-split {self.stream_url} "
+                "(not a seekable file, or no decodable frames); use the "
+                "serial loader for live sources")
+        self._segmented = handle
+        self._seg_lib = lib
+        if int(start_frame) > 1:
+            lib.ts_segmented_seek_frame(handle, int(start_frame))
+        self._next_index = int(start_frame)
+        w = lib.ts_segmented_out_width(handle)
+        h = lib.ts_segmented_out_height(handle)
+        self._w, self._h = w, h
+        if self.host_resize:
+            cfg_params = FrameParameters(
+                pixel_format=self.params.pixel_format,
+                planes_pos=self.params.planes_pos,
+                normalization=self.params.normalization,
+                color_standard=self.params.color_standard)
+            self._cfg = cfg_params.to_config(w, h)
+        else:
+            self._cfg = self.params.to_config(w, h)
+        if lib.ts_segmented_start(handle) != 0:
+            raise RuntimeError("segment_parallel: start failed")
+
+    def _drain_segmented(self):
+        lib = self._seg_lib
+        handle = self._segmented
+        y_size = self.batch * self._w * self._h
+        first = ctypes.c_int(0)
+        while not self._stop.is_set():
+            buf = self._pool.get()
+            if buf is None or self._stop.is_set():
+                break
+            got = lib.ts_segmented_get_batch(
+                handle, self.batch, buf.ctypes.data,
+                buf.ctypes.data + y_size, ctypes.byref(first))
+            if got == _native.TS_RENEGOTIATE:
+                self._filled.put(_RENEGOTIATED)
+                break
+            if got <= 0:
+                self._filled.put(None)  # end-of-stream sentinel
+                break
+            self._filled.put((buf, got, first.value))
 
     # ------------------------------------------------------------- internal
 
@@ -227,7 +305,7 @@ class FrameLoader:
         """Resumable position: pass ``start_frame=ckpt["next_index"]`` to
         a new FrameLoader over the same stream to continue exactly where
         this one stopped (next batch starts at that frame index)."""
-        return {"stream_url": self.reader.stream_url,
+        return {"stream_url": self.stream_url,
                 "next_index": self._next_index}
 
     def __next__(self):
@@ -253,6 +331,13 @@ class FrameLoader:
         # Stop (but do not yet destroy) the native pipeline: wakes a drain
         # parked inside the native call, which then exits. Only after the
         # drain thread is joined is it safe to destroy the handle.
+        if self._segmented is not None:
+            self._seg_lib.ts_segmented_stop(self._segmented)
+            self._drain_unblock()
+            self._thread.join(timeout=10)
+            self._seg_lib.ts_segmented_destroy(self._segmented)
+            self._segmented = None
+            return
         if self.reader._handle is not None:
             self.reader._lib.ts_pipeline_stop(self.reader._handle)
         self._drain_unblock()
@@ -276,10 +361,16 @@ class FrameLoader:
 
     @property
     def fps(self):
+        if self._segmented is not None:
+            raise AttributeError("segment_parallel loaders free-run; the "
+                                 "source fps is not tracked")
         return self.reader.fps
 
     @property
     def frame_size(self):
+        if self._segmented is not None:
+            return (self._seg_lib.ts_segmented_width(self._segmented),
+                    self._seg_lib.ts_segmented_height(self._segmented))
         return self.reader.frame_size
 
 

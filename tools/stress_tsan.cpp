@@ -15,6 +15,7 @@
 #include <vector>
 
 #include "../csrc/pipeline.h"
+#include "../csrc/segment_reader.h"
 #include "../csrc/stream_pool.h"
 #include "../csrc/ts_common.h"
 #include "../csrc/vpp_convert.h"
@@ -239,6 +240,48 @@ void run_renegotiate_round(const std::string& video, int round) {
               round, reads.load(), renegs.load());
 }
 
+// Segment-parallel reader under stress: 3 decode workers racing the
+// ordered deposit window with a tiny window (maximum back-pressure
+// contention), loop mode, and a mid-drain Stop each round. Odd rounds
+// add per-slot resize; the switch fixture (when given) races the
+// error_frame_ watermark path against parked depositors.
+void run_segmented_round(const std::string& video, int round,
+                         bool expect_reneg) {
+  ts::SegmentedParams params;
+  params.input = video;
+  params.workers = 3;
+  params.window = 6;
+  params.loop = !expect_reneg;
+  params.chunk_frames = 16;
+  if (round % 2) {
+    params.dst_width = 128;
+    params.dst_height = 96;
+  }
+  ts::SegmentedReader r;
+  if (r.Init(params, std::make_shared<ts::Logger>()) != ts::TS_OK) {
+    std::fprintf(stderr, "segmented init failed\n");
+    std::exit(1);
+  }
+  r.Start();
+  std::atomic<int> reads{0};
+  std::thread consumer([&] {
+    const int w = r.outWidth(), h = r.outHeight(), B = 5;
+    std::vector<uint8_t> y(static_cast<size_t>(B) * w * h);
+    std::vector<uint8_t> uv(static_cast<size_t>(B) * w * (h / 2));
+    int first = 0;
+    while (true) {
+      int got = r.GetBatch(B, y.data(), uv.data(), &first);
+      if (got <= 0) break;
+      reads.fetch_add(got);
+    }
+  });
+  std::this_thread::sleep_for(std::chrono::milliseconds(900));
+  r.Stop();  // slam the door against parked depositors + the consumer
+  consumer.join();
+  std::printf("segmented round %d (%s): %d reads, clean shutdown\n", round,
+              (round % 2) ? "resized" : "native", reads.load());
+}
+
 int main(int argc, char** argv) {
   if (argc < 2) {
     std::fprintf(stderr, "usage: %s <video> [rounds] [switch_fixture]\n",
@@ -250,6 +293,9 @@ int main(int argc, char** argv) {
   for (int i = 0; i < 2; i++) run_pool_round(argv[1], i);
   if (argc > 3)
     for (int i = 0; i < 2; i++) run_renegotiate_round(argv[3], i);
+  for (int i = 0; i < 2; i++) run_segmented_round(argv[1], i, false);
+  if (argc > 3)
+    for (int i = 0; i < 2; i++) run_segmented_round(argv[3], i, true);
   std::printf("OK\n");
   return 0;
 }
