@@ -68,3 +68,61 @@ def test_cpp_sample_float_fourcc(sample_binary, tmp_path):
     hsv = np.fromfile(str(tmp_path / "hsv.yuv"), np.float32)
     assert hsv.size == 160 * 96 * 3
     assert 0.0 <= hsv.min() and hsv.max() <= 1.0
+
+
+@pytest.mark.slow
+def test_cmake_package_export(tmp_path):
+    """Out-of-tree consumers: install the tsingest package to a prefix,
+    then build a standalone C++ program against it with nothing but
+    find_package(tsingest) (reference installed a hand-written
+    find-module, cmake/TensorStreamConfig.cmake:1)."""
+    if shutil.which("cmake") is None:
+        pytest.skip("cmake not available")
+    build = tmp_path / "build"
+    prefix = tmp_path / "prefix"
+    env = dict(os.environ, MAKEFLAGS="")
+    run = lambda cmd, **kw: subprocess.run(
+        cmd, capture_output=True, text=True, timeout=600, env=env, **kw)
+    p = run(["cmake", "-S", REPO, "-B", str(build),
+             f"-DCMAKE_INSTALL_PREFIX={prefix}"])
+    assert p.returncode == 0, p.stderr[-2000:]
+    p = run(["cmake", "--build", str(build), "--target", "tsingest", "-j2"])
+    assert p.returncode == 0, p.stderr[-2000:]
+    p = run(["cmake", "--install", str(build)])
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert (prefix / "lib" / "cmake" / "tsingest" /
+            "tsingestConfig.cmake").exists()
+
+    consumer = tmp_path / "consumer"
+    consumer.mkdir()
+    (consumer / "main.cpp").write_text(
+        '#include "tensor_stream.h"\n'
+        '#include <cstdio>\n'
+        'int main(int argc, char** argv) {\n'
+        '  ts::TensorStream reader;\n'
+        '  if (reader.initPipeline(argv[1], 5, 10, ts::FR_FAST) != 0)\n'
+        '    return 2;\n'
+        '  int w = 0, h = 0, fn = 0, fd = 0;\n'
+        '  reader.getInitializedParams(&w, &h, &fn, &fd);\n'
+        '  std::printf("%dx%d\\n", w, h);\n'
+        '  reader.endProcessing();\n'
+        '  return 0;\n'
+        '}\n')
+    (consumer / "CMakeLists.txt").write_text(
+        "cmake_minimum_required(VERSION 3.16)\n"
+        "project(consumer CXX)\n"
+        "set(CMAKE_CXX_STANDARD 20)\n"
+        "find_package(tsingest REQUIRED)\n"
+        "add_executable(consumer main.cpp)\n"
+        "target_link_libraries(consumer tsingest::tsingest\n"
+        "  avformat avcodec avutil swscale)\n")
+    cbuild = tmp_path / "consumer_build"
+    p = run(["cmake", "-S", str(consumer), "-B", str(cbuild),
+             f"-DCMAKE_PREFIX_PATH={prefix}"])
+    assert p.returncode == 0, p.stderr[-2000:]
+    p = run(["cmake", "--build", str(cbuild)])
+    assert p.returncode == 0, p.stderr[-2000:]
+    bbb = os.path.join(RESOURCES, "bbb_1080x608_420_10.h264")
+    p = run([str(cbuild / "consumer"), bbb])
+    assert p.returncode == 0, p.stderr[-500:]
+    assert "1080x608" in p.stdout
