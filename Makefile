@@ -21,6 +21,11 @@ test-fast: native
 bench: native
 	python bench.py
 
+# Oracle subset on the real TPU chip -> TPU_PARITY_r{N}.json artifact
+# (committed per-round evidence of hardware bit-exactness).
+tpu-parity: native
+	python tools/tpu_parity.py $(ROUND)
+
 wheel: native
 	python setup.py sdist bdist_wheel
 

@@ -1,0 +1,158 @@
+"""Backend-independent exact f32 arithmetic for the resize blends.
+
+The reference's resize CRCs encode nvcc's FMA-contracted f32 rounding
+order (docs/PARITY.md "Float-contraction freedom"). XLA offers no
+explicit FMA op — float contraction is backend discretion — and the TPU
+backend rewrites f64/s64 (no native wide floats, s64 becomes exact s32
+pairs), so no float formulation can pin the reference bytes on every
+backend. These helpers instead emulate each f32 operation of the
+reference chains in PURE INTEGER (i64) softfloat arithmetic:
+
+* a value is an (m, e) pair — value = m * 2^e with m a 24-bit
+  normalized significand (or 0), exactly the f32 the reference holds;
+* products keep full width (u8*f32 = 32 bits, f32*f32 = 48 bits — both
+  exact in i64); fused multiply-add sums the unrounded product with the
+  addend under one round-to-nearest-even (sticky-bit alignment), which
+  IS the fmaf semantics; division rounds the 26-bit-widened integer
+  quotient with the remainder as sticky.
+
+Integer ops are bit-identical on every XLA backend, so the resize bytes
+are too — the CPU suite's CRC oracles transfer to TPU by construction.
+Everything must run under `jax.enable_x64(True)` (the resize entry
+points scope it); all values are nonnegative.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MBITS = 24  # f32 significand width
+
+
+def const_me(w):
+    """Decomposes host f32 constants into exact (m, e) int arrays:
+    w = m * 2^e, m in [2^23, 2^24) (m = e = 0 for zeros)."""
+    w = np.asarray(w, np.float32).astype(np.float64)
+    mant, exp = np.frexp(w)  # w = mant * 2^exp, mant in [0.5, 1)
+    m = np.round(mant * (1 << _MBITS)).astype(np.int64)  # [2^23, 2^24]
+    e = (exp - _MBITS).astype(np.int64)
+    hi = m == (1 << _MBITS)  # mant rounded up to 1.0: renormalize
+    m = np.where(hi, m >> 1, m)
+    e = np.where(hi, e + 1, e)
+    zero = w == 0
+    return np.where(zero, 0, m), np.where(zero, 0, e)
+
+
+def _bitlen(v):
+    """Bit length of a positive i64 (0 for 0)."""
+    return 64 - jax.lax.clz(v)
+
+
+def _rn24(s, e, sticky):
+    """Rounds positive i64 significand `s` (value s*2^e, plus a sticky
+    flag for bits already shifted out below) to a 24-bit normalized
+    (m, e) under round-to-nearest-even."""
+    n = _bitlen(s)
+    sh = jnp.maximum(n - _MBITS, 0)
+    keep = s >> sh
+    rem = s - (keep << sh)
+    half = jnp.where(sh > 0, jnp.int64(1) << jnp.maximum(sh - 1, 0),
+                     jnp.int64(0))
+    # >half (or ==half with sticky bits below) rounds up; the exact tie
+    # goes to even. sh == 0 means the value is exact at target width
+    # (alignment guarantees sticky implies sh >= 13; see _sum_round).
+    up = (sh > 0) & ((rem > half) |
+                     ((rem == half) & (sticky | ((keep & 1) == 1))))
+    m = keep + up.astype(jnp.int64)
+    e = e + sh
+    carry = m == (1 << _MBITS)
+    m = jnp.where(carry, m >> 1, m)
+    e = jnp.where(carry, e + 1, e)
+    return m, e
+
+
+def _rn24_noround(p, e):
+    """Normalizes an exact product (<= 48 bits) with RN-even."""
+    return _rn24(p, e, jnp.zeros_like(p, jnp.bool_))
+
+
+def _sum_round(p, ep, ma, ea):
+    """RN-even f32 of the exact value p*2^ep + ma*2^ea (p <= 48 bits
+    unrounded product, ma a 24-bit significand) — i.e. fmaf's single
+    rounding. Alignment shifts the higher-exponent operand left (exact,
+    capped) and the other right with a sticky OR of the lost bits."""
+    d = ep - ea
+    # Operand order by exponent; the value-magnitude order is irrelevant
+    # to correctness, only overflow headroom matters: v_hi <= 48 bits,
+    # left shift cap 14 keeps v_hi<<14 + v_lo < 2^63.
+    v_hi = jnp.where(d >= 0, p, ma)
+    v_lo = jnp.where(d >= 0, ma, p)
+    e_lo = jnp.minimum(ep, ea)
+    ad = jnp.abs(d)
+    lsh = jnp.minimum(ad, 14)
+    rsh = jnp.minimum(ad - lsh, 63)  # beyond 63 the value is pure sticky
+    lost = v_lo & ((jnp.int64(1) << rsh) - 1)  # rsh=63 masks all 48 bits
+    sticky = lost != 0
+    s = (v_hi << lsh) + (v_lo >> rsh)
+    e = e_lo + rsh
+    m_out, e_out = _rn24(s, e, sticky)
+    # Either side zero: the other passes through (already <= 48 bits,
+    # normalized by _rn24; sticky stays relevant only for s).
+    zero_p = p == 0
+    zero_a = ma == 0
+    mp, epn = _rn24_noround(p, ep)
+    m_out = jnp.where(zero_p, ma, jnp.where(zero_a, mp, m_out))
+    e_out = jnp.where(zero_p, ea, jnp.where(zero_a, epn, e_out))
+    both = zero_p & zero_a
+    return jnp.where(both, 0, m_out), jnp.where(both, 0, e_out)
+
+
+def mul_u8(x, mw, ew):
+    """(m, e) of RN_f32(x * w) for u8 `x` and constant w = mw*2^ew.
+    The 32-bit product is exact; one rounding."""
+    x64 = x.astype(jnp.int64)
+    p = x64 * jnp.asarray(mw)
+    m, e = _rn24_noround(p, jnp.asarray(ew) + jnp.zeros_like(p))
+    zero = p == 0
+    return jnp.where(zero, 0, m), jnp.where(zero, 0, e)
+
+
+def mul_f32(m1, e1, m2, e2):
+    """(m, e) of RN_f32 of a product of two f32 (m, e) pairs."""
+    p = m1 * m2  # <= 48 bits, exact
+    m, e = _rn24_noround(p, e1 + e2)
+    zero = p == 0
+    return jnp.where(zero, 0, m), jnp.where(zero, 0, e)
+
+
+def fma_u8(x, mw, ew, ma, ea):
+    """fmaf(x, w, acc) for u8 `x`, constant w, f32 acc (ma, ea):
+    exact 32-bit product + single RN-even rounding of the sum."""
+    x64 = x.astype(jnp.int64)
+    p = x64 * jnp.asarray(mw)
+    return _sum_round(p, jnp.asarray(ew) + jnp.zeros_like(p), ma, ea)
+
+
+def fma_f32(mx, ex, mw, ew, ma, ea):
+    """fmaf(x, w, acc) with f32 x (mx, ex): exact 48-bit product +
+    single rounding of the sum."""
+    p = mx * jnp.asarray(mw)
+    return _sum_round(p, ex + jnp.asarray(ew), ma, ea)
+
+
+def div_f32(ma, ea, mb, eb):
+    """(m, e) of RN_f32(a / b) for f32 a and positive-constant b: the
+    26-bit-widened integer quotient plus remainder-sticky rounding."""
+    num = ma << 26
+    mb = jnp.asarray(mb) + jnp.zeros_like(num)
+    q = num // jnp.maximum(mb, 1)
+    sticky = (num - q * mb) != 0
+    m, e = _rn24(q, ea - jnp.asarray(eb) - 26, sticky)
+    zero = ma == 0
+    return jnp.where(zero, 0, m), jnp.where(zero, 0, e)
+
+
+def trunc_u8(m, e):
+    """(uint8)(int)(value) of a nonnegative f32 (m, e), value < 2^31."""
+    left = jnp.clip(e, 0, 8)
+    right = jnp.clip(-e, 0, 63)
+    return ((m << left) >> right).astype(jnp.uint8)

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..enums import ResizeType
+from .exactf32 import (const_me, div_f32, fma_f32, fma_u8, mul_f32,
+                       mul_u8, trunc_u8)
 
 _EPS32 = np.float32(np.finfo(np.float32).eps)
 
@@ -95,26 +97,39 @@ def _bilinear_axis(dst_n: int, ratio: np.float32, src_n: int):
 
 
 def _bilinear_plane(img, row_a, row_c, col_a, col_b, wx, wy):
-    """4-tap blend in the reference's exact f32 expression order
-    (src/Resize.cu:5-25): value = (int)(A(1-wx)(1-wy) + B wx (1-wy)
-                                        + C wy (1-wx) + D (wx*wy))."""
-    a = _take2(img, row_a, col_a).astype(jnp.float32)
-    b = _take2(img, row_a, col_b).astype(jnp.float32)
-    c = _take2(img, row_c, col_a).astype(jnp.float32)
-    d = _take2(img, row_c, col_b).astype(jnp.float32)
-    wx = jnp.asarray(wx)[None, :]
-    wy = jnp.asarray(wy)[:, None]
-    # NOTE on last-ulp freedom: the reference bytes encode nvcc's FMA
-    # contraction of this expression (docs/PARITY.md "Float-contraction
-    # freedom"). XLA:CPU happens to contract the same way, reproducing
-    # the committed bilinear CRCs bit-exact; other backends may sit one
-    # u8 step off on truncation-boundary pixels. The native host resize
-    # (csrc/vpp_host.cpp) spells the contraction out with explicit fmaf
-    # and is the reference-exact path on every backend
-    # (tests/test_resize_crc.py).
-    value = (a * (1 - wx) * (1 - wy) + b * wx * (1 - wy)
-             + c * wy * (1 - wx) + d * (wx * wy))
-    return _trunc_u8(value)
+    """4-tap blend in nvcc's FMA-contracted rounding order
+    (src/Resize.cu:5-25; exact order reconstructed in
+    csrc/vpp_host.cpp Blend4):
+        s = fmaf(a*omx, omy, (b*wx)*omy)
+        s = fmaf(c*wy, omx, s); s = fmaf(d, wx*wy, s)
+    XLA exposes no FMA op and the TPU backend has no f64, so every f32
+    rounding is emulated EXACTLY in integer softfloat (ops/exactf32.py)
+    — bit-identical on every backend, reproducing the committed CRCs."""
+    a = _take2(img, row_a, col_a)
+    b = _take2(img, row_a, col_b)
+    c = _take2(img, row_c, col_a)
+    d = _take2(img, row_c, col_b)
+    wx = np.asarray(wx, np.float32)[None, :]
+    wy = np.asarray(wy, np.float32)[:, None]
+    omx = np.float32(1) - wx
+    omy = np.float32(1) - wy
+    mwx, ewx = const_me(wx)
+    mwy, ewy = const_me(wy)
+    momx, eomx = const_me(omx)
+    momy, eomy = const_me(omy)
+    with jax.enable_x64(True):
+        jwx, jewx = jnp.asarray(mwx), jnp.asarray(ewx)
+        jwy, jewy = jnp.asarray(mwy), jnp.asarray(ewy)
+        m2, e2 = mul_f32(jwx, jewx, jwy, jewy)          # f32(wx*wy)
+        tb = mul_u8(b, mwx, ewx)                        # b*wx
+        t1 = mul_f32(*tb, jnp.asarray(momy), jnp.asarray(eomy))
+        ta = mul_u8(a, momx, eomx)                      # a*omx
+        s = fma_f32(*ta, momy, eomy, *t1)
+        tc = mul_u8(c, mwy, ewy)                        # c*wy
+        s = fma_f32(*tc, momx, eomx, *s)
+        s = fma_u8(d, m2, e2, *s)
+        out = trunc_u8(*s)
+    return out
 
 
 def _bilinear_tables(xs, ws_x, ys, ws_y, src_w, src_h):
@@ -203,30 +218,49 @@ def _bicubic_taps(base: np.ndarray, diff: int, n: int):
     return np.stack([base - d_top, base, base + d, base + 2 * d])  # (4, dst_n)
 
 
-def _bicubic_plane(img, row_taps, col_taps, cx, cy, compute_dtype):
+_BICUBIC_SCALE = 50  # fixed-point fractional bits
+
+
+def _bicubic_plane(img, row_taps, col_taps, cx, cy):
     """Two-pass spline: horizontal blend at each of 4 row taps (rounded
     and clamped to [0,255] per intermediate row, src/Resize.cu:47-80),
-    then vertical blend (src/Resize.cu:82-88)."""
-    cx = jnp.asarray(cx.astype(compute_dtype))  # (4, W)
-    cy = jnp.asarray(cy.astype(compute_dtype))  # (4, H)
-    rows_out = []
-    for r in range(4):
+    then vertical blend (src/Resize.cu:82-88).
+
+    The reference blends in f64 — contraction-insensitive at that
+    precision (docs/PARITY.md) — but the TPU backend has no native f64,
+    so the blend runs in 2^-50 fixed-point i64: coefficient quantization
+    error <= 4*255*2^-51 ~ 2^-41 absolute, orders below the f64 result's
+    distance to the floor(x+0.5) boundaries (dyadic weights quantize
+    EXACTLY, which covers the boundary-dense flat/half-tone cases).
+    Integer ops make the bytes identical on every backend; equality with
+    the f64 host path is pinned by the CRC suite + random-frame fuzz
+    (tests/test_resize_crc.py::test_bicubic_fixed_point_matches_host).
+    Arithmetic >> is floor division, so floor(acc + 0.5) =
+    (acc_q + 2^(S-1)) >> S holds for negative overshoot too."""
+    S = _BICUBIC_SCALE
+    cxq = np.round(cx * float(1 << S)).astype(np.int64)  # (4, W)
+    cyq = np.round(cy * float(1 << S)).astype(np.int64)  # (4, H)
+    with jax.enable_x64(True):
+        half = jnp.int64(1) << (S - 1)
+        rows_out = []
+        for r in range(4):
+            acc = None
+            for k in range(4):
+                p = _take2(img, row_taps[r], col_taps[k]).astype(jnp.int64)
+                term = jnp.asarray(cxq[k])[None, :] * p
+                acc = term if acc is None else acc + term
+            b = jnp.clip((acc + half) >> S, 0, 255)
+            rows_out.append(b)
         acc = None
-        for k in range(4):
-            p = _take2(img, row_taps[r], col_taps[k]).astype(compute_dtype)
-            term = cx[k][None, :] * p
+        for r in range(4):
+            term = jnp.asarray(cyq[r])[:, None] * rows_out[r]
             acc = term if acc is None else acc + term
-        b = jnp.clip(jnp.floor(acc + 0.5), 0, 255)
-        rows_out.append(b)
-    acc = None
-    for r in range(4):
-        term = cy[r][:, None] * rows_out[r]
-        acc = term if acc is None else acc + term
-    value = jnp.clip(jnp.floor(acc + 0.5), 0, 255)
-    return value.astype(jnp.uint8)
+        value = jnp.clip((acc + half) >> S, 0, 255)
+        out = value.astype(jnp.uint8)
+    return out
 
 
-def resize_bicubic(y, uv, src_w, src_h, dst_w, dst_h, compute_dtype=jnp.float32):
+def resize_bicubic(y, uv, src_w, src_h, dst_w, dst_h):
     x_ratio = np.float32(src_w) / np.float32(dst_w)
     y_ratio = np.float32(src_h) / np.float32(dst_h)
     xs, wx = _bicubic_axis(dst_w, x_ratio, src_w)
@@ -234,7 +268,7 @@ def resize_bicubic(y, uv, src_w, src_h, dst_w, dst_h, compute_dtype=jnp.float32)
     cx, cy = _bicubic_coefs(wx), _bicubic_coefs(wy)
     col_taps = _bicubic_taps(xs, 1, src_w)
     row_taps = _bicubic_taps(ys, 1, src_h)
-    y_out = _bicubic_plane(y, row_taps, col_taps, cx, cy, compute_dtype)
+    y_out = _bicubic_plane(y, row_taps, col_taps, cx, cy)
 
     h2 = src_h // 2
     xs_uv, ys_uv = xs[: dst_w // 2], ys[: dst_h // 2]
@@ -243,8 +277,8 @@ def resize_bicubic(y, uv, src_w, src_h, dst_w, dst_h, compute_dtype=jnp.float32)
     row_taps_uv = _bicubic_taps(ys_uv, 1, h2)
     u_taps = _bicubic_taps(2 * xs_uv, 2, src_w)
     v_taps = _bicubic_taps(2 * xs_uv + 1, 2, src_w)
-    u_out = _bicubic_plane(uv, row_taps_uv, u_taps, cx_uv, cy_uv, compute_dtype)
-    v_out = _bicubic_plane(uv, row_taps_uv, v_taps, cx_uv, cy_uv, compute_dtype)
+    u_out = _bicubic_plane(uv, row_taps_uv, u_taps, cx_uv, cy_uv)
+    v_out = _bicubic_plane(uv, row_taps_uv, v_taps, cx_uv, cy_uv)
     uv_out = jnp.stack([u_out, v_out], axis=-1).reshape(dst_h // 2, dst_w)
     return y_out, uv_out
 
@@ -289,23 +323,37 @@ def generate_resize_pattern(scale: np.float32):
 
 
 def _area_down_plane(img, y_base, x_base, wy, wx, stride, col_off):
-    """Weighted box sum in the reference's tap order (y outer, x inner;
-    src/Resize.cu:160-178). `wy`/`wx` are per-output-row/col weight rows;
-    `stride` is 1 for Y, 2 for interleaved UV; `col_off` 0/1 picks U/V."""
+    """Weighted box sum in the reference's exact f32 rounding order
+    (src/Resize.cu:160-178, reconstructed in csrc/vpp_host.cpp:330-355):
+    per tap `w2d = f32(wy*wx)`, `div += w2d` (plain f32 add),
+    `acc = fmaf(p, w2d, acc)`; then `(int)(acc / div)` with a single f32
+    division. The divide chain is input-independent, so it is
+    precomputed host-side in NumPy f32 (same op order); the fmaf chain
+    and the division are emulated exactly on device (ops/exactf32.py),
+    making the AREA CRCs bit-exact on every backend."""
     n_ty, n_tx = wy.shape[1], wx.shape[1]
     h_img, w_img = img.shape
-    acc = None
-    div = None
-    for ti in range(n_ty):
-        rows = np.minimum(y_base + ti, h_img - 1)
-        for tj in range(n_tx):
-            cols = np.minimum(x_base * stride + col_off + tj * stride, w_img - 1)
-            w2d = wy[:, ti][:, None] * wx[:, tj][None, :]
-            p = _take2(img, rows, cols).astype(jnp.float32)
-            term = p * jnp.asarray(w2d)
-            acc = term if acc is None else acc + term
-            div = jnp.asarray(w2d) if div is None else div + jnp.asarray(w2d)
-    return (acc / div).astype(jnp.int32).astype(jnp.uint8)
+    wy32 = np.asarray(wy, np.float32)
+    wx32 = np.asarray(wx, np.float32)
+    div_host = np.zeros((wy32.shape[0], wx32.shape[0]), np.float32)
+    with jax.enable_x64(True):
+        shape = (wy32.shape[0], wx32.shape[0])
+        am = jnp.zeros(shape, jnp.int64)
+        ae = jnp.zeros(shape, jnp.int64)
+        for ti in range(n_ty):
+            rows = np.minimum(y_base + ti, h_img - 1)
+            for tj in range(n_tx):
+                cols = np.minimum(x_base * stride + col_off + tj * stride,
+                                  w_img - 1)
+                w2d = wy32[:, ti][:, None] * wx32[:, tj][None, :]  # f32 mul
+                div_host = div_host + w2d                          # f32 add
+                mw, ew = const_me(w2d)
+                p = _take2(img, rows, cols)
+                am, ae = fma_u8(p, mw, ew, am, ae)
+        mdiv, ediv = const_me(div_host)
+        qm, qe = div_f32(am, ae, mdiv, ediv)
+        out8 = trunc_u8(qm, qe)
+    return out8
 
 
 def _area_axis_down(dst_n: int, ratio: np.float32):
