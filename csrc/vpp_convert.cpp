@@ -157,7 +157,12 @@ std::vector<uint8_t> ChromaVertical(const uint8_t* uv, int w, int h2) {
     const uint8_t* p2 = uv + static_cast<size_t>(std::min(r + 1, h2 - 1)) * w;
     const uint8_t* p3 = uv + static_cast<size_t>(std::max(r - 1, 0)) * w;
     const uint8_t* p4 = uv + static_cast<size_t>(std::min(r + 2, h2 - 1)) * w;
-    for (int c = 0; c < w; c++) {
+    int c0 = 0;
+    if (simd::Available()) {
+      c0 = w & ~15;  // epi16 filter + packus clamp, bit-equal to scalar
+      simd::ChromaVerticalRow(p1, p2, p3, p4, dst, c0);
+    }
+    for (int c = c0; c < w; c++) {
       int v = (9 * (static_cast<int>(p1[c]) + p2[c]) -
                (static_cast<int>(p3[c]) + p4[c]) + 8) >> 4;
       dst[c] = static_cast<uint8_t>(Clamp255(v));
@@ -189,12 +194,18 @@ std::vector<uint8_t> UyvyBytes(const uint8_t* y, const uint8_t* uv, int w,
 template <typename T>
 void UyvyPlane(const uint8_t* y, const uint8_t* uv, int w, int h, T* out) {
   std::vector<uint8_t> bytes = UyvyBytes(y, uv, w, h);
-  for (size_t i = 0; i < bytes.size(); i++) {
-    if (std::is_same<T, float>::value)
-      out[i] = static_cast<T>(Norm255(bytes[i]));
-    else
-      out[i] = static_cast<T>(bytes[i]);
+  if (!std::is_same<T, float>::value) {
+    std::memcpy(out, bytes.data(), bytes.size());
+    return;
   }
+  float* f = reinterpret_cast<float*>(out);
+  size_t i0 = 0;
+  if (simd::Available()) {
+    i0 = bytes.size() & ~size_t{7};
+    simd::BytesToNorm255(bytes.data(), f, static_cast<int>(i0));
+  }
+  for (size_t i = i0; i < bytes.size(); i++)
+    f[i] = Norm255(bytes[i]);
 }
 
 // UYVY -> planar YUV444 with the reference's horizontal chroma filter
@@ -208,9 +219,102 @@ void UyvyPlane(const uint8_t* y, const uint8_t* uv, int w, int h, T* out) {
 //  * uchar mode: C truncating division by 16, then mod-256 wrap on the
 //    uint8 store (before the no-op clamp — quirk preserved);
 //  * float mode: clamp num to [0, 4080], exact /16, then /255.
+// Restructured SIMD twin of Yuv444Plane: the flat-UYVY taps
+// deinterleave into per-component streams S (S[j] = bytes[2j+shift]),
+// where the odd-pixel filter becomes 9*(S[j]+S[j+1]) - (S[j-1]+S[j+2])
+// + 8 over a contiguous stream and the Y plane is the y input verbatim
+// (bytes[2idx+1] == y[idx]). Head pixel (p3 -> p1 clamp) and the last
+// two odd pixels (p2 zero-tail tap / p4 -> p2 collapse) stay scalar;
+// tests pin byte equality with the scalar path across the matrix.
+template <typename T>
+void Yuv444PlaneFast(const uint8_t* y, const uint8_t* uv, int w, int h,
+                     bool normalization, T* out) {
+  std::vector<uint8_t> uv422 = ChromaVertical(uv, w, h / 2);
+  const long long n = static_cast<long long>(w) * h;
+  const long long ns = n / 2;
+  const int half = w / 2;
+  std::vector<uint8_t> su(ns), sv(ns);
+  for (int i = 0; i < h; i++) {
+    const uint8_t* src = uv422.data() + static_cast<size_t>(i / 2) * w;
+    uint8_t* urow = su.data() + static_cast<size_t>(i) * half;
+    uint8_t* vrow = sv.data() + static_cast<size_t>(i) * half;
+    int vec = half & ~15;
+    simd::DeinterleavePairs(src, urow, vrow, vec);
+    for (int j = vec; j < half; j++) {
+      urow[j] = src[2 * j];
+      vrow[j] = src[2 * j + 1];
+    }
+  }
+  // Y plane: identity copy (or the Norm255 division).
+  if (std::is_same<T, float>::value) {
+    float* f = reinterpret_cast<float*>(out);
+    if (normalization) {
+      long long vec = n & ~7LL;
+      simd::BytesToNorm255(y, f, static_cast<int>(vec));
+      for (long long i = vec; i < n; i++) f[i] = Norm255(y[i]);
+    } else {
+      for (long long i = 0; i < n; i++) f[i] = static_cast<float>(y[i]);
+    }
+  } else {
+    std::memcpy(out, y, static_cast<size_t>(n));
+  }
+  for (int comp = 0; comp < 2; comp++) {
+    const uint8_t* S = comp == 0 ? su.data() : sv.data();
+    T* plane = out + n * (1 + comp);
+    // Interior vector region: j in [1, 1+cnt) needs S[j-1..j+2] valid
+    // and must stop before the two tail-quirk pixels.
+    long long cnt = ns >= 4 ? ns - 3 : 0;
+    if (std::is_same<T, float>::value) {
+      cnt &= ~7LL;
+      simd::Yuv444StreamF32(S, reinterpret_cast<float*>(plane), 1,
+                            static_cast<int>(1 + cnt),
+                            normalization ? 1 : 0);
+    } else {
+      cnt &= ~15LL;
+      simd::Yuv444StreamU8(S, reinterpret_cast<uint8_t*>(plane), 1,
+                           static_cast<int>(1 + cnt));
+    }
+    // Scalar edges (j = 0, and the vector remainder through the tail),
+    // with the original boundary rules expressed in stream indices.
+    auto edge = [&](long long j) {
+      int direct = S[j];
+      int t1 = S[j];                                  // p1 (never clamps)
+      int t2 = j + 1 <= ns - 1 ? S[j + 1] : 0;        // zero tail tap
+      int t3 = j == 0 ? t1 : S[j - 1];                // p3 -> p1 at head
+      int t4 = j + 2 <= ns - 1 ? S[j + 2] : t2;       // p4 -> p2 at tail
+      int num = 9 * (t1 + t2) - (t3 + t4) + 8;
+      if (std::is_same<T, float>::value) {
+        float* fp = reinterpret_cast<float*>(plane);
+        float dval, fval;
+        if (normalization) {
+          dval = Norm255(direct);
+          int c = std::min(std::max(num, 0), 4080);
+          fval = std::min(static_cast<float>(c) / 16.0f, 255.0f) / 255.0f;
+        } else {
+          dval = static_cast<float>(direct);
+          float v = static_cast<float>(num) / 16.0f;
+          fval = std::min(std::max(v, 0.0f), 255.0f);
+        }
+        fp[2 * j] = dval;
+        fp[2 * j + 1] = fval;
+      } else {
+        uint8_t* up = reinterpret_cast<uint8_t*>(plane);
+        up[2 * j] = static_cast<uint8_t>(direct);
+        up[2 * j + 1] = static_cast<uint8_t>(num / 16);  // trunc + wrap
+      }
+    };
+    edge(0);
+    for (long long j = 1 + cnt; j < ns; j++) edge(j);
+  }
+}
+
 template <typename T>
 void Yuv444Plane(const uint8_t* y, const uint8_t* uv, int w, int h,
                  bool normalization, T* out) {
+  if (simd::Available() && w >= 2) {
+    Yuv444PlaneFast(y, uv, w, h, normalization, out);
+    return;
+  }
   std::vector<uint8_t> bytes = UyvyBytes(y, uv, w, h);
   const long long n = static_cast<long long>(w) * h;
   const long long last = 2 * n - 1;

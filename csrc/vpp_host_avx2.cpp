@@ -439,6 +439,144 @@ void Nv12HsvRows(const uint8_t* y, const uint8_t* uv, int w, int h,
   }
 }
 
+
+// --------------------------------------------------- conversion kernels
+
+// packus_epi16 of a 256-bit epi16 vector to 16 ordered bytes (the pack
+// interleaves 128-bit lanes; the permute restores order).
+static inline __m128i Pack16U8(__m256i v) {
+  __m256i p = _mm256_packus_epi16(v, v);
+  p = _mm256_permute4x64_epi64(p, 0xD8);
+  return _mm256_castsi256_si128(p);
+}
+
+static inline __m256i Widen16(const uint8_t* p) {
+  return _mm256_cvtepu8_epi16(_mm_loadu_si128(
+      reinterpret_cast<const __m128i*>(p)));
+}
+
+void ChromaVerticalRow(const uint8_t* p1, const uint8_t* p2,
+                       const uint8_t* p3, const uint8_t* p4, uint8_t* dst,
+                       int w_vec) {
+  const __m256i nine = _mm256_set1_epi16(9);
+  const __m256i eight = _mm256_set1_epi16(8);
+  for (int c = 0; c + 16 <= w_vec; c += 16) {
+    __m256i a = Widen16(p1 + c), b = Widen16(p2 + c);
+    __m256i cc = Widen16(p3 + c), d = Widen16(p4 + c);
+    __m256i num = _mm256_add_epi16(
+        _mm256_sub_epi16(_mm256_mullo_epi16(nine, _mm256_add_epi16(a, b)),
+                         _mm256_add_epi16(cc, d)),
+        eight);
+    __m256i v = _mm256_srai_epi16(num, 4);  // arithmetic >> like scalar
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(dst + c), Pack16U8(v));
+  }
+}
+
+void DeinterleavePairs(const uint8_t* src, uint8_t* u, uint8_t* v,
+                       int npairs_vec) {
+  const __m256i mask = _mm256_setr_epi8(
+      0, 2, 4, 6, 8, 10, 12, 14, 1, 3, 5, 7, 9, 11, 13, 15,
+      0, 2, 4, 6, 8, 10, 12, 14, 1, 3, 5, 7, 9, 11, 13, 15);
+  const __m256i perm = _mm256_setr_epi32(0, 1, 4, 5, 2, 3, 6, 7);
+  for (int j = 0; j + 16 <= npairs_vec; j += 16) {
+    __m256i x = _mm256_loadu_si256(
+        reinterpret_cast<const __m256i*>(src + 2 * j));
+    __m256i sh = _mm256_shuffle_epi8(x, mask);   // per lane: evens|odds
+    __m256i g = _mm256_permutevar8x32_epi32(sh, perm);
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(u + j),
+                     _mm256_castsi256_si128(g));
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(v + j),
+                     _mm256_extracti128_si256(g, 1));
+  }
+}
+
+// 9*(S[j]+S[j+1]) - (S[j-1]+S[j+2]) + 8 as epi16 (range [-502, 4598]).
+static inline __m256i Yuv444Num(const uint8_t* S, int j) {
+  const __m256i nine = _mm256_set1_epi16(9);
+  const __m256i eight = _mm256_set1_epi16(8);
+  __m256i a = Widen16(S + j), b = Widen16(S + j + 1);
+  __m256i c = Widen16(S + j - 1), d = Widen16(S + j + 2);
+  return _mm256_add_epi16(
+      _mm256_sub_epi16(_mm256_mullo_epi16(nine, _mm256_add_epi16(a, b)),
+                       _mm256_add_epi16(c, d)),
+      eight);
+}
+
+void Yuv444StreamU8(const uint8_t* S, uint8_t* out, int j0, int j1) {
+  const __m256i fifteen = _mm256_set1_epi16(15);
+  const __m256i bytemask = _mm256_set1_epi16(0xFF);
+  for (int j = j0; j + 16 <= j1; j += 16) {
+    __m256i num = Yuv444Num(S, j);
+    // C trunc-toward-zero /16: add (num>>15)&15 before the arithmetic
+    // shift, then the uint8 store wraps mod 256 (scalar quirk).
+    __m256i adj = _mm256_and_si256(_mm256_srai_epi16(num, 15), fifteen);
+    __m256i q = _mm256_srai_epi16(_mm256_add_epi16(num, adj), 4);
+    __m128i filt = Pack16U8(_mm256_and_si256(q, bytemask));
+    __m128i direct = _mm_loadu_si128(reinterpret_cast<const __m128i*>(S + j));
+    __m128i lo = _mm_unpacklo_epi8(direct, filt);
+    __m128i hi = _mm_unpackhi_epi8(direct, filt);
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(out + 2 * j), lo);
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(out + 2 * j + 16), hi);
+  }
+}
+
+// Interleaves two 8-float vectors D, F as (D0,F0,D1,F1,...) into out.
+static inline void StoreInterleavedPs(float* out, __m256 D, __m256 F) {
+  __m256 lo = _mm256_unpacklo_ps(D, F);
+  __m256 hi = _mm256_unpackhi_ps(D, F);
+  _mm256_storeu_ps(out, _mm256_permute2f128_ps(lo, hi, 0x20));
+  _mm256_storeu_ps(out + 8, _mm256_permute2f128_ps(lo, hi, 0x31));
+}
+
+// 8-byte tap loads (the 8-lane float path must not overread the stream
+// tail like a 16-byte load would).
+static inline __m256i Widen8to32(const uint8_t* p) {
+  return _mm256_cvtepu8_epi32(
+      _mm_loadl_epi64(reinterpret_cast<const __m128i*>(p)));
+}
+
+void Yuv444StreamF32(const uint8_t* S, float* out, int j0, int j1,
+                     int norm) {
+  const __m256 v255 = _mm256_set1_ps(255.0f);
+  const __m256 sixteenth = _mm256_set1_ps(1.0f / 16.0f);  // exact scale
+  const __m256i c4080 = _mm256_set1_epi32(4080);
+  const __m256i zero = _mm256_setzero_si256();
+  const __m256i nine32 = _mm256_set1_epi32(9);
+  const __m256i eight32 = _mm256_set1_epi32(8);
+  for (int j = j0; j + 8 <= j1; j += 8) {
+    __m256i a = Widen8to32(S + j), b = Widen8to32(S + j + 1);
+    __m256i c2 = Widen8to32(S + j - 1), d = Widen8to32(S + j + 2);
+    __m256i num = _mm256_add_epi32(
+        _mm256_sub_epi32(
+            _mm256_mullo_epi32(nine32, _mm256_add_epi32(a, b)),
+            _mm256_add_epi32(c2, d)),
+        eight32);
+    __m256i direct8 = a;
+    __m256 direct = _mm256_cvtepi32_ps(direct8);
+    __m256 filt;
+    if (norm) {
+      __m256i c = _mm256_min_epi32(_mm256_max_epi32(num, zero), c4080);
+      __m256 val = _mm256_mul_ps(_mm256_cvtepi32_ps(c), sixteenth);
+      val = _mm256_min_ps(val, v255);
+      filt = _mm256_div_ps(val, v255);       // scalar Norm255 division
+      direct = _mm256_div_ps(direct, v255);
+    } else {
+      __m256 val = _mm256_mul_ps(_mm256_cvtepi32_ps(num), sixteenth);
+      filt = _mm256_min_ps(_mm256_max_ps(val, _mm256_setzero_ps()), v255);
+    }
+    StoreInterleavedPs(out + 2 * j, direct, filt);
+  }
+}
+
+void BytesToNorm255(const uint8_t* src, float* dst, int n_vec) {
+  const __m256 v255 = _mm256_set1_ps(255.0f);
+  for (int i = 0; i + 8 <= n_vec; i += 8) {
+    __m256i b = _mm256_cvtepu8_epi32(
+        _mm_loadl_epi64(reinterpret_cast<const __m128i*>(src + i)));
+    _mm256_storeu_ps(dst + i, _mm256_div_ps(_mm256_cvtepi32_ps(b), v255));
+  }
+}
+
 #else  // !TS_SIMD_X86 — never reached (Available() is false)
 
 void BilinearY(const uint8_t*, int, int, uint8_t*, int, int, int,
@@ -457,6 +595,12 @@ void Nv12RgbRows(const uint8_t*, const uint8_t*, int, int, bool, bool, bool,
                  float, float, float, float, float, float, void*, int) {}
 void Nv12HsvRows(const uint8_t*, const uint8_t*, int, int, float, float,
                  float, float, float, float, float*, int) {}
+void ChromaVerticalRow(const uint8_t*, const uint8_t*, const uint8_t*,
+                       const uint8_t*, uint8_t*, int) {}
+void DeinterleavePairs(const uint8_t*, uint8_t*, uint8_t*, int) {}
+void Yuv444StreamU8(const uint8_t*, uint8_t*, int, int) {}
+void Yuv444StreamF32(const uint8_t*, float*, int, int, int) {}
+void BytesToNorm255(const uint8_t*, float*, int) {}
 
 #endif
 

@@ -94,5 +94,38 @@ void Nv12HsvRows(const uint8_t* y, const uint8_t* uv, int w, int h,
                  float rv, float bu, float gv, float gu, float y_coef,
                  float y_off, float* out, int ncols_vec);
 
+// 420 -> 422 vertical chroma filter, one ODD output row (even rows are
+// copies): dst[c] = clamp255((9*(p1[c]+p2[c]) - (p3[c]+p4[c]) + 8) >> 4)
+// for c in [0, w_vec) — multiple of 16; caller runs the scalar tail.
+// epi16 arithmetic matches the scalar int path exactly (range fits) and
+// packus_epi16 IS Clamp255.
+void ChromaVerticalRow(const uint8_t* p1, const uint8_t* p2,
+                       const uint8_t* p3, const uint8_t* p4, uint8_t* dst,
+                       int w_vec);
+
+// Splits interleaved UV pairs: u[j] = src[2j], v[j] = src[2j+1] for
+// j in [0, npairs_vec) — multiple of 16.
+void DeinterleavePairs(const uint8_t* src, uint8_t* u, uint8_t* v,
+                       int npairs_vec);
+
+// YUV444 horizontal chroma filter over a deinterleaved 4:2:2 stream S
+// (vpp_convert.cpp Yuv444Plane restructured): for j in [j0, j1)
+//   out[2j]   = S[j]                       (even output pixel: direct)
+//   out[2j+1] = wrap8(truncdiv16(9*(S[j]+S[j+1]) - (S[j-1]+S[j+2]) + 8))
+// Caller guarantees S[j-1..j+2] are valid loads (interior window) and
+// j1-j0 is a multiple of 16. Trunc-toward-zero division and the mod-256
+// store match the scalar quirks bit-for-bit.
+void Yuv444StreamU8(const uint8_t* S, uint8_t* out, int j0, int j1);
+
+// Float flavor (j1-j0 multiple of 8): norm=1 clamps the numerator to
+// [0,4080], scales by the exact 1/16, then divides by 255.0f like the
+// scalar Norm255; norm=0 scales by 1/16 and clamps to [0,255].
+void Yuv444StreamF32(const uint8_t* S, float* out, int j0, int j1,
+                     int norm);
+
+// dst[i] = (float)src[i] / 255.0f (the scalar Norm255 division) for
+// i in [0, n_vec) — multiple of 8.
+void BytesToNorm255(const uint8_t* src, float* dst, int n_vec);
+
 }  // namespace simd
 }  // namespace ts

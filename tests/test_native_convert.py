@@ -5,8 +5,8 @@ host; this suite pins that path to the SAME committed CRC32 / golden-raster
 oracles the device path passes (reference: tests/src/VPPTests.cpp:100-512,
 PythonTests.cpp:141-244), so both implementations are interchangeable
 bit-for-bit. The native chain (host resize + host convert) is expected
-bit-exact on every case — including the three resize cases where the
-jitted device blend is only pinned to a +-1 envelope (docs/PARITY.md).
+bit-exact on every case, as is the jitted device path since round 3
+(integer-exact blends, ops/exactf32.py; docs/PARITY.md).
 """
 import ctypes
 import os
@@ -69,8 +69,8 @@ def test_native_resize_convert_crc(native, bbb_frame0, name, kwargs,
                                    accepted, _dev):
     """Resize + convert, all four algorithms: the native chain must be
     bit-exact on EVERY committed oracle — including the cases where the
-    device blend is envelope-bound (reference: PythonTests.cpp:192-244,
-    VPPTests.cpp:186-229)."""
+    device blend needed the integer-exact emulation (reference:
+    PythonTests.cpp:192-244, VPPTests.cpp:186-229)."""
     y, uv, w, h = bbb_frame0
     out = native_vpp(native, y, uv, w, h, **kwargs)
     assert av_crc32(out) in accepted
@@ -124,10 +124,9 @@ def test_pipeline_get_converted_end_to_end(native):
 
 def test_native_matches_device_uint8_matrix(native, bbb_frame0):
     """Cross-check: native and device outputs identical on configs not
-    covered by a committed oracle. Resize is pinned to NEAREST (integer
-    sampling, exact on every backend) so this isolates the conversion
-    stage — blended resizes carry a documented +-1 device envelope on
-    TPU (docs/PARITY.md) and are compared through their own CRC tests."""
+    covered by a committed oracle. Resize is pinned to NEAREST so this
+    isolates the conversion stage — blended resizes are compared through
+    their own CRC suite (bit-exact on every backend since round 3)."""
     from tensor_stream_tpu.ops.vpp import VPPConfig, vpp_numpy
     y, uv, w, h = bbb_frame0
     cases = [
@@ -233,6 +232,59 @@ for (w, hh) in [(1920, 1080), (320, 240), (102, 62), (6, 4)]:
             FourCC.HSV.value, Planes.MERGED.value, 1, std, out.ctypes.data)
         assert sts == 0, sts
         h.update(out.tobytes())
+print(h.hexdigest())
+'''
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def digest(simd_on):
+        env = dict(os.environ)
+        env["TS_HOST_SIMD"] = "1" if simd_on else "0"
+        r = subprocess.run([sys.executable, "-c", code % repo], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout.strip()
+
+    assert digest(True) == digest(False)
+
+
+def test_simd_uyvy_yuv444_bit_identical_to_scalar(native):
+    """The restructured SIMD UYVY/YUV444 conversions (ChromaVerticalRow,
+    DeinterleavePairs, Yuv444Stream*, BytesToNorm255 — vpp_host_avx2.cpp)
+    must equal the scalar flat-tap implementation bit-for-bit across
+    sizes (incl. widths forcing scalar tails and tiny frames where the
+    head/tail quirk pixels dominate), both output types, both
+    normalizations."""
+    import hashlib
+    import os
+    import subprocess
+    import sys
+
+    if not native.ts_host_simd_available():
+        pytest.skip("AVX2+FMA not available on this CPU")
+
+    code = r'''
+import sys; sys.path.insert(0, %r)
+import hashlib
+import numpy as np
+from tensor_stream_tpu import _native
+from tensor_stream_tpu.enums import FourCC, Planes
+lib = _native.load()
+rng = np.random.default_rng(7)
+h = hashlib.sha256()
+for (w, hh) in [(1920, 1080), (720, 480), (322, 242), (34, 18), (6, 4)]:
+    y = np.ascontiguousarray(rng.integers(0, 256, (hh, w), np.uint8))
+    uv = np.ascontiguousarray(rng.integers(0, 256, (hh // 2, w), np.uint8))
+    for fourcc in (FourCC.UYVY, FourCC.YUV444):
+        for norm in (0, 1):
+            n = lib.ts_vpp_output_elements(w, hh, fourcc.value)
+            isf = lib.ts_vpp_is_float(fourcc.value, norm)
+            out = np.zeros(int(n), np.float32 if isf else np.uint8)
+            sts = lib.ts_vpp_convert_host(
+                y.ctypes.data, uv.ctypes.data, w, hh, 0, 0, 0, 0,
+                0, 0, 0, fourcc.value, Planes.PLANAR.value, norm, 0,
+                out.ctypes.data)
+            assert sts == 0, sts
+            h.update(out.tobytes())
 print(h.hexdigest())
 '''
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
