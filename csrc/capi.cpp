@@ -16,6 +16,7 @@
 #include "parser.h"
 #include "pipeline.h"
 #include "segment_reader.h"
+#include "video_writer.h"
 #include "stream_pool.h"
 #include "vpp_convert.h"
 #include "vpp_host_simd.h"
@@ -492,6 +493,47 @@ void ts_segmented_stop(void* p) {
 void ts_segmented_destroy(void* p) {
   delete static_cast<ts::SegmentedReader*>(p);
 }
+
+// ------------------------------------------------------- video writer
+//
+// In-process libavcodec encoder (csrc/video_writer.h) — the programmatic
+// counterpart of the reference's ffmpeg-subprocess writer.
+
+void* ts_writer_create(const char* path, int w, int h, int fps_num,
+                       int fps_den, const char* codec, int bitrate) {
+  auto* wr = new ts::VideoWriter();
+  ts::WriterParams params;
+  params.path = path ? path : "";
+  params.width = w;
+  params.height = h;
+  if (fps_num > 0) params.fps_num = fps_num;
+  if (fps_den > 0) params.fps_den = fps_den;
+  if (codec && codec[0]) params.codec = codec;
+  if (bitrate > 0) params.bitrate = bitrate;
+  if (wr->Init(params) != ts::TS_OK) {
+    delete wr;
+    return nullptr;
+  }
+  return wr;
+}
+
+int ts_writer_write_rgb(void* p, const uint8_t* rgb) {
+  return static_cast<ts::VideoWriter*>(p)->WriteRGB(rgb);
+}
+
+int ts_writer_write_nv12(void* p, const uint8_t* y, const uint8_t* uv) {
+  return static_cast<ts::VideoWriter*>(p)->WriteNV12(y, uv);
+}
+
+long long ts_writer_frames(void* p) {
+  return static_cast<ts::VideoWriter*>(p)->framesWritten();
+}
+
+int ts_writer_close(void* p) {
+  return static_cast<ts::VideoWriter*>(p)->Close();
+}
+
+void ts_writer_destroy(void* p) { delete static_cast<ts::VideoWriter*>(p); }
 
 int ts_parser_width(void* p) { return static_cast<ParserHandle*>(p)->parser.width(); }
 int ts_parser_height(void* p) { return static_cast<ParserHandle*>(p)->parser.height(); }

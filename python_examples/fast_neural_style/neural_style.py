@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tensor_stream_tpu import (FourCC, FrameRate, Planes, TensorStreamConverter)
+from tensor_stream_tpu import (FourCC, FrameRate, Planes,
+                               TensorStreamConverter, VideoWriter)
 from tensor_stream_tpu.models import TransformerNet, init_params
 from tensor_stream_tpu.models.transformer_net import (gram_matrix,
                                                       style_transfer_loss)
@@ -36,8 +37,12 @@ def parse_arguments():
                         help="Path to a flax .msgpack checkpoint")
     parser.add_argument("-i", "--input", required=True,
                         help="Input stream (RTMP) or local video file")
-    parser.add_argument("-o", "--output", default="styled.rgb",
-                        help="Output raw RGB24 file ('' to skip writing)")
+    parser.add_argument("-o", "--output", default="styled.mp4",
+                        help="Output video (.mp4/.mkv/.flv encoded "
+                             "in-process; .rgb writes raw RGB24; '' "
+                             "skips writing)")
+    parser.add_argument("--fps", type=float, default=0,
+                        help="Output frame rate (default: input's)")
     parser.add_argument("-w", "--width", type=int, default=640)
     parser.add_argument("-h", "--height", type=int, default=360)
     parser.add_argument("-t", "--time", type=int, default=0,
@@ -95,7 +100,17 @@ def main():
         y = model.apply(params, x)[0]
         return jnp.clip(y, 0, 255).astype(jnp.uint8)
 
-    out_file = open(args.output, "wb") if args.output else None
+    out_file = writer = None
+    if args.output and args.output.endswith(".rgb"):
+        out_file = open(args.output, "wb")
+    elif args.output:
+        # In-process libavcodec encode (tensor_stream_tpu.VideoWriter) —
+        # the reference piped frames to an external ffmpeg process here
+        # (ffmpeg_video_writer.py); this is the read->infer->encode loop
+        # with no subprocess.
+        fps = args.fps or (reader.fps or 30)
+        writer = VideoWriter(args.output, (args.width, args.height),
+                             fps=fps)
     frames = 0
     start = time.time()
     try:
@@ -107,6 +122,8 @@ def main():
             styled = stylize(params, frame)
             if out_file:
                 out_file.write(np.asarray(styled).tobytes())
+            elif writer:
+                writer.write(styled)
             frames += 1
     except RuntimeError as err:
         print(f"Stream ended: {err}")
@@ -114,12 +131,17 @@ def main():
         reader.stop()
         if out_file:
             out_file.close()
+        if writer:
+            writer.close()
     elapsed = time.time() - start
     print(f"styled {frames} frames in {elapsed:.1f}s "
           f"({frames / max(elapsed, 1e-9):.1f} fps)")
     if args.output:
-        print(f"encode with: ffmpeg -f rawvideo -pix_fmt rgb24 "
-              f"-s {args.width}x{args.height} -i {args.output} out.mp4")
+        if args.output.endswith(".rgb"):
+            print(f"encode with: ffmpeg -f rawvideo -pix_fmt rgb24 "
+                  f"-s {args.width}x{args.height} -i {args.output} out.mp4")
+        else:
+            print(f"wrote {args.output}")
 
 
 if __name__ == "__main__":

@@ -16,11 +16,12 @@ from .data import (FrameLoader, MultiStreamLoader, PooledStreamLoader,
 from .enums import (ColorStandard, FourCC, FrameRate, LogsLevel, LogsType,
                     Planes, ResizeType, StatusLevel)
 from .tensor_stream import FrameParameters, TensorStreamConverter
+from .video_writer import VideoWriter
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "TensorStreamConverter", "FrameParameters", "FrameLoader",
+    "TensorStreamConverter", "FrameParameters", "FrameLoader", "VideoWriter",
     "MultiStreamLoader", "PooledStreamLoader", "ShardedStreamLoader",
     "StatusLevel", "LogsLevel",
     "LogsType", "FourCC", "ResizeType", "Planes", "FrameRate",

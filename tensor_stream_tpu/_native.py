@@ -104,6 +104,13 @@ def load():
         sig("ts_segmented_seek_frame", None, [c_void_p, ctypes.c_longlong])
         sig("ts_segmented_stop", None, [c_void_p])
         sig("ts_segmented_destroy", None, [c_void_p])
+        sig("ts_writer_create", c_void_p,
+            [c_char_p, c_int, c_int, c_int, c_int, c_char_p, c_int])
+        sig("ts_writer_write_rgb", c_int, [c_void_p, c_void_p])
+        sig("ts_writer_write_nv12", c_int, [c_void_p, c_void_p, c_void_p])
+        sig("ts_writer_frames", ctypes.c_longlong, [c_void_p])
+        sig("ts_writer_close", c_int, [c_void_p])
+        sig("ts_writer_destroy", None, [c_void_p])
         sig("ts_resize_nv12_host", None,
             [c_void_p, c_void_p, c_int, c_int, c_void_p, c_void_p, c_int,
              c_int, c_int])
