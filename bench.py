@@ -200,6 +200,33 @@ def bench_segment_parallel(lib, seconds, workers=0):
     return frames / elapsed
 
 
+def bench_fast_read_latency(lib, n_reads=200):
+    """p50/p95 per-read latency of FAST-mode latest-frame reads (NV12,
+    no VPP): the quantitative counterpart of the reference's ~3 ms/frame
+    FAST assertion (WrapperTests.cpp:303-309). Each GetFrame wakes on a
+    FRESH decoded frame, so the p50 tracks the decode cadence; the tail
+    shows scheduler jitter on the measured host."""
+    p = _make_pipeline(lib)
+    lib.ts_pipeline_start(p)
+    w, h = lib.ts_pipeline_width(p), lib.ts_pipeline_height(p)
+    y = ctypes.create_string_buffer(w * h)
+    uv = ctypes.create_string_buffer(w * (h // 2))
+    lib.ts_pipeline_get(p, b"lat", 0, y, uv)  # register + first frame
+    lat = []
+    for _ in range(n_reads):
+        t0 = time.perf_counter()
+        if lib.ts_pipeline_get(p, b"lat", 0, y, uv) < 0:
+            break
+        lat.append(time.perf_counter() - t0)
+    lib.ts_pipeline_stop(p)
+    lib.ts_pipeline_destroy(p)
+    if not lat:
+        return {}
+    lat.sort()
+    return {"fast_read_p50_ms": round(1e3 * lat[len(lat) // 2], 3),
+            "fast_read_p95_ms": round(1e3 * lat[int(len(lat) * 0.95)], 3)}
+
+
 def bench_scaling(lib):
     """Decode thread-count sweep — the proof that the decode wall scales
     with host cores. Skipped (with reason) when the host cannot show
@@ -286,6 +313,7 @@ def main():
             _best_of(2, bench_pool_aggregate, lib, half), 1),
         "segment_parallel_fps": round(
             _best_of(2, bench_segment_parallel, lib, half), 1),
+        **bench_fast_read_latency(lib),
     }
     result = {
         "metric": "1080p_decode_to_224px_rgb_planar_f32_fps_per_chip",
