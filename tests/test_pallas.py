@@ -88,9 +88,18 @@ def test_pallas_height_mod8_half_select(h):
                     reason="HD merged compile is slow; set TS_FULL_TESTS=1")
 def test_pallas_merged_hd_correct():
     """Merged output at HD compiles (column-tiled blocks bound the
-    3->128 lane-pad VMEM) and is bit-exact — kept as capability; the
-    product path stays on XLA for merged because the lane-padded stores
-    are ~17x slower (docs/ROADMAP.md item 3)."""
+    3->128 lane-pad VMEM) — kept as capability; the product path stays
+    on XLA for merged because the lane-padded stores are ~17x slower
+    (docs/ROADMAP.md item 3).
+
+    Comparison envelope: the G channel's `gv*vi + gu*ui + 0.5` mul+add
+    chain carries 1-ulp contraction freedom between evaluators (XLA may
+    fuse either multiply into the add; interpret-mode Pallas fuses
+    neither), so truncation-boundary pixels of a RANDOM frame may sit
+    one u8 step apart (~2e-6 of pixels at HD). The committed CRC
+    oracles pin the product conversion paths exactly on both backends
+    (tests/test_vpp.py, TPU_PARITY_r{N}.json); this asserts the
+    capability kernel within that documented freedom."""
     h, w = 1080, 1920
     y, uv = _rand_nv12(h, w, seed=7)
     fn = build_pallas_nv12_to_rgb(h, w, False, False, False,
@@ -99,7 +108,10 @@ def test_pallas_merged_hd_correct():
     ref = np.asarray(nv12_to_rgb(jnp.asarray(y), jnp.asarray(uv),
                                  swap_rb=False, planar=False,
                                  normalization=False))
-    assert np.array_equal(got, ref)
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    frac = (diff != 0).mean()
+    assert frac < 1e-4, f"{frac:.2e} of pixels differ (expect ~2e-6)"
 
 
 @pytest.mark.parametrize("standard", [1, 2, 3])
