@@ -6,6 +6,8 @@ extern "C" {
 
 #include <cstring>
 
+#include "vpp_host_simd.h"
+
 namespace ts {
 
 namespace {
@@ -57,11 +59,13 @@ int PackNV12(const AVFrame* frame, uint8_t* dy, uint8_t* duv,
                   sy + static_cast<size_t>(i) * frame->linesize[0], w);
     const uint8_t* su = frame->data[1];
     const uint8_t* sv = frame->data[2];
+    const int vec = simd::Available() ? (w / 2) & ~15 : 0;
     for (int i = 0; i < h / 2; i++) {
       uint8_t* dst = duv + static_cast<size_t>(i) * w;
       const uint8_t* u = su + static_cast<size_t>(i) * frame->linesize[1];
       const uint8_t* v = sv + static_cast<size_t>(i) * frame->linesize[2];
-      for (int j = 0; j < w / 2; j++) {
+      simd::InterleavePairs(u, v, dst, vec);
+      for (int j = vec; j < w / 2; j++) {
         dst[2 * j] = u[j];
         dst[2 * j + 1] = v[j];
       }

@@ -568,6 +568,18 @@ void Yuv444StreamF32(const uint8_t* S, float* out, int j0, int j1,
   }
 }
 
+void InterleavePairs(const uint8_t* u, const uint8_t* v, uint8_t* dst,
+                     int npairs_vec) {
+  for (int j = 0; j + 16 <= npairs_vec; j += 16) {
+    __m128i a = _mm_loadu_si128(reinterpret_cast<const __m128i*>(u + j));
+    __m128i b = _mm_loadu_si128(reinterpret_cast<const __m128i*>(v + j));
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(dst + 2 * j),
+                     _mm_unpacklo_epi8(a, b));
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(dst + 2 * j + 16),
+                     _mm_unpackhi_epi8(a, b));
+  }
+}
+
 void BytesToNorm255(const uint8_t* src, float* dst, int n_vec) {
   const __m256 v255 = _mm256_set1_ps(255.0f);
   for (int i = 0; i + 8 <= n_vec; i += 8) {
@@ -601,6 +613,7 @@ void DeinterleavePairs(const uint8_t*, uint8_t*, uint8_t*, int) {}
 void Yuv444StreamU8(const uint8_t*, uint8_t*, int, int) {}
 void Yuv444StreamF32(const uint8_t*, float*, int, int, int) {}
 void BytesToNorm255(const uint8_t*, float*, int) {}
+void InterleavePairs(const uint8_t*, const uint8_t*, uint8_t*, int) {}
 
 #endif
 

@@ -127,5 +127,11 @@ void Yuv444StreamF32(const uint8_t* S, float* out, int j0, int j1,
 // i in [0, n_vec) — multiple of 8.
 void BytesToNorm255(const uint8_t* src, float* dst, int n_vec);
 
+// Interleaves planar chroma rows: dst[2j] = u[j], dst[2j+1] = v[j] for
+// j in [0, npairs_vec) — multiple of 16. The inverse of
+// DeinterleavePairs; pure byte moves (decoder ring NV12 store).
+void InterleavePairs(const uint8_t* u, const uint8_t* v, uint8_t* dst,
+                     int npairs_vec);
+
 }  // namespace simd
 }  // namespace ts
