@@ -2,7 +2,7 @@
 
 #include <thread>
 
-#include "vpp_host_simd.h"
+#include "nv12_pack.h"
 
 namespace ts {
 
@@ -141,43 +141,12 @@ int Decoder::storeFrame(AVFrame* frame) {
   slot.h = h;
   slot.gen = generation_;
 
-  if (frame->format == AV_PIX_FMT_YUV420P || frame->format == AV_PIX_FMT_YUVJ420P) {
-    // Fast path: copy Y rows, interleave U/V into the UV plane.
-    const uint8_t* sy = frame->data[0];
-    for (int i = 0; i < h; i++)
-      std::memcpy(slot.y.data() + static_cast<size_t>(i) * w, sy + static_cast<size_t>(i) * frame->linesize[0], w);
-    const uint8_t* su = frame->data[1];
-    const uint8_t* sv = frame->data[2];
-    // SIMD chroma interleave (pure byte moves): ~20% of the 1080p
-    // decode-store budget in the scalar loop.
-    const int vec = simd::Available() ? (w / 2) & ~15 : 0;
-    for (int i = 0; i < h / 2; i++) {
-      uint8_t* dst = slot.uv.data() + static_cast<size_t>(i) * w;
-      const uint8_t* u = su + static_cast<size_t>(i) * frame->linesize[1];
-      const uint8_t* v = sv + static_cast<size_t>(i) * frame->linesize[2];
-      simd::InterleavePairs(u, v, dst, vec);
-      for (int j = vec; j < w / 2; j++) {
-        dst[2 * j] = u[j];
-        dst[2 * j + 1] = v[j];
-      }
-    }
-  } else if (frame->format == AV_PIX_FMT_NV12) {
-    for (int i = 0; i < h; i++)
-      std::memcpy(slot.y.data() + static_cast<size_t>(i) * w,
-                  frame->data[0] + static_cast<size_t>(i) * frame->linesize[0], w);
-    for (int i = 0; i < h / 2; i++)
-      std::memcpy(slot.uv.data() + static_cast<size_t>(i) * w,
-                  frame->data[1] + static_cast<size_t>(i) * frame->linesize[1], w);
-  } else {
-    // Non-4:2:0 sources (e.g. YUV444): swscale to NV12 so the whole VPP
-    // stays in the NV12 domain, like the reference's pipeline contract.
-    sws_ = sws_getCachedContext(sws_, w, h, static_cast<AVPixelFormat>(frame->format),
-                                w, h, AV_PIX_FMT_NV12, SWS_POINT, nullptr, nullptr,
-                                nullptr);
-    if (!sws_) return TS_ERROR;
-    uint8_t* dst_data[2] = {slot.y.data(), slot.uv.data()};
-    int dst_linesize[2] = {w, w};
-    sws_scale(sws_, frame->data, frame->linesize, 0, h, dst_data, dst_linesize);
+  {
+    // Shared pack (csrc/nv12_pack.h): one definition with the
+    // segment-parallel deposit, whose contract is bit-equality with
+    // this store.
+    int pk = PackFrameNV12(frame, slot.y.data(), slot.uv.data(), &sws_);
+    if (pk != TS_OK) return pk;
   }
   slot.valid = true;
   current_frame_++;

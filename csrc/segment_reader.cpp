@@ -6,7 +6,7 @@ extern "C" {
 
 #include <cstring>
 
-#include "vpp_host_simd.h"
+#include "nv12_pack.h"
 
 namespace ts {
 
@@ -42,54 +42,6 @@ bool IsIdrAccessUnit(const uint8_t* data, int size, AVCodecID codec) {
     i++;
   }
   return false;
-}
-
-// Packs a decoded frame into tightly-packed NV12 planes, the same three
-// paths (and the same SWS_POINT fallback) as the serial ring store
-// (csrc/decoder.cpp storeFrame) so segment-parallel output is
-// bit-identical to serial output for every source format.
-int PackNV12(const AVFrame* frame, uint8_t* dy, uint8_t* duv,
-             SwsContext*& sws) {
-  int w = frame->width, h = frame->height;
-  if (frame->format == AV_PIX_FMT_YUV420P ||
-      frame->format == AV_PIX_FMT_YUVJ420P) {
-    const uint8_t* sy = frame->data[0];
-    for (int i = 0; i < h; i++)
-      std::memcpy(dy + static_cast<size_t>(i) * w,
-                  sy + static_cast<size_t>(i) * frame->linesize[0], w);
-    const uint8_t* su = frame->data[1];
-    const uint8_t* sv = frame->data[2];
-    const int vec = simd::Available() ? (w / 2) & ~15 : 0;
-    for (int i = 0; i < h / 2; i++) {
-      uint8_t* dst = duv + static_cast<size_t>(i) * w;
-      const uint8_t* u = su + static_cast<size_t>(i) * frame->linesize[1];
-      const uint8_t* v = sv + static_cast<size_t>(i) * frame->linesize[2];
-      simd::InterleavePairs(u, v, dst, vec);
-      for (int j = vec; j < w / 2; j++) {
-        dst[2 * j] = u[j];
-        dst[2 * j + 1] = v[j];
-      }
-    }
-  } else if (frame->format == AV_PIX_FMT_NV12) {
-    for (int i = 0; i < h; i++)
-      std::memcpy(dy + static_cast<size_t>(i) * w,
-                  frame->data[0] + static_cast<size_t>(i) * frame->linesize[0],
-                  w);
-    for (int i = 0; i < h / 2; i++)
-      std::memcpy(duv + static_cast<size_t>(i) * w,
-                  frame->data[1] + static_cast<size_t>(i) * frame->linesize[1],
-                  w);
-  } else {
-    sws = sws_getCachedContext(sws, w, h,
-                               static_cast<AVPixelFormat>(frame->format), w, h,
-                               AV_PIX_FMT_NV12, SWS_POINT, nullptr, nullptr,
-                               nullptr);
-    if (!sws) return TS_ERROR;
-    uint8_t* dst_data[2] = {dy, duv};
-    int dst_linesize[2] = {w, w};
-    sws_scale(sws, frame->data, frame->linesize, 0, h, dst_data, dst_linesize);
-  }
-  return TS_OK;
 }
 
 int64_t PacketTime(const AVPacket* pkt) {
@@ -245,7 +197,7 @@ int SegmentedReader::Start() {
 void SegmentedReader::worker(int id) {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* ctx = nullptr;
-  SwsContext* sws = nullptr;
+  Scratch scratch;
   int vi = -1;
   int rc = avformat_open_input(&fmt, params_.input.c_str(), nullptr, nullptr);
   if (rc >= 0) rc = avformat_find_stream_info(fmt, nullptr);
@@ -290,7 +242,7 @@ void SegmentedReader::worker(int id) {
         std::lock_guard<std::mutex> lk(mu_);
         if (base + c.n_frames <= cursor_) continue;
       }
-      rc = decodeChunk(fmt, ctx, vi, sws, c, base);
+      rc = decodeChunk(fmt, ctx, vi, scratch, c, base);
       if (rc == TS_FINISHED) break;  // stopped mid-deposit
       if (rc < 0) {
         fail(rc, base);  // no-op when decodeChunk already set a watermark
@@ -298,7 +250,7 @@ void SegmentedReader::worker(int id) {
       }
     }
   }
-  if (sws) sws_freeContext(sws);
+  if (scratch.sws) sws_freeContext(scratch.sws);
   if (ctx) avcodec_free_context(&ctx);
   if (fmt) avformat_close_input(&fmt);
   {
@@ -309,7 +261,7 @@ void SegmentedReader::worker(int id) {
 }
 
 int SegmentedReader::decodeChunk(AVFormatContext* fmt, AVCodecContext* ctx,
-                                 int vi, SwsContext*& sws,
+                                 int vi, Scratch& scratch,
                                  const SegmentChunk& chunk, int64_t base) {
   int sts;
   if (byte_seek_)
@@ -337,7 +289,7 @@ int SegmentedReader::decodeChunk(AVFormatContext* fmt, AVCodecContext* ctx,
       int r = avcodec_receive_frame(ctx, frame);
       if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return TS_OK;
       if (r < 0) return r;
-      r = deposit(base + out_idx, frame, sws);
+      r = deposit(base + out_idx, frame, scratch);
       out_idx++;
       av_frame_unref(frame);
       if (r < 0) return r;
@@ -377,7 +329,7 @@ int SegmentedReader::decodeChunk(AVFormatContext* fmt, AVCodecContext* ctx,
     while (true) {
       sts = avcodec_receive_frame(ctx, frame);
       if (sts < 0) break;
-      rc = deposit(base + out_idx, frame, sws);
+      rc = deposit(base + out_idx, frame, scratch);
       out_idx++;
       av_frame_unref(frame);
       if (rc < 0) break;
@@ -410,7 +362,7 @@ void SegmentedReader::fail(int code, int64_t at_frame) {
 }
 
 int SegmentedReader::deposit(int64_t frame_idx, const AVFrame* f,
-                             SwsContext*& sws) {
+                             Scratch& scratch) {
   {
     std::unique_lock<std::mutex> lk(mu_);
     prod_cv_.wait(lk, [&] {
@@ -431,17 +383,23 @@ int SegmentedReader::deposit(int64_t frame_idx, const AVFrame* f,
   int rc;
   if (params_.dst_width) {
     if (f->width == params_.dst_width && f->height == params_.dst_height) {
-      rc = PackNV12(f, slot.y.data(), slot.uv.data(), sws);
+      rc = PackFrameNV12(f, slot.y.data(), slot.uv.data(), &scratch.sws);
     } else {
       // Per-slot resize from the frame's own geometry — rides
-      // resolution switches like the serial bulk-resized path.
-      std::vector<uint8_t> ny(static_cast<size_t>(f->width) * f->height);
-      std::vector<uint8_t> nuv(ny.size() / 2);
-      rc = PackNV12(f, ny.data(), nuv.data(), sws);
+      // resolution switches like the serial bulk-resized path. The
+      // worker-owned scratch avoids a ~3 MB alloc/free per frame on
+      // this (throughput) path.
+      const size_t ysz = static_cast<size_t>(f->width) * f->height;
+      if (scratch.y.size() != ysz) {
+        scratch.y.resize(ysz);
+        scratch.uv.resize(ysz / 2);
+      }
+      rc = PackFrameNV12(f, scratch.y.data(), scratch.uv.data(),
+                         &scratch.sws);
       if (rc == TS_OK)
-        ResizeNV12Host(ny.data(), nuv.data(), f->width, f->height,
-                       slot.y.data(), slot.uv.data(), params_.dst_width,
-                       params_.dst_height,
+        ResizeNV12Host(scratch.y.data(), scratch.uv.data(), f->width,
+                       f->height, slot.y.data(), slot.uv.data(),
+                       params_.dst_width, params_.dst_height,
                        static_cast<HostResizeAlgo>(params_.resize_algo));
     }
   } else if (f->width != width_ || f->height != height_) {
@@ -451,7 +409,7 @@ int SegmentedReader::deposit(int64_t frame_idx, const AVFrame* f,
     fail(TS_RENEGOTIATE, frame_idx);
     return TS_RENEGOTIATE;
   } else {
-    rc = PackNV12(f, slot.y.data(), slot.uv.data(), sws);
+    rc = PackFrameNV12(f, slot.y.data(), slot.uv.data(), &scratch.sws);
   }
   if (rc < 0) return rc;
   {

@@ -99,9 +99,16 @@ class SegmentedReader {
 
   int scan();
   void worker(int id);
+  // Per-worker reusable pack scratch (resized per geometry, not per
+  // frame — the host-resize deposit path is the throughput path).
+  struct Scratch {
+    SwsContext* sws = nullptr;
+    std::vector<uint8_t> y, uv;
+  };
+
   int decodeChunk(AVFormatContext* fmt, AVCodecContext* ctx, int video_index,
-                  SwsContext*& sws, const SegmentChunk& chunk, int64_t base);
-  int deposit(int64_t frame, const AVFrame* f, SwsContext*& sws);
+                  Scratch& scratch, const SegmentChunk& chunk, int64_t base);
+  int deposit(int64_t frame, const AVFrame* f, Scratch& scratch);
 
   SegmentedParams params_;
   std::shared_ptr<Logger> logger_;

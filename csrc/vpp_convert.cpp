@@ -311,7 +311,10 @@ void Yuv444PlaneFast(const uint8_t* y, const uint8_t* uv, int w, int h,
 template <typename T>
 void Yuv444Plane(const uint8_t* y, const uint8_t* uv, int w, int h,
                  bool normalization, T* out) {
-  if (simd::Available() && w >= 2) {
+  // Even dims only: the stream restructuring assumes w/2 whole pairs
+  // per row; odd widths fall back to the scalar flat-tap path whose
+  // row-straddling quirks the oracles encode.
+  if (simd::Available() && w >= 2 && w % 2 == 0 && h % 2 == 0) {
     Yuv444PlaneFast(y, uv, w, h, normalization, out);
     return;
   }

@@ -320,6 +320,8 @@ class FrameLoader:
         return tensors, indices
 
     def close(self):
+        if self.reader is None and self._segmented is None:
+            return  # already closed (both paths)
         self._stop.set()
         while self._pending:
             buf, _ = self._pending.popleft()
@@ -343,6 +345,7 @@ class FrameLoader:
         self._drain_unblock()
         self._thread.join(timeout=10)
         self.reader.stop()
+        self.reader = None
 
     def _drain_unblock(self):
         # The drain may be blocked on the bounded _filled queue; pop one

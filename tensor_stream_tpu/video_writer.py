@@ -49,8 +49,13 @@ class VideoWriter:
 
     def write_nv12(self, y, uv):
         """Encodes one tightly-packed NV12 frame (no RGB round trip)."""
+        w, h = self.size
         ya = np.ascontiguousarray(np.asarray(y), dtype=np.uint8)
         uva = np.ascontiguousarray(np.asarray(uv), dtype=np.uint8)
+        if ya.size != w * h or uva.size != w * h // 2:
+            raise ValueError(
+                f"NV12 planes for {w}x{h} need {w*h}/{w*h//2} bytes, got "
+                f"{ya.size}/{uva.size}")
         rc = self._lib.ts_writer_write_nv12(self._handle, ya.ctypes.data,
                                             uva.ctypes.data)
         if rc != 0:

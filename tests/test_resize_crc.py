@@ -8,10 +8,13 @@ Two paths are pinned:
   fmaf/fma and is bit-exact against EVERY committed CRC oracle;
 - the jitted device resize (ops/resize.py) is bit-exact on EVERY
   backend for EVERY case: nvcc's f32 rounding order is emulated exactly
-  with f64 products + round-to-odd sums + corrected division
-  (ops/exactf32.py), and bicubic blends in f64 like the reference
-  kernel. Asserted here as byte equality against the host-exact output
-  plus the committed CRCs.
+  in pure-integer (i64) softfloat arithmetic — values as 24-bit (m, e)
+  pairs, fmaf as one sticky-aligned round-to-nearest-even of the
+  unrounded product + addend, division via the widened integer quotient
+  (ops/exactf32.py) — and bicubic blends in 2^-50 fixed point. Integer
+  programs are backend-independent, so byte equality with the
+  host-exact output plus the committed CRCs is asserted on whichever
+  backend runs the suite.
 """
 import numpy as np
 import pytest
@@ -127,9 +130,9 @@ def test_device_resize(bbb_frame0, native, name, kwargs, want, device_exact):
     """Jitted device resize: BIT-EXACT against the native host output
     (and through it the reference CRCs) on EVERY backend — XLA's f32
     contraction freedom is closed by emulating nvcc's exact rounding
-    order with f64 products + round-to-odd sums (ops/exactf32.py) and
-    blending bicubic in f64 like the reference kernel. The round-2 ±1
-    envelopes (old docs/PARITY.md table) are retired.
+    order in integer (i64) softfloat arithmetic and 2^-50 fixed-point
+    bicubic (ops/exactf32.py). The round-2 ±1 envelopes (old
+    docs/PARITY.md table) are retired.
     """
     import jax
 

@@ -25,18 +25,16 @@ BBB = os.path.join(RESOURCES, "bbb_1080x608_420_10.h264")
 
 
 @pytest.fixture(scope="module")
-def rtmp_serve():
+def rtmp_serve(tmp_path_factory):
     if shutil.which("g++") is None:
         pytest.skip("g++ not available")
-    out = os.path.join(REPO, "tools", "rtmp_serve")
+    out = str(tmp_path_factory.mktemp("rtmp") / "rtmp_serve")
     src = os.path.join(REPO, "tools", "rtmp_serve.cpp")
-    if (not os.path.exists(out)
-            or os.path.getmtime(out) < os.path.getmtime(src)):
-        proc = subprocess.run(
-            ["g++", "-O2", "-std=c++20", src, "-lavformat", "-lavcodec",
-             "-lavutil", "-o", out],
-            capture_output=True, text=True, timeout=180)
-        assert proc.returncode == 0, proc.stderr[-2000:]
+    proc = subprocess.run(
+        ["g++", "-O2", "-std=c++20", src, "-lavformat", "-lavcodec",
+         "-lavutil", "-o", out],
+        capture_output=True, text=True, timeout=180)
+    assert proc.returncode == 0, proc.stderr[-2000:]
     return out
 
 
@@ -59,11 +57,11 @@ def test_rtmp_loopback_ingest(rtmp_serve):
                            stderr=subprocess.PIPE, text=True)
     try:
         time.sleep(0.8)  # listen socket up
+        if srv.poll() == 4:  # checked BEFORE connecting: init would fail
+            pytest.skip("libavformat lacks rtmp listen support")
         reader = TensorStreamConverter(url, framerate_mode=FrameRate.FAST,
                                        timeout=20)
         reader.initialize(repeat_number=1)
-        if srv.poll() == 4:
-            pytest.skip("libavformat lacks rtmp listen support")
         assert reader.frame_size == (1080, 608)
         reader.start()
         crcs, indices = [], []
