@@ -135,18 +135,26 @@ int Decoder::storeFrame(AVFrame* frame) {
     if (is_finished_) return TS_FINISHED;
   }
   Slot& slot = ring_[current_frame_ % ring_.size()];
-  if (slot.y.size() != y_size) slot.y.resize(y_size);
-  if (slot.uv.size() != uv_size) slot.uv.resize(uv_size);
   slot.w = w;
   slot.h = h;
   slot.gen = generation_;
-
-  {
-    // Shared pack (csrc/nv12_pack.h): one definition with the
-    // segment-parallel deposit, whose contract is bit-equality with
-    // this store.
+  if (!slot.av) slot.av = av_frame_alloc();
+  av_frame_unref(slot.av);
+  if (frame->format == AV_PIX_FMT_YUV420P ||
+      frame->format == AV_PIX_FMT_YUVJ420P ||
+      frame->format == AV_PIX_FMT_NV12) {
+    // Lazy pack: hold a buffer reference; consumers pack on first use
+    // (ensurePackedLocked) or read the planes strided without packing.
+    av_frame_ref(slot.av, frame);
+    slot.packed = false;
+  } else {
+    // Exotic formats go through swscale once, here (csrc/nv12_pack.h —
+    // one definition with the segment-parallel deposit).
+    if (slot.y.size() != y_size) slot.y.resize(y_size);
+    if (slot.uv.size() != uv_size) slot.uv.resize(uv_size);
     int pk = PackFrameNV12(frame, slot.y.data(), slot.uv.data(), &sws_);
     if (pk != TS_OK) return pk;
+    slot.packed = true;
   }
   slot.valid = true;
   current_frame_++;
@@ -155,10 +163,26 @@ int Decoder::storeFrame(AVFrame* frame) {
   consumer_cv_.notify_all();
 
   if (dump_file_) {
+    {
+      std::lock_guard<std::mutex> relk(sync_);
+      ensurePackedLocked(slot);
+    }
     fwrite(slot.y.data(), 1, y_size, dump_file_);
     fwrite(slot.uv.data(), 1, uv_size, dump_file_);
     fflush(dump_file_);
   }
+  return TS_OK;
+}
+
+int Decoder::ensurePackedLocked(Slot& slot) {
+  if (slot.packed) return TS_OK;
+  if (!slot.av || !slot.av->data[0]) return TS_ERROR;
+  const size_t y_size = static_cast<size_t>(slot.w) * slot.h;
+  if (slot.y.size() != y_size) slot.y.resize(y_size);
+  if (slot.uv.size() != y_size / 2) slot.uv.resize(y_size / 2);
+  int pk = PackFrameNV12(slot.av, slot.y.data(), slot.uv.data(), &sws_);
+  if (pk != TS_OK) return pk;
+  slot.packed = true;
   return TS_OK;
 }
 
@@ -302,8 +326,15 @@ int Decoder::GetFrame(int index, const std::string& consumer, uint8_t* out_y,
     it->second = true;
     return TS_RENEGOTIATE;
   }
-  std::memcpy(out_y, slot.y.data(), slot.y.size());
-  std::memcpy(out_uv, slot.uv.data(), slot.uv.size());
+  {
+    // Multi-consumer latest-frame reads share the slot: pack once under
+    // the lock, then copy.
+    int pk = ensurePackedLocked(const_cast<Slot&>(slot));
+    if (pk != TS_OK) return pk;
+  }
+  const size_t y_size = static_cast<size_t>(slot.w) * slot.h;
+  std::memcpy(out_y, slot.y.data(), y_size);
+  std::memcpy(out_uv, slot.uv.data(), y_size / 2);
   return current_frame_;
 }
 
@@ -380,6 +411,9 @@ bool Decoder::hasRingHeadroom() {
 
 int Decoder::bulkDrain(const std::string& consumer, int count,
                        int* first_index, bool uniform, const FrameSink& sink) {
+  // `uniform` sinks (GetFramesBulk) copy packed NV12; the resized sink
+  // reads the AVFrame planes strided and never packs.
+  const bool needs_packed = uniform;
   // Blocks Close() for the duration of the drain; notifyConsumers (which
   // Stop() issues first) sets is_finished_ without needing this guard,
   // so a parked drain wakes, exits the loop, and releases us.
@@ -416,6 +450,10 @@ int Decoder::bulkDrain(const std::string& consumer, int count,
         // Per-slot-adaptive sink (resized drain): adopt silently.
         acked_gen_[consumer] = slot.gen;
       }
+      if (needs_packed)
+        ensurePackedLocked(const_cast<Slot&>(slot));  // serialized here:
+        // two cursors can share a slot and only the lock orders the
+        // first pack.
       // Safe to read the slot unlocked: the producer's back-pressure
       // wait (storeFrame) cannot overwrite slot `cursor % size` until
       // this cursor advances past it, and the cursor only advances
@@ -441,12 +479,12 @@ int Decoder::GetFramesBulk(const std::string& consumer, int count,
   // height_ while a cursor drains frames stored before a switch).
   return bulkDrain(consumer, count, first_index, /*uniform=*/true,
                    [&](const Slot& slot, int copied) {
-                     std::memcpy(out_y + static_cast<size_t>(copied) *
-                                             slot.y.size(),
-                                 slot.y.data(), slot.y.size());
-                     std::memcpy(out_uv + static_cast<size_t>(copied) *
-                                              slot.uv.size(),
-                                 slot.uv.data(), slot.uv.size());
+                     const size_t ys = static_cast<size_t>(slot.w) * slot.h;
+                     std::memcpy(out_y + static_cast<size_t>(copied) * ys,
+                                 slot.y.data(), ys);
+                     std::memcpy(out_uv +
+                                     static_cast<size_t>(copied) * (ys / 2),
+                                 slot.uv.data(), ys / 2);
                    });
 }
 
@@ -459,15 +497,54 @@ int Decoder::GetFramesBulkResized(const std::string& consumer, int count,
   // Per-slot source geometry: the fixed output size makes mid-stream
   // resolution switches invisible to this consumer (each slot is
   // resized from its own dimensions), so bulkDrain runs non-uniform.
-  return bulkDrain(consumer, count, first_index, /*uniform=*/false,
-                   [&](const Slot& slot, int copied) {
-                     ResizeNV12Host(slot.y.data(), slot.uv.data(), slot.w,
-                                    slot.h,
-                                    out_y + static_cast<size_t>(copied) * y_size,
-                                    out_uv + static_cast<size_t>(copied) * uv_size,
-                                    dst_w, dst_h,
-                                    static_cast<HostResizeAlgo>(algo));
-                   });
+  // The hot path resizes STRAIGHT from the decoder AVFrame (strided Y;
+  // NV12 frames also pass chroma through, 4:2:0 planar interleaves UV
+  // into a reusable scratch) — the ring never packs for this consumer.
+  std::vector<uint8_t> uv_scratch;
+  return bulkDrain(
+      consumer, count, first_index, /*uniform=*/false,
+      [&](const Slot& slot, int copied) {
+        uint8_t* oy = out_y + static_cast<size_t>(copied) * y_size;
+        uint8_t* ouv = out_uv + static_cast<size_t>(copied) * uv_size;
+        // The AVFrame stays valid whether or not another consumer has
+        // also packed this slot (reading slot.packed here would race);
+        // empty data[0] means the exotic-format store packed eagerly.
+        const AVFrame* f = slot.av;
+        if (f && f->data[0] && f->format == AV_PIX_FMT_NV12) {
+          ResizeNV12HostStrided(f->data[0], f->linesize[0], f->data[1],
+                                f->linesize[1], slot.w, slot.h, oy, ouv,
+                                dst_w, dst_h,
+                                static_cast<HostResizeAlgo>(algo));
+          return;
+        }
+        if (f && f->data[0] && (f->format == AV_PIX_FMT_YUV420P ||
+                                f->format == AV_PIX_FMT_YUVJ420P)) {
+          const size_t need = static_cast<size_t>(slot.w) * (slot.h / 2);
+          if (uv_scratch.size() < need) uv_scratch.resize(need);
+          const int vec = simd::Available() ? (slot.w / 2) & ~15 : 0;
+          for (int i = 0; i < slot.h / 2; i++) {
+            uint8_t* dst = uv_scratch.data() +
+                           static_cast<size_t>(i) * slot.w;
+            const uint8_t* u = f->data[1] +
+                               static_cast<size_t>(i) * f->linesize[1];
+            const uint8_t* v = f->data[2] +
+                               static_cast<size_t>(i) * f->linesize[2];
+            simd::InterleavePairs(u, v, dst, vec);
+            for (int j = vec; j < slot.w / 2; j++) {
+              dst[2 * j] = u[j];
+              dst[2 * j + 1] = v[j];
+            }
+          }
+          ResizeNV12HostStrided(f->data[0], f->linesize[0],
+                                uv_scratch.data(), slot.w, slot.w, slot.h,
+                                oy, ouv, dst_w, dst_h,
+                                static_cast<HostResizeAlgo>(algo));
+          return;
+        }
+        ResizeNV12Host(slot.y.data(), slot.uv.data(), slot.w, slot.h, oy,
+                       ouv, dst_w, dst_h,
+                       static_cast<HostResizeAlgo>(algo));
+      });
 }
 
 void Decoder::notifyConsumers() {
@@ -495,6 +572,8 @@ void Decoder::Close() {
     fclose(dump_file_);
     dump_file_ = nullptr;
   }
+  for (auto& slot : ring_)
+    if (slot.av) av_frame_free(&slot.av);
   ring_.clear();
   closed_ = true;
 }

@@ -148,12 +148,25 @@ class Decoder {
 
  private:
   struct Slot {
-    std::vector<uint8_t> y, uv;
+    std::vector<uint8_t> y, uv;  // packed NV12, filled lazily (see av)
+    // Lazy-pack ring: 4:2:0 decoder output is stored as a refcounted
+    // AVFrame (one av_frame_ref, zero pixel copies in the producer);
+    // consumers that need tightly-packed NV12 pack once on first use
+    // (`packed`), while the host-resized bulk drain reads the planes
+    // strided and never packs at all — removing ~3 MB/frame of memory
+    // writes from the 1-core decode wall.
+    AVFrame* av = nullptr;
+    bool packed = false;
     // Per-slot geometry + generation: slots written before a mid-stream
     // resolution switch keep their own dimensions.
     int w = 0, h = 0, gen = 0;
     bool valid = false;
   };
+
+  // Packs slot.av into slot.y/slot.uv once (idempotent). Must run with
+  // sync_ held: concurrent cursor drains may share a slot, and only the
+  // lock serializes the first pack.
+  int ensurePackedLocked(Slot& slot);
 
   // Shared cursor-drain loop: waits for / walks consecutive frames and
   // hands each valid slot to `sink(slot, copied)` with the ring lock

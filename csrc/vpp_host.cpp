@@ -194,8 +194,9 @@ inline uint8_t Blend4(float a, float b, float c, float d, float wx, float wy) {
   return static_cast<uint8_t>(static_cast<int>(s));
 }
 
-void BilinearY(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
-               int dh, const AxisTables& ax, const AxisTables& ay) {
+void BilinearY(const uint8_t* src, int sw, int sh, int sstride,
+               uint8_t* dst, int dw, int dh, const AxisTables& ax,
+               const AxisTables& ay) {
   int vec = 0;
   if (simd::Available()) {
     // SIMD lanes gather a 4-byte window at base[j]; hand the columns
@@ -205,15 +206,16 @@ void BilinearY(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
     vec = dw;
     while (vec > 0 && ax.base[vec - 1] + 3 >= sw) vec--;
     vec &= ~7;
-    simd::BilinearY(src, sw, sh, dst, dw, dh, vec, ax.base.data(),
-                    ax.w.data(), ay.base.data(), ay.w.data());
+    simd::BilinearY(src, sw, sh, sstride, dst, dw, dh, vec,
+                    ax.base.data(), ax.w.data(), ay.base.data(),
+                    ay.w.data());
   }
   for (int i = 0; i < dh; i++) {
     int ra = ay.base[i];
     int rc = (ra + 1 >= sh) ? ra : ra + 1;  // +y tap collapses at border
     float wy = ay.w[i];
-    const uint8_t* row_a = src + static_cast<size_t>(ra) * sw;
-    const uint8_t* row_c = src + static_cast<size_t>(rc) * sw;
+    const uint8_t* row_a = src + static_cast<size_t>(ra) * sstride;
+    const uint8_t* row_c = src + static_cast<size_t>(rc) * sstride;
     uint8_t* out = dst + static_cast<size_t>(i) * dw;
     for (int j = vec; j < dw; j++) {
       int ca = ax.base[j];
@@ -226,8 +228,9 @@ void BilinearY(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
 
 // Interleaved UV: U at even columns (x -> 2x, step 2), V at odd
 // (x -> 2x+1), half height (src/Resize.cu:235-238, 307-310).
-void BilinearUV(const uint8_t* src, int sw, int sh2, uint8_t* dst, int dw,
-                int dh2, const AxisTables& ax, const AxisTables& ay) {
+void BilinearUV(const uint8_t* src, int sw, int sh2, int sstride,
+                uint8_t* dst, int dw, int dh2, const AxisTables& ax,
+                const AxisTables& ay) {
   int vec = 0;
   if (simd::Available()) {
     // Lane j gathers the 4 bytes at 2*base[j] ([Ua,Va,Ub,Vb]); columns
@@ -235,15 +238,16 @@ void BilinearUV(const uint8_t* src, int sw, int sh2, uint8_t* dst, int dw,
     vec = dw / 2;
     while (vec > 0 && 2 * ax.base[vec - 1] + 3 >= sw) vec--;
     vec &= ~7;
-    simd::BilinearUV(src, sw, sh2, dst, dw, dh2, vec, ax.base.data(),
-                     ax.w.data(), ay.base.data(), ay.w.data());
+    simd::BilinearUV(src, sw, sh2, sstride, dst, dw, dh2, vec,
+                     ax.base.data(), ax.w.data(), ay.base.data(),
+                     ay.w.data());
   }
   for (int i = 0; i < dh2; i++) {
     int ra = ay.base[i];
     int rc = (ra + 1 >= sh2) ? ra : ra + 1;
     float wy = ay.w[i];
-    const uint8_t* row_a = src + static_cast<size_t>(ra) * sw;
-    const uint8_t* row_c = src + static_cast<size_t>(rc) * sw;
+    const uint8_t* row_a = src + static_cast<size_t>(ra) * sstride;
+    const uint8_t* row_c = src + static_cast<size_t>(rc) * sstride;
     uint8_t* out = dst + static_cast<size_t>(i) * dw;
     for (int j = vec; j < dw / 2; j++) {
       float wx = ax.w[j];
@@ -286,7 +290,8 @@ ColTaps BuildColTaps(const BicubicAxis& ax, int ncols, int col_scale,
 // (including the 480x360 case where the reference's own Windows/Linux
 // builds disagree — both platform CRCs come from coordinate-level
 // effects, and the fmaf coordinate above matches the Linux one).
-void BicubicPlane(const uint8_t* src, int src_w, const BicubicAxis& ay,
+void BicubicPlane(const uint8_t* src, int src_w, int sstride,
+                  const BicubicAxis& ay,
                   int row_bound, const BicubicAxis& ax, int ncols,
                   const ColTaps& col_taps, uint8_t* dst, int dst_w,
                   int nrows, int out_stride, int out_off, int j_start = 0) {
@@ -302,7 +307,7 @@ void BicubicPlane(const uint8_t* src, int src_w, const BicubicAxis& ay,
       for (int k = 0; k < 4; k++) cx[k] = ax.c[k][j];
       int rows[4];
       for (int rk = 0; rk < 4; rk++) {
-        const uint8_t* row = src + static_cast<size_t>(rt[rk]) * src_w;
+        const uint8_t* row = src + static_cast<size_t>(rt[rk]) * sstride;
         double acc = cx[0] * row[ct[0]] + cx[1] * row[ct[1]] +
                      cx[2] * row[ct[2]] + cx[3] * row[ct[3]];
         int b = static_cast<int>(std::round(acc));
@@ -323,6 +328,7 @@ void BicubicPlane(const uint8_t* src, int src_w, const BicubicAxis& ay,
 // periodic pattern rows; `(int)(acc/div)` store (ops/resize.py
 // `_area_down_plane`).
 void AreaDownPlane(const uint8_t* src, int plane_w, int plane_h,
+                   int sstride,
                    const std::vector<int>& y_base, const AreaPattern& py,
                    const std::vector<int>& x_base, const AreaPattern& px,
                    uint8_t* dst, int dst_w, int nrows, int ncols, int stride,
@@ -339,7 +345,7 @@ void AreaDownPlane(const uint8_t* src, int plane_w, int plane_h,
       float acc = 0.0f, div = 0.0f;
       for (int ti = 0; ti < py.taps; ti++) {
         int row = std::min(y_base[i] + ti, plane_h - 1);
-        const uint8_t* srow = src + static_cast<size_t>(row) * plane_w;
+        const uint8_t* srow = src + static_cast<size_t>(row) * sstride;
         for (int tj = 0; tj < px.taps; tj++) {
           int col = std::min(x_base[j] * stride + col_off + tj * stride,
                              plane_w - 1);
@@ -425,7 +431,8 @@ const BicubicPlan& GetBicubicPlan(int sw, int sh, int dw, int dh) {
 }
 
 void ResizeBicubic(const uint8_t* y, const uint8_t* uv, int sw, int sh,
-                   uint8_t* out_y, uint8_t* out_uv, int dw, int dh) {
+                   int y_stride, int uv_stride, uint8_t* out_y,
+                   uint8_t* out_uv, int dw, int dh) {
   const BicubicPlan& p = GetBicubicPlan(sw, sh, dw, dh);
   int vy = 0, vu = 0, vv = 0;
   if (simd::Available()) {
@@ -434,32 +441,33 @@ void ResizeBicubic(const uint8_t* y, const uint8_t* uv, int sw, int sh,
     vv = p.vec_v;
     const std::vector<int>& rt_y = p.rt_y;
     const std::vector<int>& rt_uv = p.rt_uv;
-    simd::BicubicPlane(y, sw, rt_y.data(), p.ay.c[0].data(), p.ay.c[1].data(),
+    simd::BicubicPlane(y, sw, y_stride, rt_y.data(), p.ay.c[0].data(), p.ay.c[1].data(),
                        p.ay.c[2].data(), p.ay.c[3].data(), p.ax.c[0].data(),
                        p.ax.c[1].data(), p.ax.c[2].data(), p.ax.c[3].data(),
                        p.y_ct.t[0].data(), p.y_ct.t[1].data(),
                        p.y_ct.t[2].data(), p.y_ct.t[3].data(), out_y, dw, dh,
                        vy, 1, 0);
-    simd::BicubicPlane(uv, sw, rt_uv.data(), p.ay.c[0].data(),
+    simd::BicubicPlane(uv, sw, uv_stride, rt_uv.data(), p.ay.c[0].data(),
                        p.ay.c[1].data(), p.ay.c[2].data(), p.ay.c[3].data(),
                        p.ax.c[0].data(), p.ax.c[1].data(), p.ax.c[2].data(),
                        p.ax.c[3].data(), p.u_ct.t[0].data(),
                        p.u_ct.t[1].data(), p.u_ct.t[2].data(),
                        p.u_ct.t[3].data(), out_uv, dw, dh / 2, vu, 2, 0);
-    simd::BicubicPlane(uv, sw, rt_uv.data(), p.ay.c[0].data(),
+    simd::BicubicPlane(uv, sw, uv_stride, rt_uv.data(), p.ay.c[0].data(),
                        p.ay.c[1].data(), p.ay.c[2].data(), p.ay.c[3].data(),
                        p.ax.c[0].data(), p.ax.c[1].data(), p.ax.c[2].data(),
                        p.ax.c[3].data(), p.v_ct.t[0].data(),
                        p.v_ct.t[1].data(), p.v_ct.t[2].data(),
                        p.v_ct.t[3].data(), out_uv, dw, dh / 2, vv, 2, 1);
   }
-  BicubicPlane(y, sw, p.ay, sh, p.ax, dw, p.y_ct, out_y, dw, dh, 1, 0, vy);
+  BicubicPlane(y, sw, y_stride, p.ay, sh, p.ax, dw, p.y_ct, out_y, dw, dh,
+               1, 0, vy);
   // UV: rows bounded by the half-height plane; U at even columns
   // (x -> 2x, stride-2 taps), V at odd (ops/resize.py resize_bicubic).
-  BicubicPlane(uv, sw, p.ay, sh / 2, p.ax, dw / 2, p.u_ct, out_uv, dw,
-               dh / 2, 2, 0, vu);
-  BicubicPlane(uv, sw, p.ay, sh / 2, p.ax, dw / 2, p.v_ct, out_uv, dw,
-               dh / 2, 2, 1, vv);
+  BicubicPlane(uv, sw, uv_stride, p.ay, sh / 2, p.ax, dw / 2, p.u_ct,
+               out_uv, dw, dh / 2, 2, 0, vu);
+  BicubicPlane(uv, sw, uv_stride, p.ay, sh / 2, p.ax, dw / 2, p.v_ct,
+               out_uv, dw, dh / 2, 2, 1, vv);
 }
 
 // Cached per-(src,dst) AREA tables (patterns + bases for downscale, or
@@ -524,7 +532,8 @@ const AreaPlan& GetAreaPlan(int sw, int sh, int dw, int dh) {
 }
 
 void ResizeArea(const uint8_t* y, const uint8_t* uv, int sw, int sh,
-                uint8_t* out_y, uint8_t* out_uv, int dw, int dh) {
+                int y_stride, int uv_stride, uint8_t* out_y,
+                uint8_t* out_uv, int dw, int dh) {
   const AreaPlan& p = GetAreaPlan(sw, sh, dw, dh);
   if (p.down) {
     int vy = 0, vu = 0, vv = 0;
@@ -542,42 +551,45 @@ void ResizeArea(const uint8_t* y, const uint8_t* uv, int sw, int sh,
       vv = dw / 2;
       while (vv > 0 && p.cb_v[vv - 1] + 2 * reach + 3 >= sw) vv--;
       vv &= ~7;
-      simd::AreaDown(y, sw, sh, p.yb.data(), p.py.rows.data(), p.py.period,
+      simd::AreaDown(y, sw, sh, y_stride, p.yb.data(), p.py.rows.data(), p.py.period,
                      p.py.taps, p.xb.data(), p.wxT.data(), dw, p.px.taps, 1,
                      out_y, dw, dh, vy, 1, 0);
-      simd::AreaDown(uv, sw, sh / 2, p.yb.data(), p.py.rows.data(),
-                     p.py.period, p.py.taps, p.cb_u.data(), p.wxT.data(), dw,
-                     p.px.taps, 2, out_uv, dw, dh / 2, vu, 2, 0);
-      simd::AreaDown(uv, sw, sh / 2, p.yb.data(), p.py.rows.data(),
-                     p.py.period, p.py.taps, p.cb_v.data(), p.wxT.data(), dw,
-                     p.px.taps, 2, out_uv, dw, dh / 2, vv, 2, 1);
+      simd::AreaDown(uv, sw, sh / 2, uv_stride, p.yb.data(),
+                     p.py.rows.data(), p.py.period, p.py.taps,
+                     p.cb_u.data(), p.wxT.data(), dw, p.px.taps, 2, out_uv,
+                     dw, dh / 2, vu, 2, 0);
+      simd::AreaDown(uv, sw, sh / 2, uv_stride, p.yb.data(),
+                     p.py.rows.data(), p.py.period, p.py.taps,
+                     p.cb_v.data(), p.wxT.data(), dw, p.px.taps, 2, out_uv,
+                     dw, dh / 2, vv, 2, 1);
     }
-    AreaDownPlane(y, sw, sh, p.yb, p.py, p.xb, p.px, out_y, dw, dh, dw, 1,
-                  0, 1, 0, vy);
-    AreaDownPlane(uv, sw, sh / 2, p.yb, p.py, p.xb, p.px, out_uv, dw,
-                  dh / 2, dw / 2, 2, 0, 2, 0, vu);
-    AreaDownPlane(uv, sw, sh / 2, p.yb, p.py, p.xb, p.px, out_uv, dw,
-                  dh / 2, dw / 2, 2, 1, 2, 1, vv);
+    AreaDownPlane(y, sw, sh, y_stride, p.yb, p.py, p.xb, p.px, out_y, dw,
+                  dh, dw, 1, 0, 1, 0, vy);
+    AreaDownPlane(uv, sw, sh / 2, uv_stride, p.yb, p.py, p.xb, p.px,
+                  out_uv, dw, dh / 2, dw / 2, 2, 0, 2, 0, vu);
+    AreaDownPlane(uv, sw, sh / 2, uv_stride, p.yb, p.py, p.xb, p.px,
+                  out_uv, dw, dh / 2, dw / 2, 2, 1, 2, 1, vv);
     return;
   }
   // Upscale: bilinear blend with coverage-derived weights.
-  BilinearY(y, sw, sh, out_y, dw, dh, p.up_x, p.up_y);
-  BilinearUV(uv, sw, sh / 2, out_uv, dw, dh / 2, p.up_x_uv, p.up_y_uv);
+  BilinearY(y, sw, sh, y_stride, out_y, dw, dh, p.up_x, p.up_y);
+  BilinearUV(uv, sw, sh / 2, uv_stride, out_uv, dw, dh / 2, p.up_x_uv,
+             p.up_y_uv);
 }
 
-void NearestY(const uint8_t* src, int sw, uint8_t* dst, int dw, int dh,
+void NearestY(const uint8_t* src, int sstride, uint8_t* dst, int dw, int dh,
               const AxisTables& ax, const AxisTables& ay) {
   for (int i = 0; i < dh; i++) {
-    const uint8_t* row = src + static_cast<size_t>(ay.nearest[i]) * sw;
+    const uint8_t* row = src + static_cast<size_t>(ay.nearest[i]) * sstride;
     uint8_t* out = dst + static_cast<size_t>(i) * dw;
     for (int j = 0; j < dw; j++) out[j] = row[ax.nearest[j]];
   }
 }
 
-void NearestUV(const uint8_t* src, int sw, uint8_t* dst, int dw, int dh2,
-               const AxisTables& ax, const AxisTables& ay) {
+void NearestUV(const uint8_t* src, int sstride, uint8_t* dst, int dw,
+               int dh2, const AxisTables& ax, const AxisTables& ay) {
   for (int i = 0; i < dh2; i++) {
-    const uint8_t* row = src + static_cast<size_t>(ay.nearest[i]) * sw;
+    const uint8_t* row = src + static_cast<size_t>(ay.nearest[i]) * sstride;
     uint8_t* out = dst + static_cast<size_t>(i) * dw;
     for (int j = 0; j < dw / 2; j++) {
       out[2 * j] = row[2 * ax.nearest[j]];
@@ -588,30 +600,42 @@ void NearestUV(const uint8_t* src, int sw, uint8_t* dst, int dw, int dh2,
 
 }  // namespace
 
-void ResizeNV12Host(const uint8_t* y, const uint8_t* uv, int sw, int sh,
-                    uint8_t* out_y, uint8_t* out_uv, int dw, int dh,
-                    HostResizeAlgo algo) {
+void ResizeNV12HostStrided(const uint8_t* y, int y_stride, const uint8_t* uv,
+                           int uv_stride, int sw, int sh, uint8_t* out_y,
+                           uint8_t* out_uv, int dw, int dh,
+                           HostResizeAlgo algo) {
   if (sw == dw && sh == dh) {
-    std::memcpy(out_y, y, static_cast<size_t>(sw) * sh);
-    std::memcpy(out_uv, uv, static_cast<size_t>(sw) * (sh / 2));
+    for (int i = 0; i < sh; i++)
+      std::memcpy(out_y + static_cast<size_t>(i) * sw,
+                  y + static_cast<size_t>(i) * y_stride, sw);
+    for (int i = 0; i < sh / 2; i++)
+      std::memcpy(out_uv + static_cast<size_t>(i) * sw,
+                  uv + static_cast<size_t>(i) * uv_stride, sw);
     return;
   }
   if (algo == HOST_RESIZE_BICUBIC) {
-    ResizeBicubic(y, uv, sw, sh, out_y, out_uv, dw, dh);
+    ResizeBicubic(y, uv, sw, sh, y_stride, uv_stride, out_y, out_uv, dw, dh);
     return;
   }
   if (algo == HOST_RESIZE_AREA) {
-    ResizeArea(y, uv, sw, sh, out_y, out_uv, dw, dh);
+    ResizeArea(y, uv, sw, sh, y_stride, uv_stride, out_y, out_uv, dw, dh);
     return;
   }
   const ResizePlan& plan = GetPlan(sw, sh, dw, dh);
   if (algo == HOST_RESIZE_BILINEAR) {
-    BilinearY(y, sw, sh, out_y, dw, dh, plan.x, plan.y);
-    BilinearUV(uv, sw, sh / 2, out_uv, dw, dh / 2, plan.x_uv, plan.y_uv);
+    BilinearY(y, sw, sh, y_stride, out_y, dw, dh, plan.x, plan.y);
+    BilinearUV(uv, sw, sh / 2, uv_stride, out_uv, dw, dh / 2, plan.x_uv,
+               plan.y_uv);
   } else {
-    NearestY(y, sw, out_y, dw, dh, plan.x, plan.y);
-    NearestUV(uv, sw, out_uv, dw, dh / 2, plan.x_uv, plan.y_uv);
+    NearestY(y, y_stride, out_y, dw, dh, plan.x, plan.y);
+    NearestUV(uv, uv_stride, out_uv, dw, dh / 2, plan.x_uv, plan.y_uv);
   }
+}
+
+void ResizeNV12Host(const uint8_t* y, const uint8_t* uv, int sw, int sh,
+                    uint8_t* out_y, uint8_t* out_uv, int dw, int dh,
+                    HostResizeAlgo algo) {
+  ResizeNV12HostStrided(y, sw, uv, sw, sw, sh, out_y, out_uv, dw, dh, algo);
 }
 
 }  // namespace ts

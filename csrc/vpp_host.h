@@ -28,4 +28,13 @@ void ResizeNV12Host(const uint8_t* y, const uint8_t* uv, int sw, int sh,
                     uint8_t* out_y, uint8_t* out_uv, int dw, int dh,
                     HostResizeAlgo algo);
 
+// Strided-source variant: the same math over planes whose rows live at
+// y_stride / uv_stride byte pitch (e.g. resizing straight out of a
+// decoder AVFrame or an interleave scratch) — bit-identical to the
+// tight path.
+void ResizeNV12HostStrided(const uint8_t* y, int y_stride, const uint8_t* uv,
+                           int uv_stride, int sw, int sh, uint8_t* out_y,
+                           uint8_t* out_uv, int dw, int dh,
+                           HostResizeAlgo algo);
+
 }  // namespace ts

@@ -73,14 +73,15 @@ inline void Store8(uint8_t* out, __m256i v32) {
 
 }  // namespace
 
-void BilinearY(const uint8_t* src, int src_w, int src_h, uint8_t* dst,
+void BilinearY(const uint8_t* src, int src_w, int src_h, int sstride,
+               uint8_t* dst,
                int dst_w, int nrows, int ncols_vec, const int* xbase,
                const float* xw, const int* ybase, const float* yw) {
   for (int i = 0; i < nrows; i++) {
     int ra = ybase[i];
     int rc = (ra + 1 >= src_h) ? ra : ra + 1;
-    const uint8_t* row_a = src + static_cast<size_t>(ra) * src_w;
-    const uint8_t* row_c = src + static_cast<size_t>(rc) * src_w;
+    const uint8_t* row_a = src + static_cast<size_t>(ra) * sstride;
+    const uint8_t* row_c = src + static_cast<size_t>(rc) * sstride;
     uint8_t* out = dst + static_cast<size_t>(i) * dst_w;
     __m256 wy = _mm256_set1_ps(yw[i]);
     __m256 omy = _mm256_sub_ps(_mm256_set1_ps(1.0f), wy);
@@ -102,14 +103,15 @@ void BilinearY(const uint8_t* src, int src_w, int src_h, uint8_t* dst,
   }
 }
 
-void BilinearUV(const uint8_t* src, int src_w, int src_h2, uint8_t* dst,
+void BilinearUV(const uint8_t* src, int src_w, int src_h2, int sstride,
+                uint8_t* dst,
                 int dst_w, int nrows2, int npairs_vec, const int* xbase,
                 const float* xw, const int* ybase, const float* yw) {
   for (int i = 0; i < nrows2; i++) {
     int ra = ybase[i];
     int rc = (ra + 1 >= src_h2) ? ra : ra + 1;
-    const uint8_t* row_a = src + static_cast<size_t>(ra) * src_w;
-    const uint8_t* row_c = src + static_cast<size_t>(rc) * src_w;
+    const uint8_t* row_a = src + static_cast<size_t>(ra) * sstride;
+    const uint8_t* row_c = src + static_cast<size_t>(rc) * sstride;
     uint8_t* out = dst + static_cast<size_t>(i) * dst_w;
     __m256 wy = _mm256_set1_ps(yw[i]);
     __m256 omy = _mm256_sub_ps(_mm256_set1_ps(1.0f), wy);
@@ -142,7 +144,7 @@ void BilinearUV(const uint8_t* src, int src_w, int src_h2, uint8_t* dst,
   }
 }
 
-void AreaDown(const uint8_t* src, int plane_w, int plane_h,
+void AreaDown(const uint8_t* src, int plane_w, int plane_h, int sstride,
               const int* ybase, const float* wy_rows, int y_period,
               int y_taps, const int* colbase, const float* wx_col,
               int ncols_stride, int x_taps, int x_stride, uint8_t* dst,
@@ -159,7 +161,7 @@ void AreaDown(const uint8_t* src, int plane_w, int plane_h,
       for (int ti = 0; ti < y_taps; ti++) {
         int row = ybase[i] + ti;
         if (row > plane_h - 1) row = plane_h - 1;
-        const uint8_t* srow = src + static_cast<size_t>(row) * plane_w;
+        const uint8_t* srow = src + static_cast<size_t>(row) * sstride;
         __m256 wyv = _mm256_set1_ps(wy[ti]);
         for (int tj = 0; tj < x_taps; tj++) {
           __m256i idx = _mm256_add_epi32(col0,
@@ -221,7 +223,8 @@ inline __m256d GatherBytePd(const uint8_t* row, __m128i idx) {
 
 }  // namespace
 
-void BicubicPlane(const uint8_t* src, int src_w, const int* rowtaps,
+void BicubicPlane(const uint8_t* src, int src_w, int sstride,
+                  const int* rowtaps,
                   const double* cy0, const double* cy1, const double* cy2,
                   const double* cy3, const double* cx0, const double* cx1,
                   const double* cx2, const double* cx3, const int* ct0,
@@ -242,7 +245,7 @@ void BicubicPlane(const uint8_t* src, int src_w, const int* rowtaps,
       __m256d x2 = _mm256_loadu_pd(cx2 + j), x3 = _mm256_loadu_pd(cx3 + j);
       __m256d rows[4];
       for (int rk = 0; rk < 4; rk++) {
-        const uint8_t* srow = src + static_cast<size_t>(rt[rk]) * src_w;
+        const uint8_t* srow = src + static_cast<size_t>(rt[rk]) * sstride;
         // Same left-associated mul/add chain as the scalar path — no
         // FMA contraction (matches -ffp-contract=off semantics).
         __m256d acc = _mm256_mul_pd(x0, GatherBytePd(srow, i0));
@@ -591,14 +594,14 @@ void BytesToNorm255(const uint8_t* src, float* dst, int n_vec) {
 
 #else  // !TS_SIMD_X86 — never reached (Available() is false)
 
-void BilinearY(const uint8_t*, int, int, uint8_t*, int, int, int,
+void BilinearY(const uint8_t*, int, int, int, uint8_t*, int, int, int,
                const int*, const float*, const int*, const float*) {}
-void BilinearUV(const uint8_t*, int, int, uint8_t*, int, int, int,
+void BilinearUV(const uint8_t*, int, int, int, uint8_t*, int, int, int,
                 const int*, const float*, const int*, const float*) {}
-void AreaDown(const uint8_t*, int, int, const int*, const float*, int, int,
-              const int*, const float*, int, int, int, uint8_t*, int, int,
-              int, int, int) {}
-void BicubicPlane(const uint8_t*, int, const int*, const double*,
+void AreaDown(const uint8_t*, int, int, int, const int*, const float*, int,
+              int, const int*, const float*, int, int, int, uint8_t*, int,
+              int, int, int, int) {}
+void BicubicPlane(const uint8_t*, int, int, const int*, const double*,
                   const double*, const double*, const double*, const double*,
                   const double*, const double*, const double*, const int*,
                   const int*, const int*, const int*, uint8_t*, int, int,

@@ -24,16 +24,18 @@ bool Available();
 // j in [0, ncols_vec) — ncols_vec must be a multiple of 8.
 // rc_of_ra: per-row +1 tap collapse is resolved by the caller (row
 // pointers are passed per row internally from ybase/yw).
-void BilinearY(const uint8_t* src, int src_w, int src_h, uint8_t* dst,
-               int dst_w, int nrows, int ncols_vec, const int* xbase,
-               const float* xw, const int* ybase, const float* yw);
+void BilinearY(const uint8_t* src, int src_w, int src_h, int sstride,
+               uint8_t* dst, int dst_w, int nrows, int ncols_vec,
+               const int* xbase, const float* xw, const int* ybase,
+               const float* yw);
 
 // Bilinear interleaved UV (half-height plane, U at even / V at odd
 // columns): processes output pairs j in [0, npairs_vec) — multiple of 8;
 // caller guarantees 2*xbase[j] + 3 < src_w for those lanes.
-void BilinearUV(const uint8_t* src, int src_w, int src_h2, uint8_t* dst,
-                int dst_w, int nrows2, int npairs_vec, const int* xbase,
-                const float* xw, const int* ybase, const float* yw);
+void BilinearUV(const uint8_t* src, int src_w, int src_h2, int sstride,
+                uint8_t* dst, int dst_w, int nrows2, int npairs_vec,
+                const int* xbase, const float* xw, const int* ybase,
+                const float* yw);
 
 // AREA-downscale plane: per lane the same fmaf(acc)/plain-add(div)
 // accumulation over the y-outer x-inner tap walk as the scalar
@@ -46,7 +48,7 @@ void BilinearUV(const uint8_t* src, int src_w, int src_h2, uint8_t* dst,
 // every lane in [0, ncols_vec) (so no tap needs the right-edge clamp
 // and the 4-byte gather window stays inside the row). ncols_vec is a
 // multiple of 8. out_stride/out_off place interleaved UV outputs.
-void AreaDown(const uint8_t* src, int plane_w, int plane_h,
+void AreaDown(const uint8_t* src, int plane_w, int plane_h, int sstride,
               const int* ybase, const float* wy_rows, int y_period,
               int y_taps, const int* colbase, const float* wx_col,
               int ncols_stride, int x_taps, int x_stride, uint8_t* dst,
@@ -63,7 +65,8 @@ void AreaDown(const uint8_t* src, int plane_w, int plane_h,
 // taps ct0..ct3, guaranteeing ct{k}[j] + 3 < src_w for every lane in
 // [0, ncols_vec) (multiple of 4). out_stride/out_off place interleaved
 // UV outputs.
-void BicubicPlane(const uint8_t* src, int src_w, const int* rowtaps,
+void BicubicPlane(const uint8_t* src, int src_w, int sstride,
+                  const int* rowtaps,
                   const double* cy0, const double* cy1, const double* cy2,
                   const double* cy3, const double* cx0, const double* cx1,
                   const double* cx2, const double* cx3, const int* ct0,
