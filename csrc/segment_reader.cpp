@@ -7,6 +7,7 @@ extern "C" {
 #include <cstring>
 
 #include "nv12_pack.h"
+#include "vpp_host_simd.h"
 
 namespace ts {
 
@@ -384,16 +385,43 @@ int SegmentedReader::deposit(int64_t frame_idx, const AVFrame* f,
   if (params_.dst_width) {
     if (f->width == params_.dst_width && f->height == params_.dst_height) {
       rc = PackFrameNV12(f, slot.y.data(), slot.uv.data(), &scratch.sws);
-    } else {
-      // Per-slot resize from the frame's own geometry — rides
-      // resolution switches like the serial bulk-resized path. The
-      // worker-owned scratch avoids a ~3 MB alloc/free per frame on
-      // this (throughput) path.
-      const size_t ysz = static_cast<size_t>(f->width) * f->height;
-      if (scratch.y.size() != ysz) {
-        scratch.y.resize(ysz);
-        scratch.uv.resize(ysz / 2);
+    } else if (f->format == AV_PIX_FMT_NV12) {
+      // Resize straight from the decoder planes (same zero-pack trick
+      // as the serial ring's resized drain, csrc/decoder.cpp).
+      ResizeNV12HostStrided(f->data[0], f->linesize[0], f->data[1],
+                            f->linesize[1], f->width, f->height,
+                            slot.y.data(), slot.uv.data(),
+                            params_.dst_width, params_.dst_height,
+                            static_cast<HostResizeAlgo>(params_.resize_algo));
+      rc = TS_OK;
+    } else if (f->format == AV_PIX_FMT_YUV420P ||
+               f->format == AV_PIX_FMT_YUVJ420P) {
+      // 4:2:0 planar: interleave UV into the worker scratch (the Y
+      // plane never copies), then resize strided.
+      const int w = f->width, h = f->height;
+      const size_t need = static_cast<size_t>(w) * (h / 2);
+      if (scratch.uv.size() < need) scratch.uv.resize(need);
+      const int vec = simd::Available() ? (w / 2) & ~15 : 0;
+      for (int i = 0; i < h / 2; i++) {
+        uint8_t* dst = scratch.uv.data() + static_cast<size_t>(i) * w;
+        const uint8_t* u = f->data[1] + static_cast<size_t>(i) * f->linesize[1];
+        const uint8_t* v = f->data[2] + static_cast<size_t>(i) * f->linesize[2];
+        simd::InterleavePairs(u, v, dst, vec);
+        for (int j = vec; j < w / 2; j++) {
+          dst[2 * j] = u[j];
+          dst[2 * j + 1] = v[j];
+        }
       }
+      ResizeNV12HostStrided(f->data[0], f->linesize[0], scratch.uv.data(),
+                            w, w, h, slot.y.data(), slot.uv.data(),
+                            params_.dst_width, params_.dst_height,
+                            static_cast<HostResizeAlgo>(params_.resize_algo));
+      rc = TS_OK;
+    } else {
+      // Exotic formats: pack via swscale, then resize.
+      const size_t ysz = static_cast<size_t>(f->width) * f->height;
+      if (scratch.y.size() < ysz) scratch.y.resize(ysz);
+      if (scratch.uv.size() < ysz / 2) scratch.uv.resize(ysz / 2);
       rc = PackFrameNV12(f, scratch.y.data(), scratch.uv.data(),
                          &scratch.sws);
       if (rc == TS_OK)
