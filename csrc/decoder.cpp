@@ -411,9 +411,7 @@ bool Decoder::hasRingHeadroom() {
 
 int Decoder::bulkDrain(const std::string& consumer, int count,
                        int* first_index, bool uniform, const FrameSink& sink) {
-  // `uniform` sinks (GetFramesBulk) copy packed NV12; the resized sink
-  // reads the AVFrame planes strided and never packs.
-  const bool needs_packed = uniform;
+
   // Blocks Close() for the duration of the drain; notifyConsumers (which
   // Stop() issues first) sets is_finished_ without needing this guard,
   // so a parked drain wakes, exits the loop, and releases us.
@@ -450,10 +448,6 @@ int Decoder::bulkDrain(const std::string& consumer, int count,
         // Per-slot-adaptive sink (resized drain): adopt silently.
         acked_gen_[consumer] = slot.gen;
       }
-      if (needs_packed)
-        ensurePackedLocked(const_cast<Slot&>(slot));  // serialized here:
-        // two cursors can share a slot and only the lock orders the
-        // first pack.
       // Safe to read the slot unlocked: the producer's back-pressure
       // wait (storeFrame) cannot overwrite slot `cursor % size` until
       // this cursor advances past it, and the cursor only advances
@@ -477,15 +471,27 @@ int Decoder::GetFramesBulk(const std::string& consumer, int count,
   // mode guarantees every slot of one batch shares the consumer's
   // acknowledged geometry (which can differ from the CURRENT width_/
   // height_ while a cursor drains frames stored before a switch).
-  return bulkDrain(consumer, count, first_index, /*uniform=*/true,
-                   [&](const Slot& slot, int copied) {
-                     const size_t ys = static_cast<size_t>(slot.w) * slot.h;
-                     std::memcpy(out_y + static_cast<size_t>(copied) * ys,
-                                 slot.y.data(), ys);
-                     std::memcpy(out_uv +
-                                     static_cast<size_t>(copied) * (ys / 2),
-                                 slot.uv.data(), ys / 2);
-                   });
+  // The sink packs STRAIGHT into the caller's batch buffer from the
+  // decoder planes (one write instead of pack-into-slot + memcpy);
+  // exotic formats were packed eagerly at store and copy from the slot.
+  return bulkDrain(
+      consumer, count, first_index, /*uniform=*/true,
+      [&](const Slot& slot, int copied) {
+        const size_t ys = static_cast<size_t>(slot.w) * slot.h;
+        uint8_t* oy = out_y + static_cast<size_t>(copied) * ys;
+        uint8_t* ouv = out_uv + static_cast<size_t>(copied) * (ys / 2);
+        const AVFrame* f = slot.av;
+        if (f && f->data[0] &&
+            (f->format == AV_PIX_FMT_YUV420P ||
+             f->format == AV_PIX_FMT_YUVJ420P ||
+             f->format == AV_PIX_FMT_NV12)) {
+          SwsContext* unused = nullptr;
+          PackFrameNV12(f, oy, ouv, &unused);  // 4:2:0 paths never use sws
+        } else {
+          std::memcpy(oy, slot.y.data(), ys);
+          std::memcpy(ouv, slot.uv.data(), ys / 2);
+        }
+      });
 }
 
 int Decoder::GetFramesBulkResized(const std::string& consumer, int count,
