@@ -270,18 +270,24 @@ def bench_headline():
                          normalization=True)
     out, _ = next(loader)  # warm the jit cache before timing
     jax.block_until_ready(out)
-    frames = 0
-    pending = None
-    start = time.perf_counter()
-    while time.perf_counter() - start < TARGET_SECONDS:
-        out, _ = next(loader)
-        pending = out  # async dispatch; don't block inside the loop
-        frames += out.shape[0]
-    if pending is not None:
-        jax.block_until_ready(pending)
-    elapsed = time.perf_counter() - start
+    # Best-of-2 halves over one continuous run: transient stalls on a
+    # shared 1-core host only ever subtract, so the better half is the
+    # stable capability estimate (same rationale as _best_of for the
+    # stage benches).
+    best = 0.0
+    for _ in range(2):
+        frames = 0
+        pending = None
+        start = time.perf_counter()
+        while time.perf_counter() - start < TARGET_SECONDS / 2:
+            out, _ = next(loader)
+            pending = out  # async dispatch; don't block inside the loop
+            frames += out.shape[0]
+        if pending is not None:
+            jax.block_until_ready(pending)
+        best = max(best, frames / (time.perf_counter() - start))
     loader.close()
-    return frames / elapsed
+    return best
 
 
 def _best_of(n, fn, *args):
