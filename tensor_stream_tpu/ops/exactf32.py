@@ -42,31 +42,26 @@ def const_me(w):
     return np.where(zero, 0, m), np.where(zero, 0, e)
 
 
-def _bitlen(v):
-    """Bit length of a positive i64 (0 for 0)."""
-    return 64 - jax.lax.clz(v)
-
-
 def _rn24(s, e, sticky):
-    """Rounds positive i64 significand `s` (value s*2^e, plus a sticky
-    flag for bits already shifted out below) to a 24-bit normalized
-    (m, e) under round-to-nearest-even."""
-    n = _bitlen(s)
-    sh = jnp.maximum(n - _MBITS, 0)
-    keep = s >> sh
-    rem = s - (keep << sh)
-    half = jnp.where(sh > 0, jnp.int64(1) << jnp.maximum(sh - 1, 0),
-                     jnp.int64(0))
-    # >half (or ==half with sticky bits below) rounds up; the exact tie
-    # goes to even. sh == 0 means the value is exact at target width
-    # (alignment guarantees sticky implies sh >= 13; see _sum_round).
-    up = (sh > 0) & ((rem > half) |
-                     ((rem == half) & (sticky | ((keep & 1) == 1))))
-    m = keep + up.astype(jnp.int64)
-    e = e + sh
-    carry = m == (1 << _MBITS)
-    m = jnp.where(carry, m >> 1, m)
-    e = jnp.where(carry, e + 1, e)
+    """Rounds positive i64 significand `s` (value s*2^e, <= 62 bits,
+    plus a sticky flag for bits already shifted out below) to a 24-bit
+    normalized (m, e) under round-to-nearest-even.
+
+    The rounding itself is the hardware's i64->f32 conversion, which IS
+    RN-even to 24 bits (XLA convert semantics on every backend); the
+    sticky bit folds in below the lsb first (s*2 + sticky), turning
+    would-be ties into round-ups exactly when lower bits were lost.
+    The (m, e) pair then falls out of the f32 bit pattern — no clz, no
+    data-dependent shifts. Exactness is pinned by the CRC suites and
+    the IEEE fuzz (tests/test_exactf32.py) on every backend."""
+    s2 = (s << 1) | sticky.astype(jnp.int64)
+    f = s2.astype(jnp.float32)  # RN-even to 24 bits, the one rounding
+    bits = jax.lax.bitcast_convert_type(f, jnp.int32).astype(jnp.int64)
+    m = (bits & 0x7FFFFF) | 0x800000
+    ef = ((bits >> 23) & 0xFF) - 127  # f = mf * 2^(ef-23), s2 = f exactly
+    zero = s == 0
+    m = jnp.where(zero, 0, m)
+    e = jnp.where(zero, 0, e + ef - _MBITS + 1 - 1)  # -1 undoes s<<1
     return m, e
 
 
@@ -83,15 +78,19 @@ def _sum_round(p, ep, ma, ea):
     d = ep - ea
     # Operand order by exponent; the value-magnitude order is irrelevant
     # to correctness, only overflow headroom matters: v_hi <= 48 bits,
-    # left shift cap 14 keeps v_hi<<14 + v_lo < 2^63.
+    # left shift cap 13 keeps v_hi<<13 + v_lo <= 2^62 — one headroom bit
+    # for _rn24's sticky fold (s<<1).
     v_hi = jnp.where(d >= 0, p, ma)
     v_lo = jnp.where(d >= 0, ma, p)
     e_lo = jnp.minimum(ep, ea)
     ad = jnp.abs(d)
-    lsh = jnp.minimum(ad, 14)
+    lsh = jnp.minimum(ad, 13)
     rsh = jnp.minimum(ad - lsh, 63)  # beyond 63 the value is pure sticky
     lost = v_lo & ((jnp.int64(1) << rsh) - 1)  # rsh=63 masks all 48 bits
     sticky = lost != 0
+    # sh >= 12 whenever sticky can be set (v_hi normalized >= 2^23,
+    # lsh = 13 when rsh > 0), so the fold below the lsb is always below
+    # the rounding point.
     s = (v_hi << lsh) + (v_lo >> rsh)
     e = e_lo + rsh
     m_out, e_out = _rn24(s, e, sticky)
