@@ -84,3 +84,42 @@ def test_graft_entry_single_device():
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+@needs_mesh
+def test_sharded_stream_loader_end_to_end():
+    """ShardedStreamLoader: two streams -> one GLOBAL jax.Array sharded
+    over a 'dp' mesh (each stream's frames resident on its own device),
+    consumable by a sharded program — the dp-serving shape on the
+    virtual mesh."""
+    import os
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from tensor_stream_tpu import ShardedStreamLoader
+
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "bbb_720x480_RGB24_250.h264")
+    loader = ShardedStreamLoader(
+        [fix, fix], per_stream=4, host_resize=True, width=64, height=64,
+        resize_type=ResizeType.BILINEAR, pixel_format=FourCC.RGB24,
+        planes_pos=Planes.PLANAR, normalization=True, buffer_size=16)
+    try:
+        batch, indices = next(loader)
+        assert batch.shape == (8, 3, 64, 64)
+        shard_devs = {s.device for s in batch.addressable_shards}
+        assert len(shard_devs) == 2  # one device per stream
+        assert indices[0] == indices[1] == [1, 2, 3, 4]
+
+        # A sharded reduction consumes the global array directly.
+        mesh = loader.mesh
+        out = jax.jit(
+            lambda x: jnp.mean(x, axis=(1, 2, 3)),
+            in_shardings=NamedSharding(mesh, PartitionSpec("dp")),
+            out_shardings=NamedSharding(mesh, PartitionSpec("dp")))(batch)
+        vals = np.asarray(out)
+        assert vals.shape == (8,) and np.isfinite(vals).all()
+        # Same file on both streams: per-stream shard means agree.
+        assert np.allclose(vals[:4], vals[4:], atol=1e-6)
+    finally:
+        loader.close()
