@@ -145,7 +145,8 @@ int Decoder::storeFrame(AVFrame* frame) {
       frame->format == AV_PIX_FMT_NV12) {
     // Lazy pack: hold a buffer reference; consumers pack on first use
     // (ensurePackedLocked) or read the planes strided without packing.
-    av_frame_ref(slot.av, frame);
+    int rs = av_frame_ref(slot.av, frame);
+    if (rs < 0) return rs;  // ENOMEM: do not publish a dataless slot
     slot.packed = false;
   } else {
     // Exotic formats go through swscale once, here (csrc/nv12_pack.h —
@@ -163,13 +164,16 @@ int Decoder::storeFrame(AVFrame* frame) {
   consumer_cv_.notify_all();
 
   if (dump_file_) {
+    int pk;
     {
       std::lock_guard<std::mutex> relk(sync_);
-      ensurePackedLocked(slot);
+      pk = ensurePackedLocked(slot);
     }
-    fwrite(slot.y.data(), 1, y_size, dump_file_);
-    fwrite(slot.uv.data(), 1, uv_size, dump_file_);
-    fflush(dump_file_);
+    if (pk == TS_OK) {  // a failed pack must not fwrite stale bytes
+      fwrite(slot.y.data(), 1, y_size, dump_file_);
+      fwrite(slot.uv.data(), 1, uv_size, dump_file_);
+      fflush(dump_file_);
+    }
   }
   return TS_OK;
 }
@@ -178,8 +182,9 @@ int Decoder::ensurePackedLocked(Slot& slot) {
   if (slot.packed) return TS_OK;
   if (!slot.av || !slot.av->data[0]) return TS_ERROR;
   const size_t y_size = static_cast<size_t>(slot.w) * slot.h;
+  const size_t uv_size = static_cast<size_t>(slot.w) * (slot.h / 2);
   if (slot.y.size() != y_size) slot.y.resize(y_size);
-  if (slot.uv.size() != y_size / 2) slot.uv.resize(y_size / 2);
+  if (slot.uv.size() != uv_size) slot.uv.resize(uv_size);
   int pk = PackFrameNV12(slot.av, slot.y.data(), slot.uv.data(), &sws_);
   if (pk != TS_OK) return pk;
   slot.packed = true;
@@ -332,9 +337,9 @@ int Decoder::GetFrame(int index, const std::string& consumer, uint8_t* out_y,
     int pk = ensurePackedLocked(const_cast<Slot&>(slot));
     if (pk != TS_OK) return pk;
   }
-  const size_t y_size = static_cast<size_t>(slot.w) * slot.h;
-  std::memcpy(out_y, slot.y.data(), y_size);
-  std::memcpy(out_uv, slot.uv.data(), y_size / 2);
+  std::memcpy(out_y, slot.y.data(), static_cast<size_t>(slot.w) * slot.h);
+  std::memcpy(out_uv, slot.uv.data(),
+              static_cast<size_t>(slot.w) * (slot.h / 2));
   return current_frame_;
 }
 
@@ -478,8 +483,9 @@ int Decoder::GetFramesBulk(const std::string& consumer, int count,
       consumer, count, first_index, /*uniform=*/true,
       [&](const Slot& slot, int copied) {
         const size_t ys = static_cast<size_t>(slot.w) * slot.h;
+        const size_t uvs = static_cast<size_t>(slot.w) * (slot.h / 2);
         uint8_t* oy = out_y + static_cast<size_t>(copied) * ys;
-        uint8_t* ouv = out_uv + static_cast<size_t>(copied) * (ys / 2);
+        uint8_t* ouv = out_uv + static_cast<size_t>(copied) * uvs;
         const AVFrame* f = slot.av;
         if (f && f->data[0] &&
             (f->format == AV_PIX_FMT_YUV420P ||
@@ -489,7 +495,7 @@ int Decoder::GetFramesBulk(const std::string& consumer, int count,
           PackFrameNV12(f, oy, ouv, &unused);  // 4:2:0 paths never use sws
         } else {
           std::memcpy(oy, slot.y.data(), ys);
-          std::memcpy(ouv, slot.uv.data(), ys / 2);
+          std::memcpy(ouv, slot.uv.data(), uvs);
         }
       });
 }
@@ -527,20 +533,9 @@ int Decoder::GetFramesBulkResized(const std::string& consumer, int count,
                                 f->format == AV_PIX_FMT_YUVJ420P)) {
           const size_t need = static_cast<size_t>(slot.w) * (slot.h / 2);
           if (uv_scratch.size() < need) uv_scratch.resize(need);
-          const int vec = simd::Available() ? (slot.w / 2) & ~15 : 0;
-          for (int i = 0; i < slot.h / 2; i++) {
-            uint8_t* dst = uv_scratch.data() +
-                           static_cast<size_t>(i) * slot.w;
-            const uint8_t* u = f->data[1] +
-                               static_cast<size_t>(i) * f->linesize[1];
-            const uint8_t* v = f->data[2] +
-                               static_cast<size_t>(i) * f->linesize[2];
-            simd::InterleavePairs(u, v, dst, vec);
-            for (int j = vec; j < slot.w / 2; j++) {
-              dst[2 * j] = u[j];
-              dst[2 * j + 1] = v[j];
-            }
-          }
+          InterleaveChromaRows(f->data[1], f->linesize[1], f->data[2],
+                               f->linesize[2], slot.w, slot.h / 2,
+                               uv_scratch.data());
           ResizeNV12HostStrided(f->data[0], f->linesize[0],
                                 uv_scratch.data(), slot.w, slot.w, slot.h,
                                 oy, ouv, dst_w, dst_h,

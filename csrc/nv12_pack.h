@@ -19,6 +19,26 @@ extern "C" {
 
 namespace ts {
 
+// Interleaves planar U/V rows (own line sizes) into packed NV12 chroma
+// (dst pitch = w): the one definition of the SIMD-trim + scalar-tail
+// walk used by the ring pack, the zero-copy resized drains, and the
+// segment-parallel deposit.
+inline void InterleaveChromaRows(const uint8_t* u, int u_linesize,
+                                 const uint8_t* v, int v_linesize, int w,
+                                 int h2, uint8_t* dst) {
+  const int vec = simd::Available() ? (w / 2) & ~15 : 0;
+  for (int i = 0; i < h2; i++) {
+    uint8_t* d = dst + static_cast<size_t>(i) * w;
+    const uint8_t* ur = u + static_cast<size_t>(i) * u_linesize;
+    const uint8_t* vr = v + static_cast<size_t>(i) * v_linesize;
+    simd::InterleavePairs(ur, vr, d, vec);
+    for (int j = vec; j < w / 2; j++) {
+      d[2 * j] = ur[j];
+      d[2 * j + 1] = vr[j];
+    }
+  }
+}
+
 inline int PackFrameNV12(const AVFrame* frame, uint8_t* dy, uint8_t* duv,
                          SwsContext** sws) {
   const int w = frame->width, h = frame->height;
@@ -28,21 +48,10 @@ inline int PackFrameNV12(const AVFrame* frame, uint8_t* dy, uint8_t* duv,
     for (int i = 0; i < h; i++)
       std::memcpy(dy + static_cast<size_t>(i) * w,
                   sy + static_cast<size_t>(i) * frame->linesize[0], w);
-    const uint8_t* su = frame->data[1];
-    const uint8_t* sv = frame->data[2];
     // SIMD chroma interleave (pure byte moves): ~20% of the 1080p
     // decode-store budget in the scalar loop.
-    const int vec = simd::Available() ? (w / 2) & ~15 : 0;
-    for (int i = 0; i < h / 2; i++) {
-      uint8_t* dst = duv + static_cast<size_t>(i) * w;
-      const uint8_t* u = su + static_cast<size_t>(i) * frame->linesize[1];
-      const uint8_t* v = sv + static_cast<size_t>(i) * frame->linesize[2];
-      simd::InterleavePairs(u, v, dst, vec);
-      for (int j = vec; j < w / 2; j++) {
-        dst[2 * j] = u[j];
-        dst[2 * j + 1] = v[j];
-      }
-    }
+    InterleaveChromaRows(frame->data[1], frame->linesize[1], frame->data[2],
+                         frame->linesize[2], w, h / 2, duv);
   } else if (frame->format == AV_PIX_FMT_NV12) {
     for (int i = 0; i < h; i++)
       std::memcpy(dy + static_cast<size_t>(i) * w,

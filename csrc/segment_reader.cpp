@@ -401,17 +401,8 @@ int SegmentedReader::deposit(int64_t frame_idx, const AVFrame* f,
       const int w = f->width, h = f->height;
       const size_t need = static_cast<size_t>(w) * (h / 2);
       if (scratch.uv.size() < need) scratch.uv.resize(need);
-      const int vec = simd::Available() ? (w / 2) & ~15 : 0;
-      for (int i = 0; i < h / 2; i++) {
-        uint8_t* dst = scratch.uv.data() + static_cast<size_t>(i) * w;
-        const uint8_t* u = f->data[1] + static_cast<size_t>(i) * f->linesize[1];
-        const uint8_t* v = f->data[2] + static_cast<size_t>(i) * f->linesize[2];
-        simd::InterleavePairs(u, v, dst, vec);
-        for (int j = vec; j < w / 2; j++) {
-          dst[2 * j] = u[j];
-          dst[2 * j + 1] = v[j];
-        }
-      }
+      InterleaveChromaRows(f->data[1], f->linesize[1], f->data[2],
+                           f->linesize[2], w, h / 2, scratch.uv.data());
       ResizeNV12HostStrided(f->data[0], f->linesize[0], scratch.uv.data(),
                             w, w, h, slot.y.data(), slot.uv.data(),
                             params_.dst_width, params_.dst_height,
