@@ -42,8 +42,11 @@ int main(int argc, char** argv) {
 
   ts::TensorStream reader;
   reader.enableLogs(-ts::LOG_MEDIUM);  // negative level -> console
+  // BLOCKING: the producer lock-steps with this consumer from frame 1,
+  // so the dump is deterministic regardless of host load (FAST lets a
+  // fast producer run ahead before the first read registers).
   if (reader.initPipeline(input, /*max_consumers=*/5, /*buffer_size=*/10,
-                          ts::FR_FAST) != ts::TS_OK) {
+                          ts::FR_BLOCKING) != ts::TS_OK) {
     std::fprintf(stderr, "failed to open %s\n", input.c_str());
     return 1;
   }

@@ -155,3 +155,78 @@ def trunc_u8(m, e):
     left = jnp.clip(e, 0, 8)
     right = jnp.clip(-e, 0, 63)
     return ((m << left) >> right).astype(jnp.uint8)
+
+
+# ------------------------------------------------- value-based fast path
+#
+# The (m, e) softfloat above needs i64 (emulated as i32 pairs on TPU).
+# For the fmaf chains themselves there is a cheaper exact route working
+# on plain f32 VALUES with error-free transformations: every multiply
+# inside Veltkamp/Dekker two_prod is exact by construction, so XLA's
+# contraction freedom cannot change any intermediate, and the one real
+# rounding happens in the final add after a round-to-odd fix-up
+# (Boldo-Melquiond: RN(sh + RO(e)) == RN(sh + e) when the odd-rounded
+# term carries the sticky information). All ops are native 32-bit;
+# denormal-range intermediates cannot occur for the resize weight tables
+# (weights >= ~2^-30, pixels <= 255, so every EFT error term stays
+# normal). Exactness is pinned against libm's hardware fmaf
+# (tests/test_exactf32.py) and the resize CRC oracles on both backends.
+
+_SPLIT = np.float32(4097.0)  # 2^(24-12) + 1: Veltkamp splitter for f32
+
+
+def _two_sum(a, b):
+    """Knuth two-sum: s = RN(a+b), err exact (s + err == a + b)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _two_prod(a, b):
+    """Dekker two-product: p = RN(a*b), err exact (p + err == a*b).
+    The split products are exact (12x12-bit halves), so any fms/fma
+    contraction XLA applies changes nothing."""
+    p = a * b
+    ca = _SPLIT * a
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = _SPLIT * b
+    bh = cb - (cb - b)
+    bl = b - bh
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _round_to_odd(v, rho):
+    """Round-to-odd of the exact value v + rho (|rho| < ulp(v)): keep v
+    when exact or already odd, else nudge one ulp toward rho."""
+    bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+    toward_pos = jnp.where(v >= 0, jnp.int32(1), jnp.int32(-1))
+    step = jnp.where(rho > 0, toward_pos, -toward_pos)
+    nudge = (rho != 0) & ((bits & 1) == 0)
+    out = jax.lax.bitcast_convert_type(
+        jnp.where(nudge, bits + step, bits), jnp.float32)
+    return out
+
+
+def fma32v(x, w, acc):
+    """Correctly-rounded f32 fmaf(x, w, acc) on VALUES (f32 arrays /
+    broadcastable host constants) — one rounding, no i64."""
+    x = jnp.asarray(x).astype(jnp.float32)
+    w = jnp.asarray(w).astype(jnp.float32)
+    acc = jnp.asarray(acc).astype(jnp.float32)
+    ph, pl = _two_prod(x, w)
+    sh, sl = _two_sum(acc, ph)
+    v, rho = _two_sum(sl, pl)
+    return sh + _round_to_odd(v, rho)
+
+
+def f32_to_me(v):
+    """(m, e) pair of a nonnegative normal f32 value (0 -> (0, 0)),
+    for handing a value-chain result to the integer division."""
+    bits = jax.lax.bitcast_convert_type(v, jnp.int32).astype(jnp.int64)
+    m = (bits & 0x7FFFFF) | 0x800000
+    e = ((bits >> 23) & 0xFF) - 127 - (_MBITS - 1)
+    zero = v == 0
+    return jnp.where(zero, 0, m), jnp.where(zero, 0, e)

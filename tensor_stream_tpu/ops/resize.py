@@ -21,8 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..enums import ResizeType
-from .exactf32 import (const_me, div_f32, fma_f32, fma_u8, mul_f32,
-                       mul_u8, trunc_u8)
+from .exactf32 import (const_me, div_f32, f32_to_me, fma32v, trunc_u8)
 
 _EPS32 = np.float32(np.finfo(np.float32).eps)
 
@@ -105,31 +104,22 @@ def _bilinear_plane(img, row_a, row_c, col_a, col_b, wx, wy):
     XLA exposes no FMA op and the TPU backend has no f64, so every f32
     rounding is emulated EXACTLY in integer softfloat (ops/exactf32.py)
     — bit-identical on every backend, reproducing the committed CRCs."""
-    a = _take2(img, row_a, col_a)
-    b = _take2(img, row_a, col_b)
-    c = _take2(img, row_c, col_a)
-    d = _take2(img, row_c, col_b)
+    a = _take2(img, row_a, col_a).astype(jnp.float32)
+    b = _take2(img, row_a, col_b).astype(jnp.float32)
+    c = _take2(img, row_c, col_a).astype(jnp.float32)
+    d = _take2(img, row_c, col_b).astype(jnp.float32)
     wx = np.asarray(wx, np.float32)[None, :]
     wy = np.asarray(wy, np.float32)[:, None]
     omx = np.float32(1) - wx
     omy = np.float32(1) - wy
-    mwx, ewx = const_me(wx)
-    mwy, ewy = const_me(wy)
-    momx, eomx = const_me(omx)
-    momy, eomy = const_me(omy)
-    with jax.enable_x64(True):
-        jwx, jewx = jnp.asarray(mwx), jnp.asarray(ewx)
-        jwy, jewy = jnp.asarray(mwy), jnp.asarray(ewy)
-        m2, e2 = mul_f32(jwx, jewx, jwy, jewy)          # f32(wx*wy)
-        tb = mul_u8(b, mwx, ewx)                        # b*wx
-        t1 = mul_f32(*tb, jnp.asarray(momy), jnp.asarray(eomy))
-        ta = mul_u8(a, momx, eomx)                      # a*omx
-        s = fma_f32(*ta, momy, eomy, *t1)
-        tc = mul_u8(c, mwy, ewy)                        # c*wy
-        s = fma_f32(*tc, momx, eomx, *s)
-        s = fma_u8(d, m2, e2, *s)
-        out = trunc_u8(*s)
-    return out
+    # Value-based exact chain (ops/exactf32.py): lone f32 multiplies ARE
+    # single roundings (contraction only fuses mul INTO add, and the fma
+    # steps are the EFT emulation), so no wide integers are needed.
+    t1 = (b * jnp.asarray(wx)) * jnp.asarray(omy)
+    s = fma32v(a * jnp.asarray(omx), omy, t1)
+    s = fma32v(c * jnp.asarray(wy), omx, s)
+    s = fma32v(d, jnp.asarray(wx) * jnp.asarray(wy), s)
+    return _trunc_u8(s)
 
 
 def _bilinear_tables(xs, ws_x, ys, ws_y, src_w, src_h):
@@ -336,22 +326,22 @@ def _area_down_plane(img, y_base, x_base, wy, wx, stride, col_off):
     wy32 = np.asarray(wy, np.float32)
     wx32 = np.asarray(wx, np.float32)
     div_host = np.zeros((wy32.shape[0], wx32.shape[0]), np.float32)
+    acc = jnp.zeros((wy32.shape[0], wx32.shape[0]), jnp.float32)
+    for ti in range(n_ty):
+        rows = np.minimum(y_base + ti, h_img - 1)
+        for tj in range(n_tx):
+            cols = np.minimum(x_base * stride + col_off + tj * stride,
+                              w_img - 1)
+            w2d = wy32[:, ti][:, None] * wx32[:, tj][None, :]  # f32 mul
+            div_host = div_host + w2d                          # f32 add
+            p = _take2(img, rows, cols).astype(jnp.float32)
+            acc = fma32v(p, w2d, acc)  # exact fmaf chain, f32 values
+    # Only the division is wide-integer (backend f32 division is not
+    # guaranteed correctly rounded): one (m, e) extraction per pixel.
+    mdiv, ediv = const_me(div_host)
     with jax.enable_x64(True):
-        shape = (wy32.shape[0], wx32.shape[0])
-        am = jnp.zeros(shape, jnp.int64)
-        ae = jnp.zeros(shape, jnp.int64)
-        for ti in range(n_ty):
-            rows = np.minimum(y_base + ti, h_img - 1)
-            for tj in range(n_tx):
-                cols = np.minimum(x_base * stride + col_off + tj * stride,
-                                  w_img - 1)
-                w2d = wy32[:, ti][:, None] * wx32[:, tj][None, :]  # f32 mul
-                div_host = div_host + w2d                          # f32 add
-                mw, ew = const_me(w2d)
-                p = _take2(img, rows, cols)
-                am, ae = fma_u8(p, mw, ew, am, ae)
-        mdiv, ediv = const_me(div_host)
-        qm, qe = div_f32(am, ae, mdiv, ediv)
+        am, ae = f32_to_me(acc)
+        qm, qe = div_f32(am, ae, jnp.asarray(mdiv), jnp.asarray(ediv))
         out8 = trunc_u8(qm, qe)
     return out8
 

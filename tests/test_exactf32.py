@@ -111,3 +111,33 @@ def test_trunc_u8(rng):
                                              jnp.asarray(e)))
     ref = vals.astype(np.int32).astype(np.uint8)
     assert np.array_equal(got, ref)
+
+
+def test_fma32v_matches_ieee_fmaf(rng):
+    """The value-based EFT fma (no i64) against hardware fmaf, over the
+    resize-realistic domain plus adversarial tiny weights and negative
+    error-term patterns (weights near 1 make pl negative)."""
+    N = 40000
+    xs = rng.integers(0, 256, N).astype(np.float32)
+    scale = rng.choice(np.float32([1e-7, 1e-4, 1e-2, 0.5, 0.999, 1.0]), N)
+    ws = (rng.random(N).astype(np.float32) * scale).astype(np.float32)
+    ws[::13] = 0
+    accs = (rng.random(N) * 1000).astype(np.float32)
+    accs[::17] = 0
+    ref = np.array([_fmaf(xs[i], ws[i], accs[i]) for i in range(N)],
+                   np.float32)
+    got = np.asarray(jax.jit(X.fma32v)(xs, ws, accs))
+    bad = got != ref
+    assert not bad.any(), (
+        f"{bad.sum()} mismatches; first: x={xs[bad][0]!r} w={ws[bad][0]!r} "
+        f"acc={accs[bad][0]!r} got={got[bad][0]!r} want={ref[bad][0]!r}")
+
+
+def test_f32_to_me_roundtrip(rng):
+    vals = np.concatenate([
+        (rng.random(5000) * 4000).astype(np.float32),
+        np.float32([0, 1e-7, 1.0, 255.0, 0.5]),
+    ]).astype(np.float32)
+    with jax.enable_x64(True):
+        m, e = jax.jit(X.f32_to_me)(jnp.asarray(vals))
+    assert np.array_equal(_to_f32(m, e), vals)
