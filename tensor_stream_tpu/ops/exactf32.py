@@ -230,3 +230,56 @@ def f32_to_me(v):
     e = ((bits >> 23) & 0xFF) - 127 - (_MBITS - 1)
     zero = v == 0
     return jnp.where(zero, 0, m), jnp.where(zero, 0, e)
+
+
+# --------------------------------------------- double-single arithmetic
+#
+# f32-pair (hi, lo) values with ~2^-48 relative accuracy — the bicubic
+# blend's f64 stand-in on backends without native f64 (the reference
+# blends in double; its result is contraction-insensitive at ~2^-40
+# margins, docs/PARITY.md). All EFT-based: exact multiplies, one
+# documented rounding per compression.
+
+def ds_from_f64(x):
+    """Host: split float64 constants into (hi, lo) f32 pairs."""
+    x = np.asarray(x, np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def _quick_two_sum(a, b):
+    """|a| >= |b| assumed: s = RN(a+b), err exact."""
+    s = a + b
+    err = b - (s - a)
+    return s, err
+
+
+def ds_add(h1, l1, h2, l2):
+    """Double-single addition (Dekker add2 shape)."""
+    s, e = _two_sum(h1, h2)
+    e = e + (l1 + l2)
+    return _quick_two_sum(s, e)
+
+
+def ds_mul_f32(h, l, x):
+    """(h, l) * exact-f32 x (e.g. an integer-valued pixel)."""
+    p, pe = _two_prod(h, x)
+    pe = pe + l * x
+    return _quick_two_sum(p, pe)
+
+
+def ds_floor_half_up(h, l):
+    """floor(value + 0.5) for a double-single (h, l) with h in
+    [-1024, 1024]: h + 0.5 is exact there, the fractional part r is
+    exact, and the boundary test r + l >= 1 (or < 0) runs through an
+    exact two_sum comparison — no boundary can be misjudged by f32
+    rounding."""
+    t = h + jnp.float32(0.5)  # exact for |h| < 2^23
+    f = jnp.floor(t)
+    r = t - f                 # exact: Sterbenz
+    s, e = _two_sum(r, l)
+    over = (s > 1) | ((s == 1) & (e >= 0))
+    under = (s < 0) | ((s == 0) & (e < 0))
+    return (f + jnp.where(over, 1.0, jnp.where(under, -1.0, 0.0))
+            ).astype(jnp.int32)
