@@ -49,9 +49,10 @@ def main():
         **counts,
         "summary": summary.strip("= "),
         "note": ("oracle subset on the hardware backend: every committed "
-                 "CRC/golden-raster oracle, incl. the 19 resize CRCs now "
-                 "bit-exact on the device path (integer blends, "
-                 "ops/exactf32.py)"),
+                 "CRC/golden-raster oracle, incl. the 19 resize CRCs "
+                 "bit-exact on the device path on every backend "
+                 "(error-free-transformation f32 blends + exact integer "
+                 "division, ops/exactf32.py)"),
     }
     path = os.path.join(REPO, f"TPU_PARITY_r{tag}.json")
     with open(path, "w") as f:
