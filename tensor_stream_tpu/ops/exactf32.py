@@ -5,21 +5,30 @@ order (docs/PARITY.md "Float-contraction freedom"). XLA offers no
 explicit FMA op — float contraction is backend discretion — and the TPU
 backend rewrites f64/s64 (no native wide floats, s64 becomes exact s32
 pairs), so no float formulation can pin the reference bytes on every
-backend. These helpers instead emulate each f32 operation of the
-reference chains in PURE INTEGER (i64) softfloat arithmetic:
+backend. These helpers emulate each f32/f64 operation of the reference
+chains exactly, in three layers:
 
-* a value is an (m, e) pair — value = m * 2^e with m a 24-bit
-  normalized significand (or 0), exactly the f32 the reference holds;
-* products keep full width (u8*f32 = 32 bits, f32*f32 = 48 bits — both
-  exact in i64); fused multiply-add sums the unrounded product with the
-  addend under one round-to-nearest-even (sticky-bit alignment), which
-  IS the fmaf semantics; division rounds the 26-bit-widened integer
-  quotient with the remainder as sticky.
+* the VALUE-BASED fast path (fma32v, further below): correctly-rounded
+  f32 fmaf on plain values via error-free transformations — every EFT
+  multiply is exact by construction, so contraction cannot perturb it,
+  and no wide integers are involved. This is what the bilinear and
+  AREA accumulation chains use; lone f32 multiplies are themselves
+  single roundings (contraction only fuses mul INTO add).
+* DOUBLE-SINGLE (ds_*) f32-pair arithmetic (~2^-48 relative) — the
+  bicubic blend's f64 stand-in, with an exact floor(x+0.5) boundary
+  test.
+* the (m, e) INTEGER softfloat below — a value is m * 2^e with m a
+  24-bit significand — kept for the operations a backend cannot promise
+  correctly rounded: division (f32 divide is reciprocal-approximated on
+  TPU) rounds the 26-bit-widened i64 quotient with the remainder as
+  sticky; the RN-even normalization rides the hardware i64->f32
+  convert with a sticky fold. These run under `jax.enable_x64(True)`
+  (scoped by the callers).
 
-Integer ops are bit-identical on every XLA backend, so the resize bytes
-are too — the CPU suite's CRC oracles transfer to TPU by construction.
-Everything must run under `jax.enable_x64(True)` (the resize entry
-points scope it); all values are nonnegative.
+Each primitive is pinned against libm's hardware fmaf / numpy's IEEE
+f32 ops (tests/test_exactf32.py) and the end-to-end bytes against the
+reference CRCs on both backends (tests/test_resize_crc.py,
+TPU_PARITY_r{N}.json). All values are nonnegative.
 """
 import jax
 import jax.numpy as jnp

@@ -8,11 +8,11 @@ Two paths are pinned:
   fmaf/fma and is bit-exact against EVERY committed CRC oracle;
 - the jitted device resize (ops/resize.py) is bit-exact on EVERY
   backend for EVERY case: nvcc's f32 rounding order is emulated exactly
-  in pure-integer (i64) softfloat arithmetic — values as 24-bit (m, e)
-  pairs, fmaf as one sticky-aligned round-to-nearest-even of the
-  unrounded product + addend, division via the widened integer quotient
-  (ops/exactf32.py) — and bicubic blends in 2^-50 fixed point. Integer
-  programs are backend-independent, so byte equality with the
+  via error-free transformations (correctly-rounded fmaf on values,
+  Dekker/two-sum + round-to-odd), bicubic blends in double-single f32
+  (the reference's f64 margins held with exact boundary tests), and the
+  AREA division rounds a widened integer quotient (ops/exactf32.py).
+  Every construction is contraction-immune, so byte equality with the
   host-exact output plus the committed CRCs is asserted on whichever
   backend runs the suite.
 """
@@ -129,10 +129,9 @@ def test_host_resize_crc(bbb_frame0, native, name, kwargs, want, _):
 def test_device_resize(bbb_frame0, native, name, kwargs, want, device_exact):
     """Jitted device resize: BIT-EXACT against the native host output
     (and through it the reference CRCs) on EVERY backend — XLA's f32
-    contraction freedom is closed by emulating nvcc's exact rounding
-    order in integer (i64) softfloat arithmetic and 2^-50 fixed-point
-    bicubic (ops/exactf32.py). The round-2 ±1 envelopes (old
-    docs/PARITY.md table) are retired.
+    contraction freedom is closed with error-free-transformation blends
+    and exact integer division (ops/exactf32.py). The round-2 ±1
+    envelopes (old docs/PARITY.md table) are retired.
     """
     import jax
 
