@@ -12,11 +12,15 @@ chains exactly, in three layers:
   f32 fmaf on plain values via error-free transformations — every EFT
   multiply is exact by construction, so contraction cannot perturb it,
   and no wide integers are involved. This is what the bilinear and
-  AREA accumulation chains use; lone f32 multiplies are themselves
-  single roundings (contraction only fuses mul INTO add).
-* DOUBLE-SINGLE (ds_*) f32-pair arithmetic (~2^-48 relative) — the
-  bicubic blend's f64 stand-in, with an exact floor(x+0.5) boundary
-  test.
+  AREA accumulation chains use. Lone f32 multiplies are single
+  roundings, and every rounding the algorithms depend on is fenced
+  with jax.lax.optimization_barrier — mul-into-add contraction is a
+  legal XLA rewrite, so the required roundings must be pinned
+  structurally, not assumed. (Bicubic blends in 2^-50 fixed-point i64
+  in ops/resize.py — a double-single f32 formulation was tried and
+  REJECTED: measured worst error 2^-38.5 vs the f64 reference, above
+  the ~2^-40 boundary margins, and its floor(x+0.5) boundary test was
+  wrong at binade crossings where h+0.5 itself rounds.)
 * the (m, e) INTEGER softfloat below — a value is m * 2^e with m a
   24-bit significand — kept for the operations a backend cannot promise
   correctly rounded: division (f32 divide is reciprocal-approximated on
@@ -74,79 +78,6 @@ def _rn24(s, e, sticky):
     return m, e
 
 
-def _rn24_noround(p, e):
-    """Normalizes an exact product (<= 48 bits) with RN-even."""
-    return _rn24(p, e, jnp.zeros_like(p, jnp.bool_))
-
-
-def _sum_round(p, ep, ma, ea):
-    """RN-even f32 of the exact value p*2^ep + ma*2^ea (p <= 48 bits
-    unrounded product, ma a 24-bit significand) — i.e. fmaf's single
-    rounding. Alignment shifts the higher-exponent operand left (exact,
-    capped) and the other right with a sticky OR of the lost bits."""
-    d = ep - ea
-    # Operand order by exponent; the value-magnitude order is irrelevant
-    # to correctness, only overflow headroom matters: v_hi <= 48 bits,
-    # left shift cap 13 keeps v_hi<<13 + v_lo <= 2^62 — one headroom bit
-    # for _rn24's sticky fold (s<<1).
-    v_hi = jnp.where(d >= 0, p, ma)
-    v_lo = jnp.where(d >= 0, ma, p)
-    e_lo = jnp.minimum(ep, ea)
-    ad = jnp.abs(d)
-    lsh = jnp.minimum(ad, 13)
-    rsh = jnp.minimum(ad - lsh, 63)  # beyond 63 the value is pure sticky
-    lost = v_lo & ((jnp.int64(1) << rsh) - 1)  # rsh=63 masks all 48 bits
-    sticky = lost != 0
-    # sh >= 12 whenever sticky can be set (v_hi normalized >= 2^23,
-    # lsh = 13 when rsh > 0), so the fold below the lsb is always below
-    # the rounding point.
-    s = (v_hi << lsh) + (v_lo >> rsh)
-    e = e_lo + rsh
-    m_out, e_out = _rn24(s, e, sticky)
-    # Either side zero: the other passes through (already <= 48 bits,
-    # normalized by _rn24; sticky stays relevant only for s).
-    zero_p = p == 0
-    zero_a = ma == 0
-    mp, epn = _rn24_noround(p, ep)
-    m_out = jnp.where(zero_p, ma, jnp.where(zero_a, mp, m_out))
-    e_out = jnp.where(zero_p, ea, jnp.where(zero_a, epn, e_out))
-    both = zero_p & zero_a
-    return jnp.where(both, 0, m_out), jnp.where(both, 0, e_out)
-
-
-def mul_u8(x, mw, ew):
-    """(m, e) of RN_f32(x * w) for u8 `x` and constant w = mw*2^ew.
-    The 32-bit product is exact; one rounding."""
-    x64 = x.astype(jnp.int64)
-    p = x64 * jnp.asarray(mw)
-    m, e = _rn24_noround(p, jnp.asarray(ew) + jnp.zeros_like(p))
-    zero = p == 0
-    return jnp.where(zero, 0, m), jnp.where(zero, 0, e)
-
-
-def mul_f32(m1, e1, m2, e2):
-    """(m, e) of RN_f32 of a product of two f32 (m, e) pairs."""
-    p = m1 * m2  # <= 48 bits, exact
-    m, e = _rn24_noround(p, e1 + e2)
-    zero = p == 0
-    return jnp.where(zero, 0, m), jnp.where(zero, 0, e)
-
-
-def fma_u8(x, mw, ew, ma, ea):
-    """fmaf(x, w, acc) for u8 `x`, constant w, f32 acc (ma, ea):
-    exact 32-bit product + single RN-even rounding of the sum."""
-    x64 = x.astype(jnp.int64)
-    p = x64 * jnp.asarray(mw)
-    return _sum_round(p, jnp.asarray(ew) + jnp.zeros_like(p), ma, ea)
-
-
-def fma_f32(mx, ex, mw, ew, ma, ea):
-    """fmaf(x, w, acc) with f32 x (mx, ex): exact 48-bit product +
-    single rounding of the sum."""
-    p = mx * jnp.asarray(mw)
-    return _sum_round(p, ex + jnp.asarray(ew), ma, ea)
-
-
 def div_f32(ma, ea, mb, eb):
     """(m, e) of RN_f32(a / b) for f32 a and positive-constant b: the
     26-bit-widened integer quotient plus remainder-sticky rounding."""
@@ -194,13 +125,18 @@ def _two_sum(a, b):
 
 def _two_prod(a, b):
     """Dekker two-product: p = RN(a*b), err exact (p + err == a*b).
-    The split products are exact (12x12-bit halves), so any fms/fma
-    contraction XLA applies changes nothing."""
-    p = a * b
-    ca = _SPLIT * a
+
+    The roundings of p and of the Veltkamp splitter products ARE the
+    algorithm — optimization_barrier pins each one so no XLA version
+    may contract them into the adjacent subtractions (x*y feeding an
+    add/sub is exactly the mul-into-add shape contraction rewrites;
+    the half-products ah*bh etc. are exact by construction and stay
+    fusable)."""
+    p = jax.lax.optimization_barrier(a * b)
+    ca = jax.lax.optimization_barrier(_SPLIT * a)
     ah = ca - (ca - a)
     al = a - ah
-    cb = _SPLIT * b
+    cb = jax.lax.optimization_barrier(_SPLIT * b)
     bh = cb - (cb - b)
     bl = b - bh
     err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
@@ -224,7 +160,10 @@ def fma32v(x, w, acc):
     broadcastable host constants) — one rounding, no i64."""
     x = jnp.asarray(x).astype(jnp.float32)
     w = jnp.asarray(w).astype(jnp.float32)
-    acc = jnp.asarray(acc).astype(jnp.float32)
+    # The caller may feed a lone-multiply result as acc; its rounding is
+    # part of the emulated chain, so fence it from fma contraction too.
+    acc = jax.lax.optimization_barrier(
+        jnp.asarray(acc).astype(jnp.float32))
     ph, pl = _two_prod(x, w)
     sh, sl = _two_sum(acc, ph)
     v, rho = _two_sum(sl, pl)
@@ -239,56 +178,3 @@ def f32_to_me(v):
     e = ((bits >> 23) & 0xFF) - 127 - (_MBITS - 1)
     zero = v == 0
     return jnp.where(zero, 0, m), jnp.where(zero, 0, e)
-
-
-# --------------------------------------------- double-single arithmetic
-#
-# f32-pair (hi, lo) values with ~2^-48 relative accuracy — the bicubic
-# blend's f64 stand-in on backends without native f64 (the reference
-# blends in double; its result is contraction-insensitive at ~2^-40
-# margins, docs/PARITY.md). All EFT-based: exact multiplies, one
-# documented rounding per compression.
-
-def ds_from_f64(x):
-    """Host: split float64 constants into (hi, lo) f32 pairs."""
-    x = np.asarray(x, np.float64)
-    hi = x.astype(np.float32)
-    lo = (x - hi.astype(np.float64)).astype(np.float32)
-    return hi, lo
-
-
-def _quick_two_sum(a, b):
-    """|a| >= |b| assumed: s = RN(a+b), err exact."""
-    s = a + b
-    err = b - (s - a)
-    return s, err
-
-
-def ds_add(h1, l1, h2, l2):
-    """Double-single addition (Dekker add2 shape)."""
-    s, e = _two_sum(h1, h2)
-    e = e + (l1 + l2)
-    return _quick_two_sum(s, e)
-
-
-def ds_mul_f32(h, l, x):
-    """(h, l) * exact-f32 x (e.g. an integer-valued pixel)."""
-    p, pe = _two_prod(h, x)
-    pe = pe + l * x
-    return _quick_two_sum(p, pe)
-
-
-def ds_floor_half_up(h, l):
-    """floor(value + 0.5) for a double-single (h, l) with h in
-    [-1024, 1024]: h + 0.5 is exact there, the fractional part r is
-    exact, and the boundary test r + l >= 1 (or < 0) runs through an
-    exact two_sum comparison — no boundary can be misjudged by f32
-    rounding."""
-    t = h + jnp.float32(0.5)  # exact for |h| < 2^23
-    f = jnp.floor(t)
-    r = t - f                 # exact: Sterbenz
-    s, e = _two_sum(r, l)
-    over = (s > 1) | ((s == 1) & (e >= 0))
-    under = (s < 0) | ((s == 0) & (e < 0))
-    return (f + jnp.where(over, 1.0, jnp.where(under, -1.0, 0.0))
-            ).astype(jnp.int32)

@@ -21,9 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..enums import ResizeType
-from .exactf32 import (const_me, div_f32, ds_add, ds_floor_half_up,
-                       ds_from_f64, ds_mul_f32, f32_to_me, fma32v,
-                       trunc_u8)
+from .exactf32 import const_me, div_f32, f32_to_me, fma32v, trunc_u8
 
 _EPS32 = np.float32(np.finfo(np.float32).eps)
 
@@ -103,9 +101,11 @@ def _bilinear_plane(img, row_a, row_c, col_a, col_b, wx, wy):
     csrc/vpp_host.cpp Blend4):
         s = fmaf(a*omx, omy, (b*wx)*omy)
         s = fmaf(c*wy, omx, s); s = fmaf(d, wx*wy, s)
-    XLA exposes no FMA op and the TPU backend has no f64, so every f32
-    rounding is emulated EXACTLY in integer softfloat (ops/exactf32.py)
-    — bit-identical on every backend, reproducing the committed CRCs."""
+    XLA exposes no FMA op and the TPU backend has no f64, so each fmaf
+    is the error-free-transformation emulation (ops/exactf32.py fma32v,
+    with optimization barriers pinning every semantically-required
+    rounding against contraction) — bit-identical on every backend,
+    reproducing the committed CRCs."""
     a = _take2(img, row_a, col_a).astype(jnp.float32)
     b = _take2(img, row_a, col_b).astype(jnp.float32)
     c = _take2(img, row_c, col_a).astype(jnp.float32)
@@ -210,6 +210,9 @@ def _bicubic_taps(base: np.ndarray, diff: int, n: int):
     return np.stack([base - d_top, base, base + d, base + 2 * d])  # (4, dst_n)
 
 
+_BICUBIC_SCALE = 50  # fixed-point fractional bits
+
+
 def _bicubic_plane(img, row_taps, col_taps, cx, cy):
     """Two-pass spline: horizontal blend at each of 4 row taps (rounded
     and clamped to [0,255] per intermediate row, src/Resize.cu:47-80),
@@ -217,39 +220,36 @@ def _bicubic_plane(img, row_taps, col_taps, cx, cy):
 
     The reference blends in f64 — contraction-insensitive at that
     precision (docs/PARITY.md) — but the TPU backend has no native f64,
-    so the blend runs in double-single f32 pairs (~2^-48 relative, all
-    error-free transformations: ops/exactf32.py ds_*), orders below the
-    f64 result's distance to the floor(x+0.5) boundaries; the boundary
-    test itself is exact (ds_floor_half_up's two_sum comparison).
-    EFT multiplies are exact by construction, so XLA contraction cannot
-    perturb the bytes on any backend; equality with the f64 host path
-    is pinned by the CRC suite + random-frame fuzz
-    (tests/test_resize_crc.py)."""
-    cxh, cxl = ds_from_f64(cx)  # (4, W) f32 pairs
-    cyh, cyl = ds_from_f64(cy)  # (4, H)
-    rows_out = []
-    for r in range(4):
-        ah = al = None
-        for k in range(4):
-            p = _take2(img, row_taps[r], col_taps[k]).astype(jnp.float32)
-            th, tl = ds_mul_f32(jnp.asarray(cxh[k])[None, :],
-                                jnp.asarray(cxl[k])[None, :], p)
-            if ah is None:
-                ah, al = th, tl
-            else:
-                ah, al = ds_add(ah, al, th, tl)
-        b = jnp.clip(ds_floor_half_up(ah, al), 0, 255)
-        rows_out.append(b.astype(jnp.float32))  # exact: b in [0, 255]
-    ah = al = None
-    for r in range(4):
-        th, tl = ds_mul_f32(jnp.asarray(cyh[r])[:, None],
-                            jnp.asarray(cyl[r])[:, None], rows_out[r])
-        if ah is None:
-            ah, al = th, tl
-        else:
-            ah, al = ds_add(ah, al, th, tl)
-    value = jnp.clip(ds_floor_half_up(ah, al), 0, 255)
-    return value.astype(jnp.uint8)
+    so the blend runs in 2^-50 fixed-point i64: coefficient quantization
+    error <= 4*255*2^-51 ~ 2^-41 absolute, orders below the f64 result's
+    distance to the floor(x+0.5) boundaries (dyadic weights quantize
+    EXACTLY, which covers the boundary-dense flat/half-tone cases).
+    Integer ops make the bytes identical on every backend; equality with
+    the f64 host path is pinned by the CRC suite + random-frame fuzz
+    (tests/test_resize_crc.py::test_bicubic_fixed_point_matches_host).
+    Arithmetic >> is floor division, so floor(acc + 0.5) =
+    (acc_q + 2^(S-1)) >> S holds for negative overshoot too."""
+    S = _BICUBIC_SCALE
+    cxq = np.round(cx * float(1 << S)).astype(np.int64)  # (4, W)
+    cyq = np.round(cy * float(1 << S)).astype(np.int64)  # (4, H)
+    with jax.enable_x64(True):
+        half = jnp.int64(1) << (S - 1)
+        rows_out = []
+        for r in range(4):
+            acc = None
+            for k in range(4):
+                p = _take2(img, row_taps[r], col_taps[k]).astype(jnp.int64)
+                term = jnp.asarray(cxq[k])[None, :] * p
+                acc = term if acc is None else acc + term
+            b = jnp.clip((acc + half) >> S, 0, 255)
+            rows_out.append(b)
+        acc = None
+        for r in range(4):
+            term = jnp.asarray(cyq[r])[:, None] * rows_out[r]
+            acc = term if acc is None else acc + term
+        value = jnp.clip((acc + half) >> S, 0, 255)
+        out = value.astype(jnp.uint8)
+    return out
 
 
 def resize_bicubic(y, uv, src_w, src_h, dst_w, dst_h):

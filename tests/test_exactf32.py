@@ -38,52 +38,6 @@ def rng():
     return np.random.default_rng(99)
 
 
-def test_fma_u8_matches_ieee_fmaf(rng):
-    N = 30000
-    xs = rng.integers(0, 256, N).astype(np.uint8)
-    scale = rng.choice(np.float32([1e-7, 1e-4, 1e-2, 0.5, 0.999, 1.0]), N)
-    ws = (rng.random(N).astype(np.float32) * scale).astype(np.float32)
-    ws[::13] = 0
-    accs = (rng.random(N) * 300).astype(np.float32)
-    accs[::17] = 0
-    ref = np.array([_fmaf(xs[i], ws[i], accs[i]) for i in range(N)],
-                   np.float32)
-    mw, ew = X.const_me(ws)
-    ma, ea = X.const_me(accs)
-    with jax.enable_x64(True):
-        m, e = jax.jit(X.fma_u8)(xs, jnp.asarray(mw), jnp.asarray(ew),
-                                 jnp.asarray(ma), jnp.asarray(ea))
-    got = _to_f32(m, e)
-    bad = got != ref
-    assert not bad.any(), (
-        f"{bad.sum()} mismatches; first: x={xs[bad][0]} w={ws[bad][0]!r} "
-        f"acc={accs[bad][0]!r} got={got[bad][0]!r} want={ref[bad][0]!r}")
-
-
-def test_mul_and_fma_f32_match_ieee(rng):
-    N = 30000
-    a32 = (rng.random(N) * 300).astype(np.float32)
-    b32 = (rng.random(N).astype(np.float32) *
-           rng.choice(np.float32([1e-6, 1e-3, 1.0]), N)).astype(np.float32)
-    accs = (rng.random(N) * 500).astype(np.float32)
-    ref_mul = (a32 * b32).astype(np.float32)  # numpy f32 mul is IEEE RN
-    ref_fma = np.array([_fmaf(a32[i], b32[i], accs[i]) for i in range(N)],
-                       np.float32)
-    m1, e1 = X.const_me(a32)
-    m2, e2 = X.const_me(b32)
-    ma, ea = X.const_me(accs)
-    with jax.enable_x64(True):
-        mm, me = jax.jit(X.mul_f32)(jnp.asarray(m1), jnp.asarray(e1),
-                                    jnp.asarray(m2), jnp.asarray(e2))
-        fm, fe = jax.jit(X.fma_f32)(jnp.asarray(m1), jnp.asarray(e1),
-                                    jnp.asarray(m2), jnp.asarray(e2),
-                                    jnp.asarray(ma), jnp.asarray(ea))
-    assert np.array_equal(_to_f32(mm, me), ref_mul)
-    got = _to_f32(fm, fe)
-    bad = got != ref_fma
-    assert not bad.any(), f"{bad.sum()} fma mismatches"
-
-
 def test_div_matches_ieee(rng):
     N = 30000
     num = (rng.random(N) * 300 + 1e-4).astype(np.float32)
@@ -141,3 +95,26 @@ def test_f32_to_me_roundtrip(rng):
     with jax.enable_x64(True):
         m, e = jax.jit(X.f32_to_me)(jnp.asarray(vals))
     assert np.array_equal(_to_f32(m, e), vals)
+
+
+def test_fma32v_exact_tie_patterns():
+    """Deterministic round-to-nearest-EVEN ties: x*w lands exactly half
+    an ulp away from acc's grid (x=1, w = odd*2^-25, acc=1 makes
+    1 + odd*2^-25 a tie at ulp 2^-24), plus binade-crossing sums —
+    the cases a broken sticky/odd-round path gets wrong first."""
+    xs, ws, accs = [], [], []
+    for k in range(1, 64, 2):  # odd multiples: exact ties
+        xs.append(1.0)
+        ws.append(np.float32(k * 2.0 ** -25))
+        accs.append(1.0)
+    # Binade crossings: acc just below a power of two, product pushes over.
+    for e in (0, 1, 4, 7):
+        acc = np.float32(2.0 ** e) - np.float32(2.0 ** (e - 24))
+        xs.append(3.0)
+        ws.append(np.float32(2.0 ** (e - 25)))
+        accs.append(acc)
+    xs = np.float32(xs); ws = np.float32(ws); accs = np.float32(accs)
+    ref = np.array([_fmaf(xs[i], ws[i], accs[i]) for i in range(len(xs))],
+                   np.float32)
+    got = np.asarray(jax.jit(X.fma32v)(xs, ws, accs))
+    assert np.array_equal(got, ref), (got[got != ref], ref[got != ref])
