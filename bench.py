@@ -270,12 +270,12 @@ def bench_headline():
                          normalization=True)
     out, _ = next(loader)  # warm the jit cache before timing
     jax.block_until_ready(out)
-    # Best-of-2 halves over one continuous run: transient stalls on a
-    # shared 1-core host only ever subtract, so the better half is the
-    # stable capability estimate (same rationale as _best_of for the
-    # stage benches).
+    # Best-of-3 windows over one continuous run: transient stalls on a
+    # shared 1-core host only ever subtract (hypervisor steal measured
+    # 30%+ in bad hours), so the best window is the stable capability
+    # estimate (same rationale as _best_of for the stage benches).
     best = 0.0
-    for _ in range(2):
+    for _ in range(3):
         frames = 0
         pending = None
         start = time.perf_counter()
