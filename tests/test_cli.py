@@ -168,3 +168,20 @@ def test_example_adaptive_source():
     assert "shape -> (360, 480, 3)" in out
     out = _run_example("adaptive_source.py", "-n", "24", "--batch")
     assert "read 24 frames at fixed geometry" in out
+
+
+@pytest.mark.slow
+def test_example_offline_dataset(tmp_path):
+    """python_examples/offline_dataset.py: segment-parallel decode ->
+    batched TPU steps -> resume token -> encoded preview clip (the
+    data-engineering composition of the round-3 surfaces)."""
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "bbb_720x480_RGB24_250.h264")
+    preview = tmp_path / "preview.mp4"
+    out = _run_example("offline_dataset.py",
+                       "-i", fix, "--workers", "2",
+                       "--preview", str(preview),
+                       "--preview-frames", "10", timeout=560)
+    assert "processed 250 frames" in out
+    assert "--resume-from 251" in out
+    assert preview.exists() and preview.stat().st_size > 0
