@@ -87,6 +87,15 @@ int ts_pipeline_init_ex2(void* p, const char* url, int max_consumers,
   return static_cast<Pipeline*>(p)->Init(params);
 }
 
+// Queues an extra avformat open option (key=value) to apply at the next
+// init — e.g. rtsp_flags=listen for listen-mode ingest, listen_timeout,
+// probesize. Call before ts_pipeline_init*.
+void ts_pipeline_set_format_option(void* p, const char* key,
+                                   const char* value) {
+  static_cast<Pipeline*>(p)->QueueFormatOption(key ? key : "",
+                                               value ? value : "");
+}
+
 int ts_pipeline_seek_frame(void* p, long long skip) {
   return static_cast<Pipeline*>(p)->SeekToFrame(skip);
 }

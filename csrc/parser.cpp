@@ -27,6 +27,8 @@ int Parser::Init(const ParserParams& params, std::shared_ptr<Logger> logger) {
 
   AVDictionary* opts = nullptr;
   av_dict_set(&opts, "rtsp_transport", "tcp", 0);
+  for (const auto& kv : params_.format_opts)
+    av_dict_set(&opts, kv.first.c_str(), kv.second.c_str(), 0);
   fmt_ = avformat_alloc_context();
   if (!fmt_) return TS_ERROR;
   // From here on there are resources to free: mark open so a failed

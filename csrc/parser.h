@@ -11,6 +11,8 @@
 #include <chrono>
 #include <memory>
 #include <string>
+#include <utility>
+#include <vector>
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -31,6 +33,11 @@ struct ParserParams {
   bool keep_buffer = true;
   bool enable_dumps = false;
   bool loop = false;  // seek back to the start on EOF (bench/replay mode)
+  // Extra avformat open options (key, value) — e.g. rtsp_flags=listen
+  // for listen-mode ingest, listen_timeout, probesize. Applied on top
+  // of the defaults (which they may override). The reference hardcoded
+  // its one option (rtsp_transport=tcp, src/Parser.cpp:317-328).
+  std::vector<std::pair<std::string, std::string>> format_opts;
 };
 
 class Parser {

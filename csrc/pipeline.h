@@ -52,6 +52,8 @@ struct PipelineParams {
   bool reconnect = false;
   int reconnect_delay_ms = 500;   // backoff between attempts
   int reconnect_attempts = 20;    // per outage; <0 = retry forever
+  // Extra avformat open options, forwarded to ParserParams::format_opts.
+  std::vector<std::pair<std::string, std::string>> format_opts;
 };
 
 class Pipeline {
@@ -59,6 +61,11 @@ class Pipeline {
   ~Pipeline();
 
   int Init(const PipelineParams& params);
+  // Stores an extra avformat option applied by the NEXT Init (the C ABI
+  // sets options before calling init; Python merges them into params).
+  void QueueFormatOption(const std::string& key, const std::string& value) {
+    queued_format_opts_.emplace_back(key, value);
+  }
 
   // Spawns the producer thread running the processing loop.
   int Start();
@@ -179,6 +186,7 @@ class Pipeline {
   bool checkGetComplete();
 
   PipelineParams params_;
+  std::vector<std::pair<std::string, std::string>> queued_format_opts_;
   std::mutex iter_sync_;  // serializes loopIteration (producer vs Step)
   std::shared_ptr<Logger> logger_ = std::make_shared<Logger>();
   std::unique_ptr<Parser> parser_;

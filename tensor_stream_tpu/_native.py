@@ -70,6 +70,8 @@ def load():
             [c_void_p, c_char_p, c_int, c_int, c_int, c_int, c_int, c_int,
              c_int, c_int, c_int, c_int])
         sig("ts_pipeline_seek_frame", c_int, [c_void_p, ctypes.c_longlong])
+        sig("ts_pipeline_set_format_option", None,
+            [c_void_p, c_char_p, c_char_p])
         sig("ts_pipeline_start", c_int, [c_void_p])
         sig("ts_pipeline_step", c_int, [c_void_p])
         sig("ts_pipeline_get", c_int,

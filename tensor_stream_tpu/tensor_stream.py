@@ -106,7 +106,8 @@ class TensorStreamConverter:
                  fast_decode=False,
                  reconnect=False,
                  reconnect_delay=0.5,
-                 reconnect_attempts=20):
+                 reconnect_attempts=20,
+                 format_options=None):
         self.log = logging.getLogger(__name__)
         self.log.info("Create TensorStream")
         self._lib = _native.load()
@@ -140,6 +141,13 @@ class TensorStreamConverter:
         self.reconnect = reconnect
         self.reconnect_delay = reconnect_delay
         self.reconnect_attempts = reconnect_attempts
+        # TPU extension: extra avformat open options (dict of key ->
+        # value strings), e.g. {"rtsp_flags": "listen"} for listen-mode
+        # RTSP ingest, "listen_timeout", "probesize". The reference
+        # hardcoded its single option (rtsp_transport=tcp,
+        # src/Parser.cpp:317-328); that default stays and can be
+        # overridden here.
+        self.format_options = dict(format_options or {})
         # Debug taps like the reference's enableDumps (WrapperC.h init
         # param): bitstream.h264 from the demuxer + NV12.yuv from the
         # decoder, written in the working directory.
@@ -167,6 +175,9 @@ class TensorStreamConverter:
         repeat = repeat_number
         while status != StatusLevel.OK.value and repeat > 0:
             self._handle = self._lib.ts_pipeline_create()
+            for key, value in self.format_options.items():
+                self._lib.ts_pipeline_set_format_option(
+                    self._handle, str(key).encode(), str(value).encode())
             status_native = self._lib.ts_pipeline_init_ex2(
                 self._handle, str(self.stream_url).encode(),
                 int(self.max_consumers), int(self.buffer_size),

@@ -105,3 +105,55 @@ def test_rtmp_source_reports_timeout_when_no_server():
     with pytest.raises(RuntimeError):
         reader.initialize(repeat_number=1)
     reader.set_timeout(None)
+
+
+def test_rtsp_listen_mode_ingest(rtmp_serve):
+    """RTSP at the protocol level: the reader LISTENS
+    (format_options={'rtsp_flags': 'listen'} — the TPU extension that
+    exposes avformat open options; the reference hardcoded
+    rtsp_transport=tcp, src/Parser.cpp:317-328) and an avformat RTSP
+    push client ANNOUNCEs+RECORDs to it over TCP. Exercises the RTSP
+    demuxer handshake + RTP/TCP depacketization end-to-end with zero
+    egress."""
+    if not os.path.exists(BBB):
+        pytest.skip("bbb fixture not available")
+    url = f"rtsp://127.0.0.1:{_free_port()}/live.sdp"
+    srv = subprocess.Popen([rtmp_serve, BBB, url, "25", "40"],
+                           stderr=subprocess.PIPE, text=True)
+    try:
+        reader = TensorStreamConverter(
+            url, framerate_mode=FrameRate.FAST, timeout=20,
+            format_options={"rtsp_flags": "listen"})
+        reader.initialize(repeat_number=1)  # blocks listening for ANNOUNCE
+        if srv.poll() == 4:
+            pytest.skip("libavformat lacks rtsp push/listen support")
+        assert reader.frame_size == (1080, 608)
+        reader.start()
+        crcs, indices = [], []
+        for _ in range(5):
+            t, i = reader.read(pixel_format=FourCC.NV12, return_index=True)
+            crcs.append(av_crc32(np.asarray(t).reshape(-1)))
+            indices.append(i)
+        analyze = reader._lib.ts_pipeline_analyze_errors(reader._handle)
+        reader.stop()
+        reader.set_timeout(None)
+        assert indices == sorted(indices)
+        assert analyze == 0
+        # RTP depacketization is lossless over TCP: the frames are the
+        # file decode's exact bytes.
+        file_reader = TensorStreamConverter(BBB,
+                                            framerate_mode=FrameRate.BLOCKING)
+        file_reader.initialize(repeat_number=3)
+        file_reader.start()
+        file_crcs = set()
+        for _ in range(10):
+            ft = file_reader.read(pixel_format=FourCC.NV12)
+            file_crcs.add(av_crc32(np.asarray(ft).reshape(-1)))
+        file_reader.stop()
+        assert set(crcs) <= file_crcs
+    finally:
+        srv.terminate()
+        try:
+            srv.wait(timeout=5)
+        except subprocess.TimeoutExpired:
+            srv.kill()

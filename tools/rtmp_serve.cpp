@@ -1,14 +1,17 @@
-// Loopback RTMP source for tests: serves a local video file as a live
-// rtmp:// stream using libavformat's native RTMP implementation in
-// listen mode (no external ffmpeg binary needed). The reference's
+// Loopback live-source for tests: serves a local video file as a live
+// rtmp:// or rtsp:// stream using libavformat's native protocol
+// implementations (no external ffmpeg binary needed). The reference's
 // default ingest is an rtmp:// URL (python_examples/simple.py:24); this
-// tool lets the suite exercise that demuxer handshake end-to-end
+// tool lets the suite exercise those demuxer handshakes end-to-end
 // against 127.0.0.1 with zero egress.
 //
 //   rtmp_serve <input> <rtmp://127.0.0.1:PORT/app/stream> [fps] [loops]
+//   rtmp_serve <input> <rtsp://127.0.0.1:PORT/stream>     [fps] [loops]
 //
-// Blocks in the listen accept until a client connects, then remuxes the
-// file's video packets into FLV at `fps` pacing (live-source cadence).
+// rtmp:// LISTENS (server mode) until a pull client connects and
+// remuxes into FLV; rtsp:// PUSHES (ANNOUNCE+RECORD over TCP) to a
+// listen-mode receiver — our Parser with rtsp_flags=listen — at `fps`
+// pacing (live-source cadence).
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -39,25 +42,42 @@ int main(int argc, char** argv) {
   int vi = av_find_best_stream(in, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
   if (vi < 0) return 2;
 
+  const bool rtsp = std::strncmp(url, "rtsp://", 7) == 0;
   AVFormatContext* out = nullptr;
-  if (avformat_alloc_output_context2(&out, nullptr, "flv", url) < 0)
+  if (avformat_alloc_output_context2(&out, nullptr, rtsp ? "rtsp" : "flv",
+                                     url) < 0)
     return 3;
   AVStream* os = avformat_new_stream(out, nullptr);
   if (!os || avcodec_parameters_copy(os->codecpar,
                                      in->streams[vi]->codecpar) < 0)
     return 3;
   AVDictionary* opts = nullptr;
-  av_dict_set(&opts, "listen", "1", 0);
-  av_dict_set(&opts, "timeout", "30", 0);  // accept window, seconds
-  int sts = avio_open2(&out->pb, url, AVIO_FLAG_WRITE, nullptr, &opts);
+  int sts;
+  if (rtsp) {
+    // Push client: the RECEIVER listens (Parser rtsp_flags=listen) and
+    // may come up a moment after us — retry the ANNOUNCE for ~10 s.
+    sts = -1;
+    for (int attempt = 0; attempt < 50 && sts < 0; attempt++) {
+      AVDictionary* try_opts = nullptr;
+      av_dict_set(&try_opts, "rtsp_transport", "tcp", 0);
+      sts = avformat_write_header(out, &try_opts);
+      av_dict_free(&try_opts);
+      if (sts < 0)
+        std::this_thread::sleep_for(std::chrono::milliseconds(200));
+    }
+  } else {
+    av_dict_set(&opts, "listen", "1", 0);
+    av_dict_set(&opts, "timeout", "30", 0);  // accept window, seconds
+    sts = avio_open2(&out->pb, url, AVIO_FLAG_WRITE, nullptr, &opts);
+    if (sts >= 0) sts = avformat_write_header(out, nullptr);
+  }
   av_dict_free(&opts);
   if (sts < 0) {
     char buf[128];
     av_strerror(sts, buf, sizeof(buf));
-    std::fprintf(stderr, "rtmp listen failed: %s\n", buf);
-    return 4;  // distinct code: environment lacks rtmp listen support
+    std::fprintf(stderr, "%s setup failed: %s\n", rtsp ? "rtsp push" : "rtmp listen", buf);
+    return 4;  // distinct code: environment lacks this protocol mode
   }
-  if (avformat_write_header(out, nullptr) < 0) return 3;
   std::fprintf(stderr, "client connected; streaming\n");
 
   AVPacket* pkt = av_packet_alloc();
