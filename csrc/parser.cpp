@@ -42,6 +42,16 @@ int Parser::Init(const ParserParams& params, std::shared_ptr<Logger> logger) {
   fmt_->interrupt_callback.opaque = this;
 
   int sts = avformat_open_input(&fmt_, params_.input.c_str(), nullptr, &opts);
+  // avformat leaves unrecognized options in the dict: surface them (a
+  // typo'd format_options key would otherwise fail silently — e.g.
+  // "rtsp_flag" opening in client mode instead of listening).
+  if (logger_) {
+    const AVDictionaryEntry* left = nullptr;
+    while ((left = av_dict_get(opts, "", left, AV_DICT_IGNORE_SUFFIX)))
+      logger_->log(std::string("Parser: option not consumed by demuxer: ") +
+                       left->key,
+                   LOG_LOW);
+  }
   av_dict_free(&opts);
   if (sts < 0) {
     if (logger_) logger_->log("Parser: cannot open input " + params_.input, LOG_LOW);

@@ -41,9 +41,7 @@ int Pipeline::Init(const PipelineParams& params) {
   // reconnect-time re-open) through the interrupt callback.
   parser_->setKeepRunningFlag(&should_work_);
   ParserParams pp{params.input, keep_buffer, params.enable_dumps, params.loop,
-                  params.format_opts};
-  for (const auto& kv : queued_format_opts_)
-    pp.format_opts.push_back(kv);
+                  queued_format_opts_};
   int sts = parser_->Init(pp, logger_);
   if (sts != TS_OK) return sts == TS_OK ? TS_OK : TS_ERROR;
 

@@ -52,8 +52,6 @@ struct PipelineParams {
   bool reconnect = false;
   int reconnect_delay_ms = 500;   // backoff between attempts
   int reconnect_attempts = 20;    // per outage; <0 = retry forever
-  // Extra avformat open options, forwarded to ParserParams::format_opts.
-  std::vector<std::pair<std::string, std::string>> format_opts;
 };
 
 class Pipeline {
@@ -61,8 +59,10 @@ class Pipeline {
   ~Pipeline();
 
   int Init(const PipelineParams& params);
-  // Stores an extra avformat option applied by the NEXT Init (the C ABI
-  // sets options before calling init; Python merges them into params).
+  // Stores an extra avformat open option (key=value). Options persist
+  // for the handle's lifetime: every (re-)Init — including reconnect
+  // re-opens — applies them, and a later value for the same key wins
+  // (av_dict_set overwrite semantics).
   void QueueFormatOption(const std::string& key, const std::string& value) {
     queued_format_opts_.emplace_back(key, value);
   }

@@ -71,6 +71,7 @@ def main():
     frames = 0
     start = time.time()
     ckpt = loader.checkpoint()
+    stats = None
     try:
         for tensors, indices in loader:
             stats = step(tensors)
@@ -84,7 +85,8 @@ def main():
                     writer.write(f)
             frames += tensors.shape[0]
             ckpt = loader.checkpoint()
-        jax.block_until_ready(stats)
+        if stats is not None:  # zero batches: e.g. resuming past the end
+            jax.block_until_ready(stats)
     finally:
         loader.close()
         if writer:

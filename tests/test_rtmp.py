@@ -124,9 +124,14 @@ def test_rtsp_listen_mode_ingest(rtmp_serve):
         reader = TensorStreamConverter(
             url, framerate_mode=FrameRate.FAST, timeout=20,
             format_options={"rtsp_flags": "listen"})
-        reader.initialize(repeat_number=1)  # blocks listening for ANNOUNCE
-        if srv.poll() == 4:
-            pytest.skip("libavformat lacks rtsp push/listen support")
+        try:
+            reader.initialize(repeat_number=1)  # blocks for the ANNOUNCE
+        except RuntimeError:
+            # Without push/listen support the pusher exits 4 and nothing
+            # ever connects to the listener; initialize times out first.
+            if srv.poll() == 4:
+                pytest.skip("libavformat lacks rtsp push/listen support")
+            raise
         assert reader.frame_size == (1080, 608)
         reader.start()
         crcs, indices = [], []

@@ -69,14 +69,25 @@ int main(int argc, char** argv) {
     av_dict_set(&opts, "listen", "1", 0);
     av_dict_set(&opts, "timeout", "30", 0);  // accept window, seconds
     sts = avio_open2(&out->pb, url, AVIO_FLAG_WRITE, nullptr, &opts);
-    if (sts >= 0) sts = avformat_write_header(out, nullptr);
+    if (sts < 0) {
+      char buf[128];
+      av_strerror(sts, buf, sizeof(buf));
+      std::fprintf(stderr, "rtmp listen failed: %s\n", buf);
+      av_dict_free(&opts);
+      return 4;  // distinct code: environment lacks rtmp listen support
+    }
+    // A mux failure after a successful accept is a real bug, not a
+    // missing capability — keep it on the loud exit code.
+    sts = avformat_write_header(out, nullptr);
   }
   av_dict_free(&opts);
   if (sts < 0) {
     char buf[128];
     av_strerror(sts, buf, sizeof(buf));
-    std::fprintf(stderr, "%s setup failed: %s\n", rtsp ? "rtsp push" : "rtmp listen", buf);
-    return 4;  // distinct code: environment lacks this protocol mode
+    std::fprintf(stderr, "%s setup failed: %s\n",
+                 rtsp ? "rtsp push" : "rtmp mux", buf);
+    return rtsp ? 4 : 3;  // rtsp push failure = capability (no listener
+                          // distinction is possible client-side)
   }
   std::fprintf(stderr, "client connected; streaming\n");
 
