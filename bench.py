@@ -14,11 +14,17 @@ The `stages` decomposition isolates each budget so a reviewer can see
 where the wall-clock goes on the measured host (the end-to-end number is
 min-bounded by the slowest stage, decode on a 1-core host):
   decode_fps       demux + SW decode, ring writes, no consumer
+                   (measured interleaved with the headline windows;
+                   loader_efficiency_vs_decode = headline / decode_fps)
   drain_fps        + bulk NV12 copy-out to a consumer (C memcpy path)
   host_resize_fps  + native NV12 resize 1080p -> 224x224 in the drain
   transfer_gbps    host->device device_put of resized NV12 batches
   device_vpp_fps   batched convert+normalize on device, compute only
   pool_aggregate_fps  N pooled streams on shared workers, aggregate decode
+  segment_parallel_fps / segment_serial_fps  GOP-parallel reader vs the
+                   serial pipeline on the SAME multi-GOP fixture (which
+                   decodes ~2.3x slower than billiard; do not compare
+                   segment numbers against decode_fps)
 
 `scaling` measures decode thread scaling when cores allow, and records
 the skip reason on hosts where it cannot (TS_BENCH_SCALING=1 forces it).
@@ -44,21 +50,21 @@ STAGE_SECONDS = float(os.environ.get("TS_BENCH_STAGE_SECONDS", "4"))
 BASELINE_FPS = 2000.0
 
 
-def _make_pipeline(lib, decode_threads=0):
+def _make_pipeline(lib, decode_threads=0, video=None):
     p = lib.ts_pipeline_create()
     # Ring of 32 regardless of BATCH: bulk cursors drain sequentially
     # with back-pressure, so the ring only needs to cover scheduling
     # jitter — outsized rings just add hundreds of MB of first-touch
     # page faults inside the measurement window.
-    sts = lib.ts_pipeline_init_ex(p, VIDEO.encode(), 5, 32,
+    sts = lib.ts_pipeline_init_ex(p, (video or VIDEO).encode(), 5, 32,
                                   3, 0, decode_threads, 1, 0)  # FR_FAST, loop
     assert sts == 0, f"pipeline init failed: {sts}"
     return p
 
 
-def bench_decode_only(lib, seconds, decode_threads=0):
+def bench_decode_only(lib, seconds, decode_threads=0, video=None):
     """Producer alone: demux + decode + ring stores, no consumer."""
-    p = _make_pipeline(lib, decode_threads)
+    p = _make_pipeline(lib, decode_threads, video)
     lib.ts_pipeline_start(p)
     time.sleep(0.3)  # spin-up
     f0 = lib.ts_pipeline_frame_index(p)
@@ -166,6 +172,11 @@ def bench_pool_aggregate(lib, seconds, n_streams=4, workers=0):
     return frames / elapsed
 
 
+_SEGMENT_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures",
+    "bench_1920x1080_gop25_200.h264")
+
+
 def bench_segment_parallel(lib, seconds, workers=0):
     """GOP/segment-parallel decode throughput (csrc/segment_reader.cpp):
     N decoder instances over keyframe-split chunks of a multi-GOP 1080p
@@ -173,11 +184,15 @@ def bench_segment_parallel(lib, seconds, workers=0):
     bit-exactly into serial order (tests/test_segment_parallel.py).
     ~1x the serial wall on this 1-core host by construction; the stage
     exists to measure the decode-scaling architecture on multi-core
-    TPU-VM hosts, where it is the only path past frame-threading."""
+    TPU-VM hosts, where it is the only path past frame-threading.
+
+    NOT comparable to `decode_fps`: splitting needs periodic IDRs, so
+    this stage runs its own multi-GOP fixture, which decodes ~2.3x
+    slower than billiard (8x the keyframes, 2x the bitrate). Compare
+    against `segment_serial_fps` — the SAME fixture through the serial
+    pipeline — for the parallel-vs-serial story."""
     workers = workers or min(4, os.cpu_count() or 1)
-    fixture = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures",
-        "bench_1920x1080_gop25_200.h264")
+    fixture = _SEGMENT_FIXTURE
     s = lib.ts_segmented_create(fixture.encode(), workers, 64, 1,
                                 224, 224, 1, 1, 0, 48)
     if not s:
@@ -253,41 +268,52 @@ def bench_scaling(lib):
             "segment_parallel_fps_by_workers": seg_sweep}
 
 
-def bench_headline():
+def _headline_window(loader, seconds):
+    import jax
+
+    frames = 0
+    pending = None
+    start = time.perf_counter()
+    while time.perf_counter() - start < seconds:
+        out, _ = next(loader)
+        pending = out  # async dispatch; don't block inside the loop
+        frames += out.shape[0]
+    if pending is not None:
+        jax.block_until_ready(pending)
+    return frames / (time.perf_counter() - start)
+
+
+def bench_headline_and_decode(lib):
+    """Headline loader fps and the decode-only wall, measured in
+    INTERLEAVED windows (h, d, h, d, h, d) so both sample the same host
+    noise regime — measured a minute apart on this shared 1-core box the
+    two regularly land in different hypervisor-steal regimes and the
+    headline/decode efficiency ratio comes out meaningless (even > 1).
+    Best-of over the windows: transient stalls only ever subtract, so
+    the max is the stable capability estimate (see _best_of)."""
     import jax
 
     from tensor_stream_tpu import FourCC, FrameLoader, Planes, ResizeType
 
-    # Ring of 32 regardless of BATCH (bulk cursors drain with
-    # back-pressure): measured on the 1-core host, ring 64 costs ~40 fps
-    # of headline vs ring 32 — outsized rings pay first-touch page
-    # faults and evict the resize working set from cache.
-    loader = FrameLoader(VIDEO, batch=BATCH, prefetch=3, host_resize=True,
-                         buffer_size=32, loop=True,
-                         width=224, height=224,
-                         resize_type=ResizeType.BILINEAR,
-                         pixel_format=FourCC.RGB24, planes_pos=Planes.PLANAR,
-                         normalization=True)
-    out, _ = next(loader)  # warm the jit cache before timing
-    jax.block_until_ready(out)
-    # Best-of-3 windows over one continuous run: transient stalls on a
-    # shared 1-core host only ever subtract (hypervisor steal measured
-    # 30%+ in bad hours), so the best window is the stable capability
-    # estimate (same rationale as _best_of for the stage benches).
-    best = 0.0
-    for _ in range(3):
-        frames = 0
-        pending = None
-        start = time.perf_counter()
-        while time.perf_counter() - start < TARGET_SECONDS / 2:
+    best_h, best_d = 0.0, 0.0
+    for i in range(3):
+        # Ring of 32 regardless of BATCH (bulk cursors drain with
+        # back-pressure): measured on the 1-core host, ring 64 costs
+        # ~40 fps of headline vs ring 32 — outsized rings pay
+        # first-touch page faults and evict the resize working set.
+        loader = FrameLoader(VIDEO, batch=BATCH, prefetch=3,
+                             host_resize=True, buffer_size=32, loop=True,
+                             width=224, height=224,
+                             resize_type=ResizeType.BILINEAR,
+                             pixel_format=FourCC.RGB24,
+                             planes_pos=Planes.PLANAR, normalization=True)
+        if i == 0:  # warm the jit cache before the first timed window
             out, _ = next(loader)
-            pending = out  # async dispatch; don't block inside the loop
-            frames += out.shape[0]
-        if pending is not None:
-            jax.block_until_ready(pending)
-        best = max(best, frames / (time.perf_counter() - start))
-    loader.close()
-    return best
+            jax.block_until_ready(out)
+        best_h = max(best_h, _headline_window(loader, TARGET_SECONDS / 2))
+        loader.close()
+        best_d = max(best_d, bench_decode_only(lib, STAGE_SECONDS))
+    return best_h, best_d
 
 
 def _best_of(n, fn, *args):
@@ -301,15 +327,15 @@ def main():
     from tensor_stream_tpu import _native
 
     lib = _native.load()
-    fps = bench_headline()
+    fps, decode_fps = bench_headline_and_decode(lib)
     transfer_gbps, transfer_fps = bench_transfer(STAGE_SECONDS / 2)
     half = STAGE_SECONDS / 2
     stages = {
-        # Full-length window for the decode wall: it is the headline's
-        # denominator (headline/decode_fps = loader efficiency) and 2 s
-        # burst windows read up to +-8% on this host.
-        "decode_fps": round(
-            _best_of(2, bench_decode_only, lib, STAGE_SECONDS), 1),
+        # decode_fps is measured interleaved with the headline windows
+        # (same noise regime — it is the headline's denominator):
+        # headline/decode_fps = loader efficiency.
+        "decode_fps": round(decode_fps, 1),
+        "loader_efficiency_vs_decode": round(fps / max(decode_fps, 1e-9), 3),
         "drain_fps": round(_best_of(2, _bench_bulk, lib, half, False), 1),
         "host_resize_fps": round(_best_of(2, _bench_bulk, lib, half, True), 1),
         "transfer_gbps": round(transfer_gbps, 3),
@@ -319,6 +345,14 @@ def main():
             _best_of(2, bench_pool_aggregate, lib, half), 1),
         "segment_parallel_fps": round(
             _best_of(2, bench_segment_parallel, lib, half), 1),
+        # The serial wall of the segment fixture itself (it decodes
+        # ~2.3x slower than billiard — 8x the keyframes, 2x the
+        # bitrate): segment_parallel_fps / segment_serial_fps is the
+        # parallel-vs-serial ratio, ~0.93x on this 1-core host and
+        # ~workers x on multi-core ones.
+        "segment_serial_fps": round(
+            _best_of(2, bench_decode_only, lib, half, 0, _SEGMENT_FIXTURE),
+            1),
         **bench_fast_read_latency(lib),
     }
     result = {
