@@ -123,24 +123,19 @@ def _two_sum(a, b):
     return s, err
 
 
-def _two_prod(a, b):
-    """Dekker two-product: p = RN(a*b), err exact (p + err == a*b).
-
-    The roundings of p and of the Veltkamp splitter products ARE the
-    algorithm — optimization_barrier pins each one so no XLA version
-    may contract them into the adjacent subtractions (x*y feeding an
-    add/sub is exactly the mul-into-add shape contraction rewrites;
+def _two_prod_after_barrier(a, b, p, ca, cb):
+    """Dekker two-product tail: err exact (p + err == a*b), given the
+    already-barriered p = RN(a*b) and Veltkamp splitter products
+    ca = RN(_SPLIT*a), cb = RN(_SPLIT*b) (see fma32v_many: those three
+    roundings ARE the algorithm and must be pinned against contraction;
     the half-products ah*bh etc. are exact by construction and stay
     fusable)."""
-    p = jax.lax.optimization_barrier(a * b)
-    ca = jax.lax.optimization_barrier(_SPLIT * a)
     ah = ca - (ca - a)
     al = a - ah
-    cb = jax.lax.optimization_barrier(_SPLIT * b)
     bh = cb - (cb - b)
     bl = b - bh
     err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return p, err
+    return err
 
 
 def _round_to_odd(v, rho):
@@ -155,19 +150,47 @@ def _round_to_odd(v, rho):
     return out
 
 
+def fma32v_many(triples):
+    """Correctly-rounded f32 fmaf(x, w, acc) over a list of INDEPENDENT
+    (x, w, acc) triples (f32 arrays / broadcastable host constants) —
+    one rounding each, no i64.
+
+    All triples share ONE jax.lax.optimization_barrier call: the
+    semantically-required roundings of every chain sit at the same
+    dependency level, so a single tuple barrier pins them all while
+    cutting the fusion boundaries an optimization_barrier introduces
+    from ~5 per fmaf to 1 per lockstep step. On TPU each boundary is a
+    separate kernel launch; grouping the Y/U/V plane chains of the
+    resize blends this way is what makes the exact device path cheap
+    (docs/ROADMAP.md polish item 0). Barriered per triple:
+      * x*w and the two Veltkamp splitter products (the two_prod
+        roundings — x*y feeding an add/sub is exactly the shape
+        mul-into-add contraction rewrites),
+      * acc — the caller may feed a lone-multiply result whose rounding
+        is part of the emulated chain, and
+      * x itself — also often a lone-multiply result (e.g. a*omx in the
+        bilinear blend); fencing it keeps its rounding from contracting
+        into two_prod's internal subtractions."""
+    pre = []
+    for x, w, acc in triples:
+        x = jnp.asarray(x).astype(jnp.float32)
+        w = jnp.asarray(w).astype(jnp.float32)
+        acc = jnp.asarray(acc).astype(jnp.float32)
+        pre.append((x, w, acc, x * w, _SPLIT * x, _SPLIT * w))
+    pinned = jax.lax.optimization_barrier(tuple(pre))
+    outs = []
+    for x, w, acc, p, ca, cb in pinned:
+        pl = _two_prod_after_barrier(x, w, p, ca, cb)
+        sh, sl = _two_sum(acc, p)
+        v, rho = _two_sum(sl, pl)
+        outs.append(sh + _round_to_odd(v, rho))
+    return outs
+
+
 def fma32v(x, w, acc):
     """Correctly-rounded f32 fmaf(x, w, acc) on VALUES (f32 arrays /
     broadcastable host constants) — one rounding, no i64."""
-    x = jnp.asarray(x).astype(jnp.float32)
-    w = jnp.asarray(w).astype(jnp.float32)
-    # The caller may feed a lone-multiply result as acc; its rounding is
-    # part of the emulated chain, so fence it from fma contraction too.
-    acc = jax.lax.optimization_barrier(
-        jnp.asarray(acc).astype(jnp.float32))
-    ph, pl = _two_prod(x, w)
-    sh, sl = _two_sum(acc, ph)
-    v, rho = _two_sum(sl, pl)
-    return sh + _round_to_odd(v, rho)
+    return fma32v_many([(x, w, acc)])[0]
 
 
 def f32_to_me(v):

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..enums import ResizeType
-from .exactf32 import const_me, div_f32, f32_to_me, fma32v, trunc_u8
+from .exactf32 import (const_me, div_f32, f32_to_me, fma32v_many,
+                       trunc_u8)
 
 _EPS32 = np.float32(np.finfo(np.float32).eps)
 
@@ -95,33 +96,49 @@ def _bilinear_axis(dst_n: int, ratio: np.float32, src_n: int):
     return base, w
 
 
-def _bilinear_plane(img, row_a, row_c, col_a, col_b, wx, wy):
-    """4-tap blend in nvcc's FMA-contracted rounding order
-    (src/Resize.cu:5-25; exact order reconstructed in
+def _bilinear_planes(specs):
+    """4-tap blend of N independent planes in nvcc's FMA-contracted
+    rounding order (src/Resize.cu:5-25; exact order reconstructed in
     csrc/vpp_host.cpp Blend4):
         s = fmaf(a*omx, omy, (b*wx)*omy)
         s = fmaf(c*wy, omx, s); s = fmaf(d, wx*wy, s)
     XLA exposes no FMA op and the TPU backend has no f64, so each fmaf
-    is the error-free-transformation emulation (ops/exactf32.py fma32v,
-    with optimization barriers pinning every semantically-required
-    rounding against contraction) — bit-identical on every backend,
-    reproducing the committed CRCs."""
-    a = _take2(img, row_a, col_a).astype(jnp.float32)
-    b = _take2(img, row_a, col_b).astype(jnp.float32)
-    c = _take2(img, row_c, col_a).astype(jnp.float32)
-    d = _take2(img, row_c, col_b).astype(jnp.float32)
-    wx = np.asarray(wx, np.float32)[None, :]
-    wy = np.asarray(wy, np.float32)[:, None]
-    omx = np.float32(1) - wx
-    omy = np.float32(1) - wy
-    # Value-based exact chain (ops/exactf32.py): lone f32 multiplies ARE
-    # single roundings (contraction only fuses mul INTO add, and the fma
-    # steps are the EFT emulation), so no wide integers are needed.
-    t1 = (b * jnp.asarray(wx)) * jnp.asarray(omy)
-    s = fma32v(a * jnp.asarray(omx), omy, t1)
-    s = fma32v(c * jnp.asarray(wy), omx, s)
-    s = fma32v(d, jnp.asarray(wx) * jnp.asarray(wy), s)
-    return _trunc_u8(s)
+    is the error-free-transformation emulation (ops/exactf32.py, with
+    optimization barriers pinning every semantically-required rounding
+    against contraction) — bit-identical on every backend, reproducing
+    the committed CRCs. The planes (Y, U, V) run their chains in
+    LOCKSTEP through fma32v_many so each of the three fmaf steps costs
+    one shared barrier instead of several per plane — on TPU every
+    barrier is a fusion boundary (a kernel launch), and this grouping
+    is most of the exact device path's speed.
+
+    Each spec is (img, row_a, row_c, col_a, col_b, wx, wy); returns the
+    list of uint8 output planes."""
+    head = []
+    for img, row_a, row_c, col_a, col_b, wx, wy in specs:
+        a = _take2(img, row_a, col_a).astype(jnp.float32)
+        b = _take2(img, row_a, col_b).astype(jnp.float32)
+        c = _take2(img, row_c, col_a).astype(jnp.float32)
+        d = _take2(img, row_c, col_b).astype(jnp.float32)
+        wx = np.asarray(wx, np.float32)[None, :]
+        wy = np.asarray(wy, np.float32)[:, None]
+        omx = np.float32(1) - wx
+        omy = np.float32(1) - wy
+        # Value-based exact chain (ops/exactf32.py): lone f32 multiplies
+        # ARE single roundings (contraction only fuses mul INTO add, and
+        # the fma steps are the EFT emulation), so no wide integers are
+        # needed.
+        t1 = (b * jnp.asarray(wx)) * jnp.asarray(omy)
+        head.append((a, c, d, wx, wy, omx, omy, t1))
+    s = fma32v_many([(a * jnp.asarray(omx), omy, t1)
+                     for a, c, d, wx, wy, omx, omy, t1 in head])
+    s = fma32v_many([(c * jnp.asarray(wy), omx, si)
+                     for (a, c, d, wx, wy, omx, omy, t1), si
+                     in zip(head, s)])
+    s = fma32v_many([(d, jnp.asarray(wx) * jnp.asarray(wy), si)
+                     for (a, c, d, wx, wy, omx, omy, t1), si
+                     in zip(head, s)])
+    return [_trunc_u8(si) for si in s]
 
 
 def _bilinear_tables(xs, ws_x, ys, ws_y, src_w, src_h):
@@ -138,9 +155,8 @@ def _bilinear_tables(xs, ws_x, ys, ws_y, src_w, src_h):
     return row_a, row_c, col_a, col_b
 
 
-def _bilinear_uv(uv, xs, ws_x, ys, ws_y, src_w, src_h, dst_w, dst_h,
-                 weights_fn=None):
-    """UV plane: x->2x (U) / 2x+1 (V), xDiff=2, height=src_h/2
+def _bilinear_uv_specs(uv, xs, ws_x, ys, ws_y, src_w, src_h, dst_w, dst_h):
+    """U/V plane specs: x->2x (U) / 2x+1 (V), xDiff=2, height=src_h/2
     (src/Resize.cu:235-238, 307-310)."""
     h2 = src_h // 2
     xs_uv = xs[: dst_w // 2]
@@ -153,9 +169,19 @@ def _bilinear_uv(uv, xs, ws_x, ys, ws_y, src_w, src_h, dst_w, dst_h,
     u_b = np.where(u_a + 2 >= src_w, u_a, u_a + 2)
     v_a = 2 * xs_uv + 1
     v_b = np.where(v_a + 2 >= src_w, v_a, v_a + 2)
-    u_out = _bilinear_plane(uv, row_a, row_c, u_a, u_b, wx_uv, wy_uv)
-    v_out = _bilinear_plane(uv, row_a, row_c, v_a, v_b, wx_uv, wy_uv)
-    return jnp.stack([u_out, v_out], axis=-1).reshape(dst_h // 2, dst_w)
+    return [(uv, row_a, row_c, u_a, u_b, wx_uv, wy_uv),
+            (uv, row_a, row_c, v_a, v_b, wx_uv, wy_uv)]
+
+
+def _bilinear_yuv(y, uv, xs, wx, ys, wy, src_w, src_h, dst_w, dst_h):
+    """Y + U + V through one lockstep blend (shared barriers)."""
+    row_a, row_c, col_a, col_b = _bilinear_tables(xs, wx, ys, wy, src_w, src_h)
+    specs = [(y, row_a, row_c, col_a, col_b, wx, wy)]
+    specs += _bilinear_uv_specs(uv, xs, wx, ys, wy, src_w, src_h,
+                                dst_w, dst_h)
+    y_out, u_out, v_out = _bilinear_planes(specs)
+    uv_out = jnp.stack([u_out, v_out], axis=-1).reshape(dst_h // 2, dst_w)
+    return y_out, uv_out
 
 
 def resize_bilinear(y, uv, src_w, src_h, dst_w, dst_h):
@@ -163,10 +189,7 @@ def resize_bilinear(y, uv, src_w, src_h, dst_w, dst_h):
     y_ratio = np.float32(src_h) / np.float32(dst_h)
     xs, wx = _bilinear_axis(dst_w, x_ratio, src_w)
     ys, wy = _bilinear_axis(dst_h, y_ratio, src_h)
-    row_a, row_c, col_a, col_b = _bilinear_tables(xs, wx, ys, wy, src_w, src_h)
-    y_out = _bilinear_plane(y, row_a, row_c, col_a, col_b, wx, wy)
-    uv_out = _bilinear_uv(uv, xs, wx, ys, wy, src_w, src_h, dst_w, dst_h)
-    return y_out, uv_out
+    return _bilinear_yuv(y, uv, xs, wx, ys, wy, src_w, src_h, dst_w, dst_h)
 
 
 # --------------------------------------------------------------- bicubic
@@ -314,38 +337,59 @@ def generate_resize_pattern(scale: np.float32):
     return np.asarray(pattern, dtype=np.float32)  # (period, ceil(scale))
 
 
-def _area_down_plane(img, y_base, x_base, wy, wx, stride, col_off):
-    """Weighted box sum in the reference's exact f32 rounding order
-    (src/Resize.cu:160-178, reconstructed in csrc/vpp_host.cpp:330-355):
-    per tap `w2d = f32(wy*wx)`, `div += w2d` (plain f32 add),
-    `acc = fmaf(p, w2d, acc)`; then `(int)(acc / div)` with a single f32
-    division. The divide chain is input-independent, so it is
-    precomputed host-side in NumPy f32 (same op order); the fmaf chain
-    and the division are emulated exactly on device (ops/exactf32.py),
-    making the AREA CRCs bit-exact on every backend."""
-    n_ty, n_tx = wy.shape[1], wx.shape[1]
-    h_img, w_img = img.shape
-    wy32 = np.asarray(wy, np.float32)
-    wx32 = np.asarray(wx, np.float32)
-    div_host = np.zeros((wy32.shape[0], wx32.shape[0]), np.float32)
-    acc = jnp.zeros((wy32.shape[0], wx32.shape[0]), jnp.float32)
+def _area_down_planes(specs):
+    """Weighted box sum of N independent planes in the reference's exact
+    f32 rounding order (src/Resize.cu:160-178, reconstructed in
+    csrc/vpp_host.cpp:330-355): per tap `w2d = f32(wy*wx)`,
+    `div += w2d` (plain f32 add), `acc = fmaf(p, w2d, acc)`; then
+    `(int)(acc / div)` with a single f32 division. The divide chain is
+    input-independent, so it is precomputed host-side in NumPy f32
+    (same op order); the fmaf chain and the division are emulated
+    exactly on device (ops/exactf32.py), making the AREA CRCs bit-exact
+    on every backend. The Y/U/V tap chains run in LOCKSTEP through
+    fma32v_many — one shared barrier per tap step instead of several
+    per plane (each is a fusion boundary / kernel launch on TPU).
+
+    Each spec is (img, y_base, x_base, wy, wx, stride, col_off); every
+    spec must share the same tap-grid shape (wy.shape[1], wx.shape[1])
+    — true for NV12: the UV plane halves both dims, so its ratios and
+    pattern widths equal the Y plane's. Returns the uint8 planes."""
+    n_ty, n_tx = specs[0][3].shape[1], specs[0][4].shape[1]
+    pre = []
+    for img, y_base, x_base, wy, wx, stride, col_off in specs:
+        assert (wy.shape[1], wx.shape[1]) == (n_ty, n_tx)
+        wy32 = np.asarray(wy, np.float32)
+        wx32 = np.asarray(wx, np.float32)
+        div_host = np.zeros((wy32.shape[0], wx32.shape[0]), np.float32)
+        acc = jnp.zeros((wy32.shape[0], wx32.shape[0]), jnp.float32)
+        pre.append([img, y_base, x_base, wy32, wx32, stride, col_off,
+                    div_host, acc])
     for ti in range(n_ty):
-        rows = np.minimum(y_base + ti, h_img - 1)
         for tj in range(n_tx):
-            cols = np.minimum(x_base * stride + col_off + tj * stride,
-                              w_img - 1)
-            w2d = wy32[:, ti][:, None] * wx32[:, tj][None, :]  # f32 mul
-            div_host = div_host + w2d                          # f32 add
-            p = _take2(img, rows, cols).astype(jnp.float32)
-            acc = fma32v(p, w2d, acc)  # exact fmaf chain, f32 values
+            triples = []
+            for s in pre:
+                img, y_base, x_base, wy32, wx32, stride, col_off = s[:7]
+                h_img, w_img = img.shape
+                rows = np.minimum(y_base + ti, h_img - 1)
+                cols = np.minimum(x_base * stride + col_off + tj * stride,
+                                  w_img - 1)
+                w2d = wy32[:, ti][:, None] * wx32[:, tj][None, :]  # f32 mul
+                s[7] = s[7] + w2d                                  # f32 add
+                p = _take2(img, rows, cols).astype(jnp.float32)
+                triples.append((p, w2d, s[8]))
+            accs = fma32v_many(triples)  # exact fmaf chains, f32 values
+            for s, acc in zip(pre, accs):
+                s[8] = acc
     # Only the division is wide-integer (backend f32 division is not
     # guaranteed correctly rounded): one (m, e) extraction per pixel.
-    mdiv, ediv = const_me(div_host)
+    outs = []
     with jax.enable_x64(True):
-        am, ae = f32_to_me(acc)
-        qm, qe = div_f32(am, ae, jnp.asarray(mdiv), jnp.asarray(ediv))
-        out8 = trunc_u8(qm, qe)
-    return out8
+        for s in pre:
+            mdiv, ediv = const_me(s[7])
+            am, ae = f32_to_me(s[8])
+            qm, qe = div_f32(am, ae, jnp.asarray(mdiv), jnp.asarray(ediv))
+            outs.append(trunc_u8(qm, qe))
+    return outs
 
 
 def _area_axis_down(dst_n: int, ratio: np.float32):
@@ -363,20 +407,18 @@ def resize_area(y, uv, src_w, src_h, dst_w, dst_h):
     if x_ratio > 1 and y_ratio > 1:
         xb, wx = _area_axis_down(dst_w, x_ratio)
         yb, wy = _area_axis_down(dst_h, y_ratio)
-        y_out = _area_down_plane(y, yb, xb, wy, wx, 1, 0)
         xb_uv, wx_uv = xb[: dst_w // 2], wx[: dst_w // 2]
         yb_uv, wy_uv = yb[: dst_h // 2], wy[: dst_h // 2]
-        u = _area_down_plane(uv, yb_uv, xb_uv, wy_uv, wx_uv, 2, 0)
-        v = _area_down_plane(uv, yb_uv, xb_uv, wy_uv, wx_uv, 2, 1)
+        y_out, u, v = _area_down_planes([
+            (y, yb, xb, wy, wx, 1, 0),
+            (uv, yb_uv, xb_uv, wy_uv, wx_uv, 2, 0),
+            (uv, yb_uv, xb_uv, wy_uv, wx_uv, 2, 1)])
         uv_out = jnp.stack([u, v], axis=-1).reshape(dst_h // 2, dst_w)
         return y_out, uv_out
     # Upscale: bilinear with coverage-derived weights (src/Resize.cu:214-240).
     xs, wx = _area_axis_up(dst_w, x_ratio)
     ys, wy = _area_axis_up(dst_h, y_ratio)
-    row_a, row_c, col_a, col_b = _bilinear_tables(xs, wx, ys, wy, src_w, src_h)
-    y_out = _bilinear_plane(y, row_a, row_c, col_a, col_b, wx, wy)
-    uv_out = _bilinear_uv(uv, xs, wx, ys, wy, src_w, src_h, dst_w, dst_h)
-    return y_out, uv_out
+    return _bilinear_yuv(y, uv, xs, wx, ys, wy, src_w, src_h, dst_w, dst_h)
 
 
 def _area_axis_up(dst_n: int, ratio: np.float32):
