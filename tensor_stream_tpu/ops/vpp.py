@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import _compile_cache
 from ..enums import (ColorStandard, FourCC, Planes, ResizeType,
                      channels_by_fourcc)
 from . import color as color_ops
@@ -154,6 +155,7 @@ def make_vpp_fn(cfg: VPPConfig):
 @lru_cache(maxsize=256)
 def build_vpp(cfg: VPPConfig, device_index: int = 0):
     """Jitted single-frame VPP: (y [H,W] u8, uv [H/2,W] u8) -> jax.Array."""
+    _compile_cache.ensure_compile_cache()
     device = jax.devices()[device_index]
     return jax.jit(make_vpp_fn(cfg), device=device)
 
@@ -168,6 +170,7 @@ def build_vpp_batched_flat(cfg: VPPConfig, batch: int, device_index: int = 0):
     transfer is the throughput wall on the consumer side, so the staging
     buffer is written once by the native ring drain and shipped whole.
     """
+    _compile_cache.ensure_compile_cache()
     device = jax.devices()[device_index]
     fn = make_vpp_fn(cfg)
     h, w = cfg.src_height, cfg.src_width
@@ -193,6 +196,7 @@ def build_vpp_batched(cfg: VPPConfig, device_index: int = 0):
     processes many frames, amortizing host->HBM transfer and kernel launch
     (the reference processed one frame per CUDA launch chain).
     """
+    _compile_cache.ensure_compile_cache()
     device = jax.devices()[device_index]
     fn = make_vpp_fn(cfg)
     return jax.jit(jax.vmap(fn), device=device)
