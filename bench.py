@@ -15,7 +15,14 @@ where the wall-clock goes on the measured host (the end-to-end number is
 min-bounded by the slowest stage, decode on a 1-core host):
   decode_fps       demux + SW decode, ring writes, no consumer
                    (measured interleaved with the headline windows;
-                   loader_efficiency_vs_decode = headline / decode_fps)
+                   loader_efficiency_vs_decode = headline / decode_fps).
+                   NOTE: a conservative denominator — the zero-copy ring
+                   defers NV12 packing, so a producer with NO consumer
+                   skips the pack/resize work any real consumer forces;
+                   host_resize_fps (drain + native resize) is the
+                   tighter single-consumer wall, and the headline loader
+                   typically lands between the two (batching gains vs
+                   host_resize, transfer+dispatch costs vs decode).
   drain_fps        + bulk NV12 copy-out to a consumer (C memcpy path)
   host_resize_fps  + native NV12 resize 1080p -> 224x224 in the drain
   transfer_gbps    host->device device_put of resized NV12 batches
