@@ -51,6 +51,19 @@ int64_t PacketTime(const AVPacket* pkt) {
 
 }  // namespace
 
+StreamScan::~StreamScan() {
+  if (codecpar) avcodec_parameters_free(&codecpar);
+}
+
+SegScratch::~SegScratch() {
+  if (sws) sws_freeContext(sws);
+}
+
+WorkerDecoder::~WorkerDecoder() {
+  if (ctx) avcodec_free_context(&ctx);
+  if (fmt) avformat_close_input(&fmt);
+}
+
 SegmentedReader::~SegmentedReader() {
   Stop();
   if (codecpar_) avcodec_parameters_free(&codecpar_);
@@ -75,9 +88,10 @@ int SegmentedReader::Init(const SegmentedParams& params,
   return TS_OK;
 }
 
-int SegmentedReader::scan() {
+int ScanStream(const std::string& input, const std::shared_ptr<Logger>& logger,
+               StreamScan* out) {
   AVFormatContext* fmt = nullptr;
-  int sts = avformat_open_input(&fmt, params_.input.c_str(), nullptr, nullptr);
+  int sts = avformat_open_input(&fmt, input.c_str(), nullptr, nullptr);
   if (sts < 0) return sts;
   sts = avformat_find_stream_info(fmt, nullptr);
   if (sts < 0) {
@@ -90,26 +104,26 @@ int SegmentedReader::scan() {
     return TS_UNSUPPORTED;  // live/non-seekable: use the serial pipeline
   }
   AVStream* vs = fmt->streams[vi];
-  codecpar_ = avcodec_parameters_alloc();
-  if (!codecpar_) {
+  out->codecpar = avcodec_parameters_alloc();
+  if (!out->codecpar) {
     avformat_close_input(&fmt);
     return TS_ERROR;
   }
-  avcodec_parameters_copy(codecpar_, vs->codecpar);
-  codec_id_ = vs->codecpar->codec_id;
-  width_ = vs->codecpar->width;
-  height_ = vs->codecpar->height;
-  seek_time_base_ = vs->time_base;
-  byte_seek_ = fmt->iformat && (fmt->iformat->flags & AVFMT_GENERIC_INDEX);
+  avcodec_parameters_copy(out->codecpar, vs->codecpar);
+  out->codec_id = vs->codecpar->codec_id;
+  out->width = vs->codecpar->width;
+  out->height = vs->codecpar->height;
+  out->seek_time_base = vs->time_base;
+  out->byte_seek = fmt->iformat && (fmt->iformat->flags & AVFMT_GENERIC_INDEX);
 
   // IDR checks run on annexb bytes; containers carry AVCC, so route
   // H.264/HEVC packets through the same BSF the analyzer uses
   // (csrc/parser.cpp Analyze; reference src/Parser.cpp:337-345).
   AVBSFContext* bsf = nullptr;
-  if (codec_id_ == AV_CODEC_ID_H264 || codec_id_ == AV_CODEC_ID_HEVC) {
+  if (out->codec_id == AV_CODEC_ID_H264 || out->codec_id == AV_CODEC_ID_HEVC) {
     const AVBitStreamFilter* filter = av_bsf_get_by_name(
-        codec_id_ == AV_CODEC_ID_H264 ? "h264_mp4toannexb"
-                                      : "hevc_mp4toannexb");
+        out->codec_id == AV_CODEC_ID_H264 ? "h264_mp4toannexb"
+                                          : "hevc_mp4toannexb");
     if (filter && av_bsf_alloc(filter, &bsf) >= 0) {
       avcodec_parameters_copy(bsf->par_in, vs->codecpar);
       bsf->time_base_in = vs->time_base;
@@ -117,7 +131,6 @@ int SegmentedReader::scan() {
     }
   }
 
-  std::vector<SegmentChunk> segments;
   AVPacket* pkt = av_packet_alloc();
   AVPacket* filtered = av_packet_alloc();
   int64_t n = 0;
@@ -132,7 +145,7 @@ int SegmentedReader::scan() {
         AVPacket* probe = av_packet_clone(pkt);
         if (probe && av_bsf_send_packet(bsf, probe) >= 0) {
           while (av_bsf_receive_packet(bsf, filtered) >= 0) {
-            if (IsIdrAccessUnit(filtered->data, filtered->size, codec_id_))
+            if (IsIdrAccessUnit(filtered->data, filtered->size, out->codec_id))
               split = true;
             av_packet_unref(filtered);
           }
@@ -149,9 +162,9 @@ int SegmentedReader::scan() {
       c.byte_pos = pkt->pos;
       c.pts = PacketTime(pkt);
       c.first_frame = n;
-      segments.push_back(c);
+      out->segments.push_back(c);
     }
-    segments.back().n_frames++;
+    out->segments.back().n_frames++;
     n++;
     av_packet_unref(pkt);
   }
@@ -161,11 +174,88 @@ int SegmentedReader::scan() {
   avformat_close_input(&fmt);
   if (sts != AVERROR_EOF && sts < 0) return sts;
   if (n == 0) return TS_UNSUPPORTED;
-  total_frames_ = n;
+  out->total_frames = n;
+  return TS_OK;
+}
+
+int OpenWorkerDecoder(const std::string& input, AVCodecID codec_id,
+                      const AVCodecParameters* par, int decode_threads,
+                      bool fast_decode, WorkerDecoder* out) {
+  int rc = avformat_open_input(&out->fmt, input.c_str(), nullptr, nullptr);
+  if (rc >= 0) rc = avformat_find_stream_info(out->fmt, nullptr);
+  if (rc >= 0) {
+    out->video_index =
+        av_find_best_stream(out->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    if (out->video_index < 0) rc = TS_ERROR;
+  }
+  if (rc >= 0) {
+    const AVCodec* codec = avcodec_find_decoder(codec_id);
+    out->ctx = codec ? avcodec_alloc_context3(codec) : nullptr;
+    rc = out->ctx ? avcodec_parameters_to_context(out->ctx, par) : TS_ERROR;
+    if (rc >= 0) {
+      out->ctx->thread_count = decode_threads > 0 ? decode_threads : 1;
+      out->ctx->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+      if (fast_decode) {
+        out->ctx->skip_loop_filter = AVDISCARD_ALL;
+        out->ctx->flags2 |= AV_CODEC_FLAG2_FAST;
+      }
+      rc = avcodec_open2(out->ctx, codec, nullptr);
+    }
+  }
+  return rc < 0 ? rc : TS_OK;
+}
+
+int ResizeDepositNV12(const AVFrame* f, uint8_t* y, uint8_t* uv, int dst_w,
+                      int dst_h, HostResizeAlgo algo, SegScratch& scratch) {
+  if (f->width == dst_w && f->height == dst_h)
+    return PackFrameNV12(f, y, uv, &scratch.sws);
+  if (f->format == AV_PIX_FMT_NV12) {
+    // Resize straight from the decoder planes (same zero-pack trick
+    // as the serial ring's resized drain, csrc/decoder.cpp).
+    ResizeNV12HostStrided(f->data[0], f->linesize[0], f->data[1],
+                          f->linesize[1], f->width, f->height, y, uv, dst_w,
+                          dst_h, algo);
+    return TS_OK;
+  }
+  if (f->format == AV_PIX_FMT_YUV420P || f->format == AV_PIX_FMT_YUVJ420P) {
+    // 4:2:0 planar: interleave UV into the worker scratch (the Y
+    // plane never copies), then resize strided.
+    const int w = f->width, h = f->height;
+    const size_t need = static_cast<size_t>(w) * (h / 2);
+    if (scratch.uv.size() < need) scratch.uv.resize(need);
+    InterleaveChromaRows(f->data[1], f->linesize[1], f->data[2],
+                         f->linesize[2], w, h / 2, scratch.uv.data());
+    ResizeNV12HostStrided(f->data[0], f->linesize[0], scratch.uv.data(), w, w,
+                          h, y, uv, dst_w, dst_h, algo);
+    return TS_OK;
+  }
+  // Exotic formats: pack via swscale, then resize.
+  const size_t ysz = static_cast<size_t>(f->width) * f->height;
+  if (scratch.y.size() < ysz) scratch.y.resize(ysz);
+  if (scratch.uv.size() < ysz / 2) scratch.uv.resize(ysz / 2);
+  int rc = PackFrameNV12(f, scratch.y.data(), scratch.uv.data(), &scratch.sws);
+  if (rc == TS_OK)
+    ResizeNV12Host(scratch.y.data(), scratch.uv.data(), f->width, f->height,
+                   y, uv, dst_w, dst_h, algo);
+  return rc;
+}
+
+int SegmentedReader::scan() {
+  StreamScan scan;
+  int sts = ScanStream(params_.input, logger_, &scan);
+  if (sts != TS_OK) return sts;
+  codecpar_ = scan.codecpar;
+  scan.codecpar = nullptr;  // ownership moves to the reader
+  codec_id_ = scan.codec_id;
+  width_ = scan.width;
+  height_ = scan.height;
+  seek_time_base_ = scan.seek_time_base;
+  byte_seek_ = scan.byte_seek;
+  total_frames_ = scan.total_frames;
 
   // Merge adjacent segments into ~chunk_frames tasks: one seek + one
   // flush per chunk instead of per GOP.
-  for (const auto& seg : segments) {
+  for (const auto& seg : scan.segments) {
     if (!chunks_.empty() &&
         chunks_.back().n_frames + seg.n_frames <= params_.chunk_frames) {
       chunks_.back().n_frames += seg.n_frames;
@@ -175,7 +265,7 @@ int SegmentedReader::scan() {
   }
   if (logger_)
     logger_->log("SegmentedReader: " + std::to_string(total_frames_) +
-                     " frames, " + std::to_string(segments.size()) +
+                     " frames, " + std::to_string(scan.segments.size()) +
                      " segments, " + std::to_string(chunks_.size()) +
                      " chunks",
                  LOG_MEDIUM);
@@ -196,31 +286,11 @@ int SegmentedReader::Start() {
 }
 
 void SegmentedReader::worker(int id) {
-  AVFormatContext* fmt = nullptr;
-  AVCodecContext* ctx = nullptr;
-  Scratch scratch;
-  int vi = -1;
-  int rc = avformat_open_input(&fmt, params_.input.c_str(), nullptr, nullptr);
-  if (rc >= 0) rc = avformat_find_stream_info(fmt, nullptr);
-  if (rc >= 0) {
-    vi = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
-    if (vi < 0) rc = TS_ERROR;
-  }
-  if (rc >= 0) {
-    const AVCodec* codec = avcodec_find_decoder(codec_id_);
-    ctx = codec ? avcodec_alloc_context3(codec) : nullptr;
-    rc = ctx ? avcodec_parameters_to_context(ctx, codecpar_) : TS_ERROR;
-    if (rc >= 0) {
-      ctx->thread_count = params_.decode_threads > 0 ? params_.decode_threads
-                                                     : 1;
-      ctx->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
-      if (params_.fast_decode) {
-        ctx->skip_loop_filter = AVDISCARD_ALL;
-        ctx->flags2 |= AV_CODEC_FLAG2_FAST;
-      }
-      rc = avcodec_open2(ctx, codec, nullptr);
-    }
-  }
+  WorkerDecoder dec;
+  SegScratch scratch;
+  int rc = OpenWorkerDecoder(params_.input, codec_id_, codecpar_,
+                             params_.decode_threads, params_.fast_decode,
+                             &dec);
   if (rc < 0) {
     if (logger_)
       logger_->log("SegmentedReader worker open failed: " + std::to_string(rc),
@@ -243,7 +313,7 @@ void SegmentedReader::worker(int id) {
         std::lock_guard<std::mutex> lk(mu_);
         if (base + c.n_frames <= cursor_) continue;
       }
-      rc = decodeChunk(fmt, ctx, vi, scratch, c, base);
+      rc = decodeChunk(dec.fmt, dec.ctx, dec.video_index, scratch, c, base);
       if (rc == TS_FINISHED) break;  // stopped mid-deposit
       if (rc < 0) {
         fail(rc, base);  // no-op when decodeChunk already set a watermark
@@ -251,9 +321,6 @@ void SegmentedReader::worker(int id) {
       }
     }
   }
-  if (scratch.sws) sws_freeContext(scratch.sws);
-  if (ctx) avcodec_free_context(&ctx);
-  if (fmt) avformat_close_input(&fmt);
   {
     std::lock_guard<std::mutex> lk(mu_);
     done_workers_++;
@@ -262,7 +329,7 @@ void SegmentedReader::worker(int id) {
 }
 
 int SegmentedReader::decodeChunk(AVFormatContext* fmt, AVCodecContext* ctx,
-                                 int vi, Scratch& scratch,
+                                 int vi, SegScratch& scratch,
                                  const SegmentChunk& chunk, int64_t base) {
   int sts;
   if (byte_seek_)
@@ -363,7 +430,7 @@ void SegmentedReader::fail(int code, int64_t at_frame) {
 }
 
 int SegmentedReader::deposit(int64_t frame_idx, const AVFrame* f,
-                             Scratch& scratch) {
+                             SegScratch& scratch) {
   {
     std::unique_lock<std::mutex> lk(mu_);
     prod_cv_.wait(lk, [&] {
@@ -383,44 +450,10 @@ int SegmentedReader::deposit(int64_t frame_idx, const AVFrame* f,
   // `frame` is published below.
   int rc;
   if (params_.dst_width) {
-    if (f->width == params_.dst_width && f->height == params_.dst_height) {
-      rc = PackFrameNV12(f, slot.y.data(), slot.uv.data(), &scratch.sws);
-    } else if (f->format == AV_PIX_FMT_NV12) {
-      // Resize straight from the decoder planes (same zero-pack trick
-      // as the serial ring's resized drain, csrc/decoder.cpp).
-      ResizeNV12HostStrided(f->data[0], f->linesize[0], f->data[1],
-                            f->linesize[1], f->width, f->height,
-                            slot.y.data(), slot.uv.data(),
-                            params_.dst_width, params_.dst_height,
-                            static_cast<HostResizeAlgo>(params_.resize_algo));
-      rc = TS_OK;
-    } else if (f->format == AV_PIX_FMT_YUV420P ||
-               f->format == AV_PIX_FMT_YUVJ420P) {
-      // 4:2:0 planar: interleave UV into the worker scratch (the Y
-      // plane never copies), then resize strided.
-      const int w = f->width, h = f->height;
-      const size_t need = static_cast<size_t>(w) * (h / 2);
-      if (scratch.uv.size() < need) scratch.uv.resize(need);
-      InterleaveChromaRows(f->data[1], f->linesize[1], f->data[2],
-                           f->linesize[2], w, h / 2, scratch.uv.data());
-      ResizeNV12HostStrided(f->data[0], f->linesize[0], scratch.uv.data(),
-                            w, w, h, slot.y.data(), slot.uv.data(),
-                            params_.dst_width, params_.dst_height,
-                            static_cast<HostResizeAlgo>(params_.resize_algo));
-      rc = TS_OK;
-    } else {
-      // Exotic formats: pack via swscale, then resize.
-      const size_t ysz = static_cast<size_t>(f->width) * f->height;
-      if (scratch.y.size() < ysz) scratch.y.resize(ysz);
-      if (scratch.uv.size() < ysz / 2) scratch.uv.resize(ysz / 2);
-      rc = PackFrameNV12(f, scratch.y.data(), scratch.uv.data(),
-                         &scratch.sws);
-      if (rc == TS_OK)
-        ResizeNV12Host(scratch.y.data(), scratch.uv.data(), f->width,
-                       f->height, slot.y.data(), slot.uv.data(),
-                       params_.dst_width, params_.dst_height,
-                       static_cast<HostResizeAlgo>(params_.resize_algo));
-    }
+    rc = ResizeDepositNV12(f, slot.y.data(), slot.uv.data(),
+                           params_.dst_width, params_.dst_height,
+                           static_cast<HostResizeAlgo>(params_.resize_algo),
+                           scratch);
   } else if (f->width != width_ || f->height != height_) {
     // Fixed-geometry deposits cannot express a mid-file resolution
     // switch; surface the same signal as the serial bulk path. Frames

@@ -60,6 +60,62 @@ struct SegmentChunk {
   int n_frames = 0;        // video packets (== decoded frames) in chunk
 };
 
+// ----- shared seekable-source decode infrastructure (segment + clip
+// readers; both decode disjoint keyframe-delimited ranges with
+// independent demux+codec instances and deposit packed NV12).
+
+// Scan result: the keyframe table of a seekable file.
+struct StreamScan {
+  std::vector<SegmentChunk> segments;  // one per keyframe-delimited run
+  int64_t total_frames = 0;
+  int width = 0, height = 0;
+  AVCodecID codec_id = AV_CODEC_ID_NONE;
+  AVCodecParameters* codecpar = nullptr;  // owned
+  AVRational seek_time_base{1, 1};
+  bool byte_seek = false;  // raw elementary stream: seek by pkt->pos
+  StreamScan() = default;
+  StreamScan(const StreamScan&) = delete;
+  StreamScan& operator=(const StreamScan&) = delete;
+  ~StreamScan();
+};
+
+// Demux the whole file once (no decode) and build the keyframe table.
+// Returns TS_OK, TS_UNSUPPORTED (not seekable / no video frames), or a
+// libav error. Split points are IDR-only for H.264/HEVC (cold-decoder
+// bit-exactness; see IsIdrAccessUnit in segment_reader.cpp).
+int ScanStream(const std::string& input, const std::shared_ptr<Logger>& logger,
+               StreamScan* out);
+
+// Per-worker reusable pack/resize scratch (resized per geometry, not per
+// frame — the host-resize deposit path is the throughput path).
+struct SegScratch {
+  SwsContext* sws = nullptr;
+  std::vector<uint8_t> y, uv;
+  ~SegScratch();
+};
+
+// An independent demux+decode instance over the scanned file.
+struct WorkerDecoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* ctx = nullptr;
+  int video_index = -1;
+  WorkerDecoder() = default;
+  WorkerDecoder(const WorkerDecoder&) = delete;
+  WorkerDecoder& operator=(const WorkerDecoder&) = delete;
+  ~WorkerDecoder();
+};
+int OpenWorkerDecoder(const std::string& input, AVCodecID codec_id,
+                      const AVCodecParameters* par, int decode_threads,
+                      bool fast_decode, WorkerDecoder* out);
+
+// Resize (or pack, when the frame already matches) a decoded frame into
+// tightly-packed dst_w x dst_h NV12 — the shared per-frame deposit of
+// the host_resize paths. Resizes straight from the decoder planes where
+// the layout allows (zero-pack; same trick as the serial ring's resized
+// drain, csrc/decoder.cpp).
+int ResizeDepositNV12(const AVFrame* f, uint8_t* y, uint8_t* uv, int dst_w,
+                      int dst_h, HostResizeAlgo algo, SegScratch& scratch);
+
 class SegmentedReader {
  public:
   ~SegmentedReader();
@@ -99,16 +155,10 @@ class SegmentedReader {
 
   int scan();
   void worker(int id);
-  // Per-worker reusable pack scratch (resized per geometry, not per
-  // frame — the host-resize deposit path is the throughput path).
-  struct Scratch {
-    SwsContext* sws = nullptr;
-    std::vector<uint8_t> y, uv;
-  };
-
   int decodeChunk(AVFormatContext* fmt, AVCodecContext* ctx, int video_index,
-                  Scratch& scratch, const SegmentChunk& chunk, int64_t base);
-  int deposit(int64_t frame, const AVFrame* f, Scratch& scratch);
+                  SegScratch& scratch, const SegmentChunk& chunk,
+                  int64_t base);
+  int deposit(int64_t frame, const AVFrame* f, SegScratch& scratch);
 
   SegmentedParams params_;
   std::shared_ptr<Logger> logger_;
