@@ -14,6 +14,7 @@
 #include "bitreader.h"
 #include "analyzer.h"
 #include "parser.h"
+#include "clip_reader.h"
 #include "pipeline.h"
 #include "segment_reader.h"
 #include "video_writer.h"
@@ -502,6 +503,63 @@ void ts_segmented_stop(void* p) {
 void ts_segmented_destroy(void* p) {
   delete static_cast<ts::SegmentedReader*>(p);
 }
+
+// --------------------------------------------- random-access clip reader
+//
+// Shuffled fixed-length clip sampling for video-model training
+// (csrc/clip_reader.h): seeks to IDR entry points, warm-up decodes, and
+// returns bit-exact [n_clips, clip_len] NV12 stacks. No reference
+// counterpart (its Parser::Reset is unimplemented).
+
+// Returns a handle, or NULL when the source is unsupported (not
+// seekable / no frames) or the scan failed.
+void* ts_clip_create(const char* url, int workers, int dst_w, int dst_h,
+                     int algo, int decode_threads, int fast_decode) {
+  auto* r = new ts::ClipReader();
+  ts::ClipReaderParams params;
+  params.input = url ? url : "";
+  params.workers = workers;
+  params.dst_width = dst_w;
+  params.dst_height = dst_h;
+  params.resize_algo = algo;
+  if (decode_threads > 0) params.decode_threads = decode_threads;
+  params.fast_decode = fast_decode != 0;
+  if (r->Init(params, std::make_shared<ts::Logger>()) != ts::TS_OK) {
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+int ts_clip_get_batch(void* p, const long long* starts, int n_clips,
+                      int clip_len, int stride, uint8_t* out_y,
+                      uint8_t* out_uv) {
+  static_assert(sizeof(long long) == sizeof(int64_t), "ABI");
+  return static_cast<ts::ClipReader*>(p)->GetClipBatch(
+      reinterpret_cast<const int64_t*>(starts), n_clips, clip_len, stride,
+      out_y, out_uv);
+}
+
+int ts_clip_width(void* p) { return static_cast<ts::ClipReader*>(p)->width(); }
+int ts_clip_height(void* p) {
+  return static_cast<ts::ClipReader*>(p)->height();
+}
+int ts_clip_out_width(void* p) {
+  return static_cast<ts::ClipReader*>(p)->outWidth();
+}
+int ts_clip_out_height(void* p) {
+  return static_cast<ts::ClipReader*>(p)->outHeight();
+}
+long long ts_clip_total_frames(void* p) {
+  return static_cast<ts::ClipReader*>(p)->totalFrames();
+}
+int ts_clip_segments(void* p) {
+  return static_cast<ts::ClipReader*>(p)->segments();
+}
+long long ts_clip_frames_decoded(void* p) {
+  return static_cast<ts::ClipReader*>(p)->framesDecoded();
+}
+void ts_clip_destroy(void* p) { delete static_cast<ts::ClipReader*>(p); }
 
 // ------------------------------------------------------- video writer
 //

@@ -106,6 +106,20 @@ def load():
         sig("ts_segmented_seek_frame", None, [c_void_p, ctypes.c_longlong])
         sig("ts_segmented_stop", None, [c_void_p])
         sig("ts_segmented_destroy", None, [c_void_p])
+        # Random-access clip reader (seekable files; csrc/clip_reader.h)
+        sig("ts_clip_create", c_void_p,
+            [c_char_p, c_int, c_int, c_int, c_int, c_int, c_int])
+        sig("ts_clip_get_batch", c_int,
+            [c_void_p, ctypes.POINTER(ctypes.c_longlong), c_int, c_int,
+             c_int, c_void_p, c_void_p])
+        sig("ts_clip_width", c_int, [c_void_p])
+        sig("ts_clip_height", c_int, [c_void_p])
+        sig("ts_clip_out_width", c_int, [c_void_p])
+        sig("ts_clip_out_height", c_int, [c_void_p])
+        sig("ts_clip_total_frames", ctypes.c_longlong, [c_void_p])
+        sig("ts_clip_segments", c_int, [c_void_p])
+        sig("ts_clip_frames_decoded", ctypes.c_longlong, [c_void_p])
+        sig("ts_clip_destroy", None, [c_void_p])
         sig("ts_writer_create", c_void_p,
             [c_char_p, c_int, c_int, c_int, c_int, c_char_p, c_int])
         sig("ts_writer_write_rgb", c_int, [c_void_p, c_void_p])
