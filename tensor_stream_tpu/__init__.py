@@ -11,8 +11,8 @@ Public API mirrors the reference package (tensor_stream/__init__.py):
 
     from tensor_stream_tpu import TensorStreamConverter, FourCC, Planes
 """
-from .data import (FrameLoader, MultiStreamLoader, PooledStreamLoader,
-                   ShardedStreamLoader)
+from .data import (ClipLoader, FrameLoader, MultiStreamLoader,
+                   PooledStreamLoader, ShardedStreamLoader)
 from .enums import (ColorStandard, FourCC, FrameRate, LogsLevel, LogsType,
                     Planes, ResizeType, StatusLevel)
 from .tensor_stream import FrameParameters, TensorStreamConverter
@@ -22,7 +22,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "TensorStreamConverter", "FrameParameters", "FrameLoader", "VideoWriter",
-    "MultiStreamLoader", "PooledStreamLoader", "ShardedStreamLoader",
+    "ClipLoader", "MultiStreamLoader", "PooledStreamLoader",
+    "ShardedStreamLoader",
     "StatusLevel", "LogsLevel",
     "LogsType", "FourCC", "ResizeType", "Planes", "FrameRate",
     "ColorStandard",

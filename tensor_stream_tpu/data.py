@@ -377,6 +377,243 @@ class FrameLoader:
         return self.reader.frame_size
 
 
+class ClipLoader:
+    """Shuffled fixed-length clip batches for video-model training.
+
+    Frame iterators (FrameLoader) feed image models; video models
+    (action recognition, video diffusion, VLM frame stacks) train on
+    randomly-sampled fixed-length clips. The reference cannot express
+    this at all (its Parser::Reset is unimplemented, so streams only
+    play forward); here the native ClipReader (csrc/clip_reader.h)
+    seeks each requested clip to its nearest IDR entry point, warm-up
+    decodes, and returns bytes bit-identical to the serial decode of
+    the same frame indices — the DALI-VideoReader capability, built on
+    the same keyframe scan as segment-parallel decode.
+
+        loader = ClipLoader("video.mp4", clip_len=8, batch=4,
+                            host_resize=True, width=224, height=224,
+                            pixel_format=FourCC.RGB24,
+                            planes_pos=Planes.PLANAR, normalization=True,
+                            shuffle=True, seed=0, workers=2)
+        for clips, starts in loader:   # [4, 8, 3, 224, 224] f32 on TPU
+            train_step(params, clips)
+
+    One iteration pass = one epoch over every clip start (`clip_step`
+    apart; default non-overlapping). Each epoch reshuffles with
+    ``seed + epoch``, so runs are deterministic and resumable:
+    ``ClipLoader(..., epoch=e, start_clip=k)`` continues where
+    ``state()`` left off. Decode overlaps device compute through a fill
+    thread + rotating staging buffers (GIL-free native batch call).
+    """
+
+    def __init__(self, stream_url, clip_len, batch=4, frame_stride=1,
+                 clip_step=None, shuffle=True, seed=0, workers=2,
+                 host_resize=False, decode_threads=0, fast_decode=False,
+                 device_index=0, drop_partial=True, prefetch=2,
+                 epoch=0, start_clip=0, **frame_kwargs):
+        self._lib = _native.load()
+        self.params = FrameParameters(**frame_kwargs)
+        if self.params.color_standard is ColorStandard.AUTO:
+            raise ValueError(
+                "ClipLoader does not support color_standard=AUTO (clips "
+                "decode out of order; pass the stream's standard explicitly)")
+        self.clip_len = int(clip_len)
+        self.batch = int(batch)
+        self.frame_stride = max(1, int(frame_stride))
+        self.shuffle = bool(shuffle)
+        self.seed = int(seed)
+        self.device_index = device_index
+        self.drop_partial = bool(drop_partial)
+        self.prefetch = max(1, int(prefetch))
+        self.stream_url = stream_url
+        if host_resize:
+            dst_w, dst_h = self.params.width, self.params.height
+            algo = host_resize_algo(self.params)
+        else:
+            dst_w = dst_h = algo = 0
+        self._handle = self._lib.ts_clip_create(
+            str(stream_url).encode(), int(workers), dst_w, dst_h, algo,
+            decode_threads or 1, int(bool(fast_decode)))
+        if not self._handle:
+            raise RuntimeError(
+                f"ClipLoader: cannot scan {stream_url} (not a seekable "
+                "file, or no decodable frames)")
+        self._w = self._lib.ts_clip_out_width(self._handle)
+        self._h = self._lib.ts_clip_out_height(self._handle)
+        self.total_frames = self._lib.ts_clip_total_frames(self._handle)
+        span = (self.clip_len - 1) * self.frame_stride + 1
+        if span > self.total_frames:
+            self._lib.ts_clip_destroy(self._handle)
+            self._handle = None
+            raise ValueError(
+                f"clip span {span} exceeds the stream's "
+                f"{self.total_frames} frames")
+        self.clip_step = int(clip_step) if clip_step else span
+        self.starts = np.arange(0, self.total_frames - span + 1,
+                                self.clip_step, dtype=np.int64)
+        if host_resize:
+            cfg_params = FrameParameters(
+                pixel_format=self.params.pixel_format,
+                planes_pos=self.params.planes_pos,
+                normalization=self.params.normalization,
+                color_standard=self.params.color_standard)
+            self._cfg = cfg_params.to_config(self._w, self._h)
+        else:
+            self._cfg = self.params.to_config(self._w, self._h)
+        self._vpp = build_vpp_batched_flat(self._cfg,
+                                           self.batch * self.clip_len,
+                                           device_index)
+        self.epoch = int(epoch)
+        self._cursor = int(start_clip)  # clip index within the epoch order
+        self._order = self._epoch_order(self.epoch)
+        # (epoch, next clip index) as of the last batch HANDED OUT —
+        # what state() reports (the fill thread runs ahead by prefetch).
+        self._consumed = (self.epoch, self._cursor)
+        size = self.batch * self.clip_len * self._w * self._h * 3 // 2
+        self._pool = queue.Queue()
+        for _ in range(self.prefetch + 2):
+            self._pool.put(np.empty(size, np.uint8))
+        self._filled = queue.Queue(maxsize=self.prefetch)
+        self._pending = collections.deque()
+        self._device = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- sampling
+
+    def _epoch_order(self, epoch):
+        if not self.shuffle:
+            return self.starts
+        rng = np.random.default_rng(self.seed + epoch)
+        return rng.permutation(self.starts)
+
+    def __len__(self):
+        """Batches per epoch."""
+        n = len(self.starts)
+        return n // self.batch if self.drop_partial else -(-n // self.batch)
+
+    # ------------------------------------------------------------- internal
+
+    def _fill(self):
+        y_size = self.batch * self.clip_len * self._w * self._h
+        while not self._stop.is_set():
+            if self._cursor >= len(self._order) or \
+               (self.drop_partial and
+                    self._cursor + self.batch > len(self._order)):
+                self.epoch += 1
+                self._cursor = 0
+                self._order = self._epoch_order(self.epoch)
+                self._filled.put(None)  # epoch boundary sentinel
+                continue
+            batch_starts = self._order[self._cursor:self._cursor + self.batch]
+            self._cursor += len(batch_starts)
+            meta = (self.epoch, self._cursor)
+            got = len(batch_starts)
+            # The native call and VPP program are fixed-size; pad a
+            # trailing partial batch by repeating its last start, then
+            # slice the pad off after conversion.
+            padded = np.resize(batch_starts, self.batch) if got < self.batch \
+                else batch_starts
+            buf = self._pool.get()
+            if buf is None or self._stop.is_set():
+                break
+            carr = padded.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_longlong))
+            rc = self._lib.ts_clip_get_batch(
+                self._handle, carr, self.batch, self.clip_len,
+                self.frame_stride, buf.ctypes.data,
+                buf.ctypes.data + y_size)
+            if rc == _native.TS_RENEGOTIATE:
+                self._filled.put(_RENEGOTIATED)
+                break
+            if rc != 0:
+                self._filled.put(RuntimeError(
+                    f"clip decode failed (code {rc})"))
+                break
+            self._filled.put((buf, got, batch_starts, meta))
+
+    # ------------------------------------------------------------ iteration
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        """Returns (clips, starts): clips is a device tensor shaped
+        [batch, clip_len, ...frame dims...], starts the 0-based first-
+        frame index of each clip. Raises StopIteration at each epoch
+        boundary; iterating again continues into the next (reshuffled)
+        epoch."""
+        import jax
+        item = self._filled.get()
+        if item is None:
+            raise StopIteration  # epoch boundary; fill thread continues
+        if item is _RENEGOTIATED:
+            self._filled.put(item)  # latch terminal state
+            raise RuntimeError(
+                "stream resolution changed mid-stream; use "
+                "ClipLoader(host_resize=True, width=..., height=...) to "
+                "ride through switches")
+        if isinstance(item, Exception):
+            self._filled.put(item)
+            raise item
+        buf, got, starts, self._consumed = item
+        if self._device is None:
+            self._device = jax.devices()[self.device_index]
+        flat = jax.device_put(buf, self._device)
+        tensors = self._vpp(flat)  # [batch*clip_len, ...] async
+        tensors = tensors.reshape((self.batch, self.clip_len)
+                                  + tensors.shape[1:])
+        if got < self.batch:
+            tensors = tensors[:got]
+        self._pending.append((buf, tensors))
+        if len(self._pending) > self.prefetch:
+            oldest_buf, oldest_t = self._pending.popleft()
+            jax.block_until_ready(oldest_t)
+            self._pool.put(oldest_buf)
+        return tensors, list(starts)
+
+    def state(self):
+        """Resumable position: pass epoch=.. start_clip=.. to a new
+        ClipLoader over the same stream (same seed) to continue. The
+        position reflects batches HANDED OUT, not prefetched ones."""
+        epoch, cursor = self._consumed
+        return {"stream_url": self.stream_url, "epoch": epoch,
+                "start_clip": cursor, "seed": self.seed}
+
+    @property
+    def frames_decoded(self):
+        """Total frames decoded natively (IDR warm-up included) — the
+        sampling-efficiency observable vs frames returned."""
+        return self._lib.ts_clip_frames_decoded(self._handle)
+
+    def close(self):
+        if self._handle is None:
+            return
+        self._stop.set()
+        while self._pending:
+            buf, _ = self._pending.popleft()
+            self._pool.put(buf)
+        try:
+            self._pool.put_nowait(None)  # unblock a fill waiting for a buffer
+        except queue.Full:
+            pass
+        try:
+            self._filled.get_nowait()  # unblock a fill on the bounded queue
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10)
+        self._lib.ts_clip_destroy(self._handle)
+        self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 class ShardedStreamLoader:
     """N streams -> ONE jax.Array sharded over N chips (dp serving).
 

@@ -1,0 +1,262 @@
+"""Random-access clip sampling (csrc/clip_reader.cpp + data.ClipLoader).
+
+The contract proven here: a clip of frames [s, s+stride, ...] decoded by
+seeking to the nearest IDR entry point is BIT-IDENTICAL to the serial
+decode of those frame indices (entry-point semantics: IsIdrAccessUnit in
+csrc/segment_reader.cpp; serial ring contract: csrc/decoder.cpp:293-333,
+reference ring: src/Decoder.cpp:97-131). The reference itself has no
+random access at all — its Parser::Reset is unimplemented — so every
+assertion here is against OUR serial path, which is itself CRC-pinned to
+the reference decoder elsewhere (tests/test_decoder.py).
+"""
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+from conftest import RESOURCES
+from tensor_stream_tpu import _native
+from test_segment_parallel import serial_frames
+
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+GOP10 = os.path.join(FIXDIR, "bbb_720x480_RGB24_250.h264")  # IDR every 25
+SWITCH = os.path.join(FIXDIR, "switch_320x240_480x360_24.h264")
+
+
+def clip_batch(path, starts, clip_len, stride=1, workers=2, resize=None,
+               handle_out=None):
+    lib = _native.load()
+    dw, dh, algo = resize if resize else (0, 0, 1)
+    p = lib.ts_clip_create(path.encode(), workers, dw, dh, algo, 1, 0)
+    assert p, f"ts_clip_create failed for {path}"
+    w, h = lib.ts_clip_out_width(p), lib.ts_clip_out_height(p)
+    n = len(starts)
+    ys = np.empty((n, clip_len, h, w), np.uint8)
+    uvs = np.empty((n, clip_len, h // 2, w), np.uint8)
+    arr = (ctypes.c_longlong * n)(*starts)
+    rc = lib.ts_clip_get_batch(p, arr, n, clip_len, stride,
+                               ys.ctypes.data, uvs.ctypes.data)
+    decoded = lib.ts_clip_frames_decoded(p)
+    segs = lib.ts_clip_segments(p)
+    total = lib.ts_clip_total_frames(p)
+    if handle_out is not None:
+        handle_out.append((lib, p))
+    else:
+        lib.ts_clip_destroy(p)
+    return {"rc": rc, "y": ys, "uv": uvs, "decoded": decoded,
+            "segments": segs, "total": total, "w": w, "h": h}
+
+
+def assert_clips_match_serial(r, sy, suv, starts, clip_len, stride):
+    assert r["rc"] == 0
+    for i, s in enumerate(starts):
+        for j in range(clip_len):
+            f = s + j * stride
+            assert np.array_equal(r["y"][i, j], sy[f]), (i, j, f)
+            assert np.array_equal(r["uv"][i, j], suv[f]), (i, j, f)
+
+
+@pytest.mark.parametrize("workers", [1, 3])
+def test_bit_exact_vs_serial(workers):
+    """Clips starting at keyframes, mid-GOP, and at the file tail all
+    reproduce the serial bytes; worker count is invisible."""
+    gs, sy, suv = serial_frames(GOP10, 250)
+    assert gs == 250
+    starts = [0, 7, 30, 119, 233, 30, 0, 248]
+    r = clip_batch(GOP10, starts, 2, workers=workers)
+    assert r["segments"] == 10 and r["total"] == 250
+    assert_clips_match_serial(r, sy, suv, starts, 2, 1)
+
+
+def test_temporal_stride():
+    """frame_stride > 1: frame j of the clip is global s + j*stride, and
+    warm-up frames between targets are decoded but not returned."""
+    gs, sy, suv = serial_frames(GOP10, 250)
+    starts = [3, 100, 240]
+    r = clip_batch(GOP10, starts, 4, stride=3)
+    assert_clips_match_serial(r, sy, suv, starts, 4, 3)
+
+
+def test_container_pts_seek_path():
+    """mp4 exercises the container seek branch (pts + BACKWARD flag,
+    then skip to the entry keyframe's own packet)."""
+    path = os.path.join(RESOURCES, "bunny.mp4")
+    gs, sy, suv = serial_frames(path, 241)
+    starts = [0, 50, 130, 238]
+    r = clip_batch(path, starts, 3)
+    assert_clips_match_serial(r, sy, suv, starts, 3, 1)
+
+
+def test_sequential_clips_ride_without_seek():
+    """Sorted non-overlapping clips decode each frame at most once: the
+    worker rides forward from its previous position instead of
+    re-seeking and re-warming every GOP."""
+    gs, sy, suv = serial_frames(GOP10, 250)
+    starts = list(range(0, 248, 8))
+    r = clip_batch(GOP10, starts, 8, workers=1)
+    assert_clips_match_serial(r, sy, suv, starts, 8, 1)
+    assert r["decoded"] == 248  # strictly sequential: zero re-decode
+
+
+def test_warmup_cost_is_bounded_by_gop():
+    """A mid-GOP clip decodes at most one GOP of warm-up (entry points
+    every 25 frames in this fixture)."""
+    r = clip_batch(GOP10, [120], 2, workers=1)
+    assert r["rc"] == 0
+    assert r["decoded"] <= 25 + 2
+
+
+def test_resized_clips_match_serial_resized():
+    """Per-frame host resize inside the workers equals the serial
+    bulk-resized drain bit-for-bit."""
+    gs, sy, suv = serial_frames(GOP10, 250, resized=(224, 224, 1))
+    starts = [5, 60, 200]
+    r = clip_batch(GOP10, starts, 4, resize=(224, 224, 1))
+    assert_clips_match_serial(r, sy, suv, starts, 4, 1)
+
+
+@pytest.mark.parametrize("name,frames", [
+    ("synthetic_640x360_120.h265", 120),
+    ("synthetic_640x360_90_vp9.ivf", 90),
+])
+def test_other_codecs(name, frames):
+    """HEVC (x265 CRA keyframes are refused as entry points — clips
+    warm up from the single IDR at frame 0, correct if slower) and VP9
+    (every keyframe is an entry point)."""
+    path = os.path.join(FIXDIR, name)
+    gs, sy, suv = serial_frames(path, frames)
+    starts = [0, frames // 3, frames - 5]
+    r = clip_batch(path, starts, 3)
+    assert_clips_match_serial(r, sy, suv, starts, 3, 1)
+
+
+def test_out_of_range_rejected():
+    lib = _native.load()
+    p = lib.ts_clip_create(GOP10.encode(), 1, 0, 0, 1, 1, 0)
+    assert p
+    y = np.empty(720 * 480 * 2, np.uint8)
+    uv = np.empty(720 * 480, np.uint8)
+    bad = (ctypes.c_longlong * 1)(249)  # 249 + 1 stride overruns 250
+    assert lib.ts_clip_get_batch(p, bad, 1, 2, 1, y.ctypes.data,
+                                 uv.ctypes.data) == _native.TS_ERROR
+    neg = (ctypes.c_longlong * 1)(-1)
+    assert lib.ts_clip_get_batch(p, neg, 1, 1, 1, y.ctypes.data,
+                                 uv.ctypes.data) == _native.TS_ERROR
+    assert lib.ts_clip_get_batch(p, bad, 1, 1, 0, y.ctypes.data,
+                                 uv.ctypes.data) == _native.TS_ERROR
+    lib.ts_clip_destroy(p)
+
+
+def test_switch_native_geometry_renegotiates():
+    """Fixed-geometry clips spanning a mid-file resolution switch
+    surface TS_RENEGOTIATE; with host resize they ride through."""
+    r = clip_batch(SWITCH, [8], 8, workers=1)
+    assert r["rc"] == _native.TS_RENEGOTIATE
+    r = clip_batch(SWITCH, [8], 8, workers=1, resize=(160, 128, 1))
+    assert r["rc"] == 0
+
+
+def test_live_source_rejected():
+    lib = _native.load()
+    assert not lib.ts_clip_create(b"tcp://127.0.0.1:1/nothing", 1, 0, 0, 1,
+                                  1, 0)
+
+
+# --------------------------------------------------------- Python loader
+
+
+def test_clip_loader_shapes_and_determinism():
+    """ClipLoader yields [batch, clip_len, C, H, W] device tensors whose
+    frames equal the serial pipeline's converted output, shuffled
+    deterministically by (seed, epoch)."""
+    import jax
+
+    from tensor_stream_tpu import ClipLoader, FourCC, FrameLoader, Planes
+
+    kw = dict(clip_len=4, batch=5, host_resize=True, width=224, height=224,
+              pixel_format=FourCC.RGB24, planes_pos=Planes.PLANAR,
+              normalization=True, seed=7)
+
+    # Serial oracle through the SAME VPP: FrameLoader over all frames.
+    ser = FrameLoader(GOP10, batch=25, host_resize=True, width=224,
+                      height=224, pixel_format=FourCC.RGB24,
+                      planes_pos=Planes.PLANAR, normalization=True)
+    frames = np.concatenate(
+        [np.asarray(jax.block_until_ready(t)) for t, _ in ser])
+    ser.close()
+    assert frames.shape == (250, 3, 224, 224)
+
+    with ClipLoader(GOP10, workers=2, **kw) as loader:
+        assert len(loader) == 12  # 62 starts (step 4), batch 5, drop tail
+        seen = []
+        for clips, starts in loader:
+            clips = np.asarray(jax.block_until_ready(clips))
+            assert clips.shape == (5, 4, 3, 224, 224)
+            assert clips.dtype == np.float32
+            for c, s in zip(clips, starts):
+                assert np.array_equal(c, frames[s:s + 4])
+            seen.extend(int(s) for s in starts)
+        assert len(seen) == 60 and len(set(seen)) == 60
+        # Epoch 2 continues iteration with a DIFFERENT shuffle of the
+        # same starts.
+        clips2, starts2 = next(loader)
+        assert loader.epoch == 1
+
+    with ClipLoader(GOP10, workers=2, **kw) as again:
+        seen2 = []
+        for _, starts in again:
+            seen2.extend(int(s) for s in starts)
+    assert seen2 == seen  # same seed => same epoch-0 order
+
+
+def test_clip_loader_unshuffled_partial_tail():
+    """shuffle=False + drop_partial=False covers every start in order;
+    the final partial batch is sliced, not padded."""
+    import jax
+
+    from tensor_stream_tpu import ClipLoader
+
+    with ClipLoader(GOP10, clip_len=8, batch=4, frame_stride=2,
+                    clip_step=16, shuffle=False, drop_partial=False,
+                    workers=1) as loader:
+        starts_all, shapes = [], []
+        for clips, starts in loader:
+            starts_all.extend(int(s) for s in starts)
+            shapes.append(tuple(clips.shape))
+        span = 7 * 2 + 1
+        expect = list(range(0, 250 - span + 1, 16))
+        assert starts_all == expect
+        assert shapes[-1][0] == len(expect) % 4
+        assert all(s[0] == 4 for s in shapes[:-1])
+
+
+def test_clip_loader_resume_state():
+    """state() round-trips: a new loader with (epoch, start_clip) sees
+    exactly the remaining clips of the epoch."""
+    from tensor_stream_tpu import ClipLoader
+
+    kw = dict(clip_len=4, batch=5, shuffle=True, seed=3, workers=1,
+              prefetch=1)
+    first, rest = [], []
+    with ClipLoader(GOP10, **kw) as loader:
+        for k, (_, starts) in enumerate(loader):
+            if k < 3:
+                first.extend(int(s) for s in starts)
+                if k == 2:
+                    st = loader.state()
+            else:
+                rest.extend(int(s) for s in starts)
+    assert st["epoch"] == 0
+    with ClipLoader(GOP10, epoch=st["epoch"], start_clip=st["start_clip"],
+                    **kw) as resumed:
+        rest2 = []
+        for _, starts in resumed:
+            rest2.extend(int(s) for s in starts)
+    assert rest2 == rest
+
+
+def test_clip_loader_rejects_oversized_span():
+    from tensor_stream_tpu import ClipLoader
+    with pytest.raises(ValueError, match="span"):
+        ClipLoader(GOP10, clip_len=300, workers=1)
