@@ -32,6 +32,9 @@ min-bounded by the slowest stage, decode on a 1-core host):
                    serial pipeline on the SAME multi-GOP fixture (which
                    decodes ~2.3x slower than billiard; do not compare
                    segment numbers against decode_fps)
+  clip_sampling_fps / clip_sampling_efficiency  shuffled random-access
+                   clip batches (training input path); efficiency =
+                   returned / decoded incl. IDR warm-up
 
 `scaling` measures decode thread scaling when cores allow, and records
 the skip reason on hosts where it cannot (TS_BENCH_SCALING=1 forces it).
@@ -222,6 +225,44 @@ def bench_segment_parallel(lib, seconds, workers=0):
     return frames / elapsed
 
 
+def bench_clip_sampling(lib, seconds, workers=0):
+    """Shuffled random-access clip sampling (csrc/clip_reader.cpp):
+    batches of 8 random 8-frame clips from the multi-GOP fixture,
+    resized to 224x224 in the workers — the video-model training input
+    path. Reports returned-frames/sec plus the sampling efficiency
+    (returned / decoded incl. IDR warm-up; bounded below by
+    clip_len / (clip_len + GOP) for uniform random starts). Same
+    fixture caveat as the segment stage: compare against
+    segment_serial_fps, not decode_fps."""
+    import numpy as np
+
+    workers = workers or min(4, os.cpu_count() or 1)
+    p = lib.ts_clip_create(_SEGMENT_FIXTURE.encode(), workers, 224, 224, 1,
+                           1, 0)
+    if not p:
+        return 0.0, 0.0
+    total = lib.ts_clip_total_frames(p)
+    clip_len, clips = 8, 8
+    starts_all = np.arange(0, total - clip_len + 1, clip_len, dtype=np.int64)
+    rng = np.random.default_rng(0)
+    ys = np.empty(clips * clip_len * 224 * 224, np.uint8)
+    uvs = np.empty(clips * clip_len * 112 * 224, np.uint8)
+    frames = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        batch = np.ascontiguousarray(
+            rng.choice(starts_all, size=clips, replace=False))
+        arr = batch.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
+        if lib.ts_clip_get_batch(p, arr, clips, clip_len, 1,
+                                 ys.ctypes.data, uvs.ctypes.data) != 0:
+            break
+        frames += clips * clip_len
+    elapsed = time.perf_counter() - t0
+    decoded = lib.ts_clip_frames_decoded(p)
+    lib.ts_clip_destroy(p)
+    return frames / elapsed, frames / max(int(decoded), 1)
+
+
 def bench_fast_read_latency(lib, n_reads=200):
     """p50/p95 per-read latency of FAST-mode latest-frame reads (NV12,
     no VPP): the quantitative counterpart of the reference's ~3 ms/frame
@@ -362,6 +403,9 @@ def main():
             1),
         **bench_fast_read_latency(lib),
     }
+    clip_fps, clip_eff = bench_clip_sampling(lib, half)
+    stages["clip_sampling_fps"] = round(clip_fps, 1)
+    stages["clip_sampling_efficiency"] = round(clip_eff, 3)
     result = {
         "metric": "1080p_decode_to_224px_rgb_planar_f32_fps_per_chip",
         "value": round(fps, 2),
