@@ -1,0 +1,141 @@
+"""Video-model training on randomly-sampled clips (ClipLoader demo).
+
+The reference's examples stop at per-frame inference; video models
+(action recognition, video diffusion, VLM frame stacks) train on
+shuffled fixed-length clips — a shape the reference cannot produce at
+all (its Parser::Reset is unimplemented; streams only play forward).
+This example trains a small 3D CNN on the classic self-supervised
+"arrow of time" task — predict whether a clip plays forward or reversed
+— so it needs no labels, just a video file:
+
+  * ClipLoader samples shuffled bit-exact [B, T, H, W, C] clip batches
+    (csrc/clip_reader.cpp seeks each clip to its IDR entry point; decode
+    overlaps device compute through the loader's fill thread);
+  * half of each batch is time-reversed ON DEVICE (jnp.flip under jit —
+    no host copies), labels = reversal mask;
+  * the model runs NTHWC with bfloat16 compute — the MXU-native layout
+    and dtype — and f32 parameters/optimizer (standard mixed precision).
+
+    python video_classifier.py -i video.mp4 --steps 20 --batch 4 \
+        --clip-len 8 --size 112
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+from tensor_stream_tpu import ClipLoader, FourCC, Planes, ResizeType
+
+
+class TimeDirectionNet(nn.Module):
+    """Small 3D CNN: NTHWC clips -> forward/reversed logits.
+
+    Convolutions compute in bfloat16 (MXU-native); parameters stay
+    float32. Temporal stride only kicks in once the spatial grid has
+    shrunk, keeping the early layers' frame-to-frame differences — the
+    only signal the task has."""
+    features: tuple = (16, 32, 64)
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, H, W, C] float
+        x = x.astype(jnp.bfloat16)
+        for i, f in enumerate(self.features):
+            t_stride = 2 if i > 0 else 1
+            x = nn.Conv(f, kernel_size=(3, 3, 3),
+                        strides=(t_stride, 2, 2),
+                        dtype=jnp.bfloat16)(x)
+            x = nn.relu(x)
+        x = x.mean(axis=(1, 2, 3))  # global average over T, H, W
+        return nn.Dense(2, dtype=jnp.float32)(x)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    parser.add_argument("-i", "--input", required=True)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--clip-len", type=int, default=8)
+    parser.add_argument("--frame-stride", type=int, default=1)
+    parser.add_argument("--size", type=int, default=112)
+    parser.add_argument("--workers", type=int,
+                        default=max(2, (os.cpu_count() or 2) // 2))
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    model = TimeDirectionNet()
+    rng = jax.random.PRNGKey(args.seed)
+    dummy = jnp.zeros((args.batch, args.clip_len, args.size, args.size, 3),
+                      jnp.float32)
+    params = model.init(rng, dummy)
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, clips, flip_mask):
+        # Time-reverse the masked clips on device; labels = the mask.
+        reversed_clips = jnp.flip(clips, axis=1)
+        x = jnp.where(flip_mask[:, None, None, None, None], reversed_clips,
+                      clips)
+        labels = flip_mask.astype(jnp.int32)
+
+        def loss_fn(p):
+            logits = model.apply(p, x)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+            acc = (logits.argmax(-1) == labels).mean()
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, acc
+
+    loader = ClipLoader(
+        args.input, clip_len=args.clip_len, batch=args.batch,
+        frame_stride=args.frame_stride, shuffle=True, seed=args.seed,
+        workers=args.workers, host_resize=True,
+        width=args.size, height=args.size,
+        resize_type=ResizeType.BILINEAR, pixel_format=FourCC.RGB24,
+        planes_pos=Planes.MERGED, normalization=True)
+    print(f"{len(loader.starts)} clip starts, {len(loader)} batches/epoch, "
+          f"{loader.total_frames} frames")
+
+    flip_rng = np.random.default_rng(args.seed)
+    step = 0
+    t0 = time.perf_counter()
+    try:
+        while step < args.steps:
+            for clips, starts in loader:
+                flip = jnp.asarray(
+                    flip_rng.random(clips.shape[0]) < 0.5)
+                params, opt_state, loss, acc = train_step(
+                    params, opt_state, clips, flip)
+                step += 1
+                if step % 5 == 0 or step == args.steps:
+                    print(f"step {step}: loss {float(loss):.4f} "
+                          f"acc {float(acc):.3f}")
+                if step >= args.steps:
+                    break
+            # for-loop exhaustion = epoch boundary; loop to continue into
+            # the next (reshuffled) epoch.
+    finally:
+        eff = (step * args.batch * args.clip_len /
+               max(loader.frames_decoded, 1))
+        loader.close()
+    dt = time.perf_counter() - t0
+    print(f"training done: {step} steps in {dt:.1f}s "
+          f"({step * args.batch * args.clip_len / dt:.0f} frames/s, "
+          f"sampling efficiency {eff:.2f})")
+
+
+if __name__ == "__main__":
+    main()

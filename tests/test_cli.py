@@ -171,6 +171,20 @@ def test_example_adaptive_source():
 
 
 @pytest.mark.slow
+def test_example_video_classifier():
+    """python_examples/video_classifier.py: ClipLoader [B,T,H,W,C]
+    batches feeding the arrow-of-time 3D CNN train step (bf16 compute),
+    epoch rollover included (6 steps > 5 batches/epoch here)."""
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "bbb_720x480_RGB24_250.h264")
+    out = _run_example("video_classifier.py", "-i", fix,
+                       "--steps", "6", "--batch", "12", "--clip-len", "4",
+                       "--size", "64", "--workers", "2", timeout=560)
+    assert "training done: 6 steps" in out
+    assert "loss" in out
+
+
+@pytest.mark.slow
 def test_example_offline_dataset(tmp_path):
     """python_examples/offline_dataset.py: segment-parallel decode ->
     batched TPU steps -> resume token -> encoded preview clip (the
