@@ -614,6 +614,224 @@ class ClipLoader:
         return False
 
 
+class ShardedClipLoader:
+    """Clip batches from ONE file, sharded over N chips (dp training).
+
+    The multi-chip face of ClipLoader: one native ClipReader samples a
+    single shuffled epoch order (so no clip is duplicated across chips),
+    each device's per_device-clip sub-batch decodes into its OWN staging
+    buffer and transfers straight to that chip (host->HBM fan-out, no
+    funnel through chip 0), and iteration stitches the per-device
+    [per_device, T, ...] tensors into one global array sharded over a 1D
+    'dp' mesh with jax.make_array_from_single_device_arrays — zero
+    additional copies. Feed it to any pjit/shard_map train step.
+
+        loader = ShardedClipLoader("video.mp4", clip_len=8, per_device=2,
+                                   host_resize=True, width=224, height=224,
+                                   pixel_format=FourCC.RGB24,
+                                   planes_pos=Planes.PLANAR,
+                                   normalization=True)
+        for clips, starts in loader:   # [n_devices*2, 8, ...] dp-sharded
+            train_step(params, clips)
+
+    Same epoch semantics as ClipLoader (StopIteration per epoch,
+    deterministic ``seed + epoch`` shuffle, ``state()`` resume); the
+    global batch is n_devices * per_device and epoch tails that cannot
+    fill every shard are dropped (shards must be equal-sized)."""
+
+    def __init__(self, stream_url, clip_len, per_device=2, devices=None,
+                 frame_stride=1, clip_step=None, shuffle=True, seed=0,
+                 workers=2, host_resize=False, decode_threads=0,
+                 fast_decode=False, prefetch=2, epoch=0, start_clip=0,
+                 **frame_kwargs):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        self._lib = _native.load()
+        self.params = FrameParameters(**frame_kwargs)
+        if self.params.color_standard is ColorStandard.AUTO:
+            raise ValueError(
+                "ShardedClipLoader does not support color_standard=AUTO "
+                "(clips decode out of order; pass the standard explicitly)")
+        if devices is None:
+            devices = jax.devices()
+        self.devices = list(devices)
+        self.per_device = int(per_device)
+        self.clip_len = int(clip_len)
+        self.batch = self.per_device * len(self.devices)
+        self.frame_stride = max(1, int(frame_stride))
+        self.shuffle = bool(shuffle)
+        self.seed = int(seed)
+        self.prefetch = max(1, int(prefetch))
+        self.stream_url = stream_url
+        if host_resize:
+            dst_w, dst_h = self.params.width, self.params.height
+            algo = host_resize_algo(self.params)
+        else:
+            dst_w = dst_h = algo = 0
+        self._handle = self._lib.ts_clip_create(
+            str(stream_url).encode(), int(workers), dst_w, dst_h, algo,
+            decode_threads or 1, int(bool(fast_decode)))
+        if not self._handle:
+            raise RuntimeError(
+                f"ShardedClipLoader: cannot scan {stream_url} (not a "
+                "seekable file, or no decodable frames)")
+        self._w = self._lib.ts_clip_out_width(self._handle)
+        self._h = self._lib.ts_clip_out_height(self._handle)
+        self.total_frames = self._lib.ts_clip_total_frames(self._handle)
+        span = (self.clip_len - 1) * self.frame_stride + 1
+        if span > self.total_frames:
+            self._lib.ts_clip_destroy(self._handle)
+            self._handle = None
+            raise ValueError(f"clip span {span} exceeds the stream's "
+                             f"{self.total_frames} frames")
+        self.clip_step = int(clip_step) if clip_step else span
+        self.starts = np.arange(0, self.total_frames - span + 1,
+                                self.clip_step, dtype=np.int64)
+        if host_resize:
+            cfg = FrameParameters(
+                pixel_format=self.params.pixel_format,
+                planes_pos=self.params.planes_pos,
+                normalization=self.params.normalization,
+                color_standard=self.params.color_standard
+            ).to_config(self._w, self._h)
+        else:
+            cfg = self.params.to_config(self._w, self._h)
+        all_devices = jax.devices()
+        self._vpps = [
+            build_vpp_batched_flat(cfg, self.per_device * self.clip_len,
+                                   all_devices.index(d))
+            for d in self.devices]
+        self.mesh = Mesh(np.asarray(self.devices), ("dp",))
+        self._sharding = NamedSharding(self.mesh, PartitionSpec("dp"))
+        self.epoch = int(epoch)
+        self._cursor = int(start_clip)
+        self._order = self._epoch_order(self.epoch)
+        self._consumed = (self.epoch, self._cursor)
+        size = self.per_device * self.clip_len * self._w * self._h * 3 // 2
+        self._pool = queue.Queue()
+        for _ in range(self.prefetch + 2):
+            self._pool.put([np.empty(size, np.uint8) for _ in self.devices])
+        self._filled = queue.Queue(maxsize=self.prefetch)
+        self._pending = collections.deque()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    _epoch_order = ClipLoader._epoch_order
+
+    def __len__(self):
+        """Full global batches per epoch (tails are dropped)."""
+        return len(self.starts) // self.batch
+
+    def _fill(self):
+        y_size = self.per_device * self.clip_len * self._w * self._h
+        while not self._stop.is_set():
+            if self._cursor + self.batch > len(self._order):
+                self.epoch += 1
+                self._cursor = 0
+                self._order = self._epoch_order(self.epoch)
+                self._filled.put(None)  # epoch boundary sentinel
+                continue
+            batch_starts = self._order[self._cursor:self._cursor + self.batch]
+            self._cursor += self.batch
+            meta = (self.epoch, self._cursor)
+            bufs = self._pool.get()
+            if bufs is None or self._stop.is_set():
+                break
+            failed = None
+            for k, buf in enumerate(bufs):
+                sub = np.ascontiguousarray(
+                    batch_starts[k * self.per_device:
+                                 (k + 1) * self.per_device])
+                carr = sub.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
+                rc = self._lib.ts_clip_get_batch(
+                    self._handle, carr, self.per_device, self.clip_len,
+                    self.frame_stride, buf.ctypes.data,
+                    buf.ctypes.data + y_size)
+                if rc != 0:
+                    failed = rc
+                    break
+            if failed is not None:
+                self._filled.put(
+                    _RENEGOTIATED if failed == _native.TS_RENEGOTIATE
+                    else RuntimeError(f"clip decode failed (code {failed})"))
+                break
+            self._filled.put((bufs, batch_starts, meta))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import jax
+        item = self._filled.get()
+        if item is None:
+            raise StopIteration  # epoch boundary; fill thread continues
+        if item is _RENEGOTIATED:
+            self._filled.put(item)
+            raise RuntimeError(
+                "stream resolution changed mid-stream; use "
+                "ShardedClipLoader(host_resize=True, width=..., "
+                "height=...) to ride through switches")
+        if isinstance(item, Exception):
+            self._filled.put(item)
+            raise item
+        bufs, starts, self._consumed = item
+        parts = []
+        # Dispatch every device's transfer before any compute so the
+        # per-chip host->HBM copies overlap.
+        for buf, dev, vpp in zip(bufs, self.devices, self._vpps):
+            flat = jax.device_put(buf, dev)
+            t = vpp(flat)
+            parts.append(t.reshape((self.per_device, self.clip_len)
+                                   + t.shape[1:]))
+        global_shape = (self.batch,) + parts[0].shape[1:]
+        clips = jax.make_array_from_single_device_arrays(
+            global_shape, self._sharding, parts)
+        self._pending.append((bufs, clips))
+        if len(self._pending) > self.prefetch:
+            old_bufs, old_clips = self._pending.popleft()
+            jax.block_until_ready(old_clips)
+            self._pool.put(old_bufs)
+        return clips, list(starts)
+
+    def state(self):
+        """Resumable position (same contract as ClipLoader.state())."""
+        epoch, cursor = self._consumed
+        return {"stream_url": self.stream_url, "epoch": epoch,
+                "start_clip": cursor, "seed": self.seed}
+
+    @property
+    def frames_decoded(self):
+        return self._lib.ts_clip_frames_decoded(self._handle)
+
+    def close(self):
+        if self._handle is None:
+            return
+        self._stop.set()
+        while self._pending:
+            bufs, _ = self._pending.popleft()
+            self._pool.put(bufs)
+        try:
+            self._pool.put_nowait(None)
+        except queue.Full:
+            pass
+        try:
+            self._filled.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10)
+        self._lib.ts_clip_destroy(self._handle)
+        self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 class ShardedStreamLoader:
     """N streams -> ONE jax.Array sharded over N chips (dp serving).
 

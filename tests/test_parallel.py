@@ -123,3 +123,76 @@ def test_sharded_stream_loader_end_to_end():
         assert np.allclose(vals[:4], vals[4:], atol=1e-6)
     finally:
         loader.close()
+
+
+@needs_mesh
+def test_sharded_clip_loader_end_to_end():
+    """ShardedClipLoader: one file -> [n_devices*per_device, T, ...]
+    clip batches dp-sharded over the virtual mesh, bit-equal to the
+    serial FrameLoader frames, with one shuffled epoch order shared by
+    all chips (no clip duplicated across devices)."""
+    import os
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from tensor_stream_tpu import (FourCC, FrameLoader, Planes,
+                                   ShardedClipLoader)
+
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "bbb_720x480_RGB24_250.h264")
+    vkw = dict(host_resize=True, width=64, height=64,
+               pixel_format=FourCC.RGB24, planes_pos=Planes.PLANAR,
+               normalization=True)
+
+    # Serial oracle through the SAME VPP program family.
+    ser = FrameLoader(fix, batch=25, **vkw)
+    frames = np.concatenate(
+        [np.asarray(jax.block_until_ready(t)) for t, _ in ser])
+    ser.close()
+
+    loader = ShardedClipLoader(fix, clip_len=4, per_device=2, seed=11,
+                               workers=2, **vkw)
+    try:
+        assert len(loader.devices) == 8 and loader.batch == 16
+        assert len(loader) == 3  # 62 starts // 16
+        seen = []
+        for clips, starts in loader:
+            assert clips.shape == (16, 4, 3, 64, 64)
+            shard_devs = {s.device for s in clips.addressable_shards}
+            assert len(shard_devs) == 8
+            arr = np.asarray(jax.block_until_ready(clips))
+            for c, s in zip(arr, starts):
+                assert np.array_equal(c, frames[s:s + 4]), s
+            seen.extend(int(s) for s in starts)
+        assert len(seen) == 48 and len(set(seen)) == 48  # no dup per epoch
+
+        # Next epoch reshuffles; a sharded program consumes the global
+        # array directly.
+        clips2, starts2 = next(loader)
+        assert loader.epoch == 1
+        mesh = loader.mesh
+        out = jax.jit(
+            lambda x: jnp.mean(x, axis=(1, 2, 3, 4)),
+            in_shardings=NamedSharding(mesh, PartitionSpec("dp")),
+            out_shardings=NamedSharding(mesh, PartitionSpec("dp")))(clips2)
+        vals = np.asarray(out)
+        assert vals.shape == (16,) and np.isfinite(vals).all()
+
+        # state() resume re-yields exactly the remaining epoch-1 clips.
+        st = loader.state()
+        rest = []
+        for _, starts in loader:
+            rest.extend(int(s) for s in starts)
+    finally:
+        loader.close()
+    resumed = ShardedClipLoader(fix, clip_len=4, per_device=2,
+                                epoch=st["epoch"],
+                                start_clip=st["start_clip"],
+                                seed=11, workers=2, **vkw)
+    try:
+        rest2 = []
+        for _, starts in resumed:
+            rest2.extend(int(s) for s in starts)
+        assert rest2 == rest
+    finally:
+        resumed.close()
