@@ -23,6 +23,7 @@ import ctypes
 import queue
 import threading
 import time
+import warnings
 
 import numpy as np
 
@@ -377,7 +378,173 @@ class FrameLoader:
         return self.reader.frame_size
 
 
-class ClipLoader:
+class _ClipLoaderBase:
+    """Shared scaffolding for the clip-sampling loaders: native
+    ClipReader setup, deterministic (seed + epoch) shuffle order,
+    fill-thread lifecycle, terminal-error latching, and shutdown.
+    Subclasses define the staging-buffer shape (via the factory passed
+    to ``_start_fill``), the fill body (``_fill``) and the device
+    handoff (``__next__``)."""
+
+    def _init_clip_source(self, stream_url, clip_len, frame_stride,
+                          clip_step, shuffle, seed, workers, host_resize,
+                          decode_threads, fast_decode, prefetch,
+                          frame_kwargs):
+        """Open + scan the native ClipReader, compute the clip-start
+        grid, and return the VPP config for the reader's output
+        geometry. On any failure after the native create, the handle is
+        destroyed before the exception propagates."""
+        self._lib = _native.load()
+        self.params = FrameParameters(**frame_kwargs)
+        if self.params.color_standard is ColorStandard.AUTO:
+            raise ValueError(
+                f"{type(self).__name__} does not support "
+                "color_standard=AUTO (clips decode out of order; pass "
+                "the stream's standard explicitly)")
+        self.clip_len = int(clip_len)
+        self.frame_stride = max(1, int(frame_stride))
+        self.shuffle = bool(shuffle)
+        self.seed = int(seed)
+        self.prefetch = max(1, int(prefetch))
+        self.stream_url = stream_url
+        if host_resize:
+            dst_w, dst_h = self.params.width, self.params.height
+            algo = host_resize_algo(self.params)
+        else:
+            dst_w = dst_h = algo = 0
+        self._handle = self._lib.ts_clip_create(
+            str(stream_url).encode(), int(workers), dst_w, dst_h, algo,
+            decode_threads or 1, int(bool(fast_decode)))
+        if not self._handle:
+            raise RuntimeError(
+                f"{type(self).__name__}: cannot scan {stream_url} (not "
+                "a seekable file, or no decodable frames)")
+        try:
+            self._w = self._lib.ts_clip_out_width(self._handle)
+            self._h = self._lib.ts_clip_out_height(self._handle)
+            self.total_frames = self._lib.ts_clip_total_frames(self._handle)
+            span = (self.clip_len - 1) * self.frame_stride + 1
+            if span > self.total_frames:
+                raise ValueError(
+                    f"clip span {span} exceeds the stream's "
+                    f"{self.total_frames} frames")
+            self.clip_step = int(clip_step) if clip_step else span
+            self.starts = np.arange(0, self.total_frames - span + 1,
+                                    self.clip_step, dtype=np.int64)
+            if host_resize:
+                cfg_params = FrameParameters(
+                    pixel_format=self.params.pixel_format,
+                    planes_pos=self.params.planes_pos,
+                    normalization=self.params.normalization,
+                    color_standard=self.params.color_standard)
+                return cfg_params.to_config(self._w, self._h)
+            return self.params.to_config(self._w, self._h)
+        except Exception:
+            self._destroy_handle()
+            raise
+
+    def _start_fill(self, epoch, start_clip, make_staging):
+        self.epoch = int(epoch)
+        self._cursor = int(start_clip)  # clip index within the epoch order
+        self._order = self._epoch_order(self.epoch)
+        # (epoch, next clip index) as of the last batch HANDED OUT —
+        # what state() reports (the fill thread runs ahead by prefetch).
+        self._consumed = (self.epoch, self._cursor)
+        self._pool = queue.Queue()
+        for _ in range(self.prefetch + 2):
+            self._pool.put(make_staging())
+        self._filled = queue.Queue(maxsize=self.prefetch)
+        self._pending = collections.deque()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _destroy_handle(self):
+        if self._handle is not None:
+            self._lib.ts_clip_destroy(self._handle)
+            self._handle = None
+
+    # ------------------------------------------------------------- sampling
+
+    def _epoch_order(self, epoch):
+        if not self.shuffle:
+            return self.starts
+        rng = np.random.default_rng(self.seed + epoch)
+        return rng.permutation(self.starts)
+
+    # ------------------------------------------------------------ iteration
+
+    def __iter__(self):
+        return self
+
+    def _check_latched(self, item):
+        """Raise for the terminal/latched queue items (epoch-boundary
+        sentinel, renegotiate, decode error); pass batches through."""
+        if item is None:
+            raise StopIteration  # epoch boundary; fill thread continues
+        if item is _RENEGOTIATED:
+            self._filled.put(item)  # latch terminal state
+            raise RuntimeError(
+                "stream resolution changed mid-stream; use "
+                f"{type(self).__name__}(host_resize=True, width=..., "
+                "height=...) to ride through switches")
+        if isinstance(item, Exception):
+            self._filled.put(item)
+            raise item
+
+    def state(self):
+        """Resumable position: pass epoch=.. start_clip=.. to a new
+        loader over the same stream (same seed) to continue. The
+        position reflects batches HANDED OUT, not prefetched ones."""
+        epoch, cursor = self._consumed
+        return {"stream_url": self.stream_url, "epoch": epoch,
+                "start_clip": cursor, "seed": self.seed}
+
+    @property
+    def frames_decoded(self):
+        """Total frames decoded natively (IDR warm-up included) — the
+        sampling-efficiency observable vs frames returned."""
+        return self._lib.ts_clip_frames_decoded(self._handle)
+
+    def close(self):
+        if self._handle is None:
+            return
+        self._stop.set()
+        while self._pending:
+            buf, _ = self._pending.popleft()
+            self._pool.put(buf)
+        try:
+            self._pool.put_nowait(None)  # unblock a fill waiting for a buffer
+        except queue.Full:
+            pass
+        try:
+            self._filled.get_nowait()  # unblock a fill on the bounded queue
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10)
+        if self._thread.is_alive():
+            # A large native batch decode can legitimately outlast the
+            # first join on a loaded host; destroying the reader under
+            # the live call would be a use-after-free. Wait it out, and
+            # as a last resort leak the handle rather than crash.
+            self._thread.join(timeout=120)
+            if self._thread.is_alive():
+                warnings.warn(
+                    f"{type(self).__name__}.close(): fill thread still "
+                    "inside a native call; leaking the ClipReader handle")
+                self._handle = None
+                return
+        self._destroy_handle()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+class ClipLoader(_ClipLoaderBase):
     """Shuffled fixed-length clip batches for video-model training.
 
     Frame iterators (FrameLoader) feed image models; video models
@@ -411,82 +578,30 @@ class ClipLoader:
                  host_resize=False, decode_threads=0, fast_decode=False,
                  device_index=0, drop_partial=True, prefetch=2,
                  epoch=0, start_clip=0, **frame_kwargs):
-        self._lib = _native.load()
-        self.params = FrameParameters(**frame_kwargs)
-        if self.params.color_standard is ColorStandard.AUTO:
-            raise ValueError(
-                "ClipLoader does not support color_standard=AUTO (clips "
-                "decode out of order; pass the stream's standard explicitly)")
-        self.clip_len = int(clip_len)
         self.batch = int(batch)
-        self.frame_stride = max(1, int(frame_stride))
-        self.shuffle = bool(shuffle)
-        self.seed = int(seed)
         self.device_index = device_index
         self.drop_partial = bool(drop_partial)
-        self.prefetch = max(1, int(prefetch))
-        self.stream_url = stream_url
-        if host_resize:
-            dst_w, dst_h = self.params.width, self.params.height
-            algo = host_resize_algo(self.params)
-        else:
-            dst_w = dst_h = algo = 0
-        self._handle = self._lib.ts_clip_create(
-            str(stream_url).encode(), int(workers), dst_w, dst_h, algo,
-            decode_threads or 1, int(bool(fast_decode)))
-        if not self._handle:
-            raise RuntimeError(
-                f"ClipLoader: cannot scan {stream_url} (not a seekable "
-                "file, or no decodable frames)")
-        self._w = self._lib.ts_clip_out_width(self._handle)
-        self._h = self._lib.ts_clip_out_height(self._handle)
-        self.total_frames = self._lib.ts_clip_total_frames(self._handle)
-        span = (self.clip_len - 1) * self.frame_stride + 1
-        if span > self.total_frames:
-            self._lib.ts_clip_destroy(self._handle)
-            self._handle = None
-            raise ValueError(
-                f"clip span {span} exceeds the stream's "
-                f"{self.total_frames} frames")
-        self.clip_step = int(clip_step) if clip_step else span
-        self.starts = np.arange(0, self.total_frames - span + 1,
-                                self.clip_step, dtype=np.int64)
-        if host_resize:
-            cfg_params = FrameParameters(
-                pixel_format=self.params.pixel_format,
-                planes_pos=self.params.planes_pos,
-                normalization=self.params.normalization,
-                color_standard=self.params.color_standard)
-            self._cfg = cfg_params.to_config(self._w, self._h)
-        else:
-            self._cfg = self.params.to_config(self._w, self._h)
-        self._vpp = build_vpp_batched_flat(self._cfg,
-                                           self.batch * self.clip_len,
-                                           device_index)
-        self.epoch = int(epoch)
-        self._cursor = int(start_clip)  # clip index within the epoch order
-        self._order = self._epoch_order(self.epoch)
-        # (epoch, next clip index) as of the last batch HANDED OUT —
-        # what state() reports (the fill thread runs ahead by prefetch).
-        self._consumed = (self.epoch, self._cursor)
-        size = self.batch * self.clip_len * self._w * self._h * 3 // 2
-        self._pool = queue.Queue()
-        for _ in range(self.prefetch + 2):
-            self._pool.put(np.empty(size, np.uint8))
-        self._filled = queue.Queue(maxsize=self.prefetch)
-        self._pending = collections.deque()
-        self._device = None
-        self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._fill, daemon=True)
-        self._thread.start()
-
-    # ------------------------------------------------------------- sampling
-
-    def _epoch_order(self, epoch):
-        if not self.shuffle:
-            return self.starts
-        rng = np.random.default_rng(self.seed + epoch)
-        return rng.permutation(self.starts)
+        self._cfg = self._init_clip_source(
+            stream_url, clip_len, frame_stride, clip_step, shuffle, seed,
+            workers, host_resize, decode_threads, fast_decode, prefetch,
+            frame_kwargs)
+        try:
+            if self.drop_partial and self.batch > len(self.starts):
+                raise ValueError(
+                    f"batch {self.batch} exceeds the {len(self.starts)} "
+                    "clip starts per epoch — with drop_partial=True every "
+                    "epoch would yield zero batches; lower batch/clip_step "
+                    "or pass drop_partial=False")
+            self._vpp = build_vpp_batched_flat(self._cfg,
+                                               self.batch * self.clip_len,
+                                               device_index)
+            self._device = None
+            size = self.batch * self.clip_len * self._w * self._h * 3 // 2
+            self._start_fill(epoch, start_clip,
+                             lambda: np.empty(size, np.uint8))
+        except Exception:
+            self._destroy_handle()
+            raise
 
     def __len__(self):
         """Batches per epoch."""
@@ -535,9 +650,6 @@ class ClipLoader:
 
     # ------------------------------------------------------------ iteration
 
-    def __iter__(self):
-        return self
-
     def __next__(self):
         """Returns (clips, starts): clips is a device tensor shaped
         [batch, clip_len, ...frame dims...], starts the 0-based first-
@@ -546,17 +658,7 @@ class ClipLoader:
         epoch."""
         import jax
         item = self._filled.get()
-        if item is None:
-            raise StopIteration  # epoch boundary; fill thread continues
-        if item is _RENEGOTIATED:
-            self._filled.put(item)  # latch terminal state
-            raise RuntimeError(
-                "stream resolution changed mid-stream; use "
-                "ClipLoader(host_resize=True, width=..., height=...) to "
-                "ride through switches")
-        if isinstance(item, Exception):
-            self._filled.put(item)
-            raise item
+        self._check_latched(item)
         buf, got, starts, self._consumed = item
         if self._device is None:
             self._device = jax.devices()[self.device_index]
@@ -573,48 +675,8 @@ class ClipLoader:
             self._pool.put(oldest_buf)
         return tensors, list(starts)
 
-    def state(self):
-        """Resumable position: pass epoch=.. start_clip=.. to a new
-        ClipLoader over the same stream (same seed) to continue. The
-        position reflects batches HANDED OUT, not prefetched ones."""
-        epoch, cursor = self._consumed
-        return {"stream_url": self.stream_url, "epoch": epoch,
-                "start_clip": cursor, "seed": self.seed}
 
-    @property
-    def frames_decoded(self):
-        """Total frames decoded natively (IDR warm-up included) — the
-        sampling-efficiency observable vs frames returned."""
-        return self._lib.ts_clip_frames_decoded(self._handle)
-
-    def close(self):
-        if self._handle is None:
-            return
-        self._stop.set()
-        while self._pending:
-            buf, _ = self._pending.popleft()
-            self._pool.put(buf)
-        try:
-            self._pool.put_nowait(None)  # unblock a fill waiting for a buffer
-        except queue.Full:
-            pass
-        try:
-            self._filled.get_nowait()  # unblock a fill on the bounded queue
-        except queue.Empty:
-            pass
-        self._thread.join(timeout=10)
-        self._lib.ts_clip_destroy(self._handle)
-        self._handle = None
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
-        return False
-
-
-class ShardedClipLoader:
+class ShardedClipLoader(_ClipLoaderBase):
     """Clip batches from ONE file, sharded over N chips (dp training).
 
     The multi-chip face of ClipLoader: one native ClipReader samples a
@@ -647,78 +709,38 @@ class ShardedClipLoader:
         import jax
         from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-        self._lib = _native.load()
-        self.params = FrameParameters(**frame_kwargs)
-        if self.params.color_standard is ColorStandard.AUTO:
-            raise ValueError(
-                "ShardedClipLoader does not support color_standard=AUTO "
-                "(clips decode out of order; pass the standard explicitly)")
-        if devices is None:
-            devices = jax.devices()
-        self.devices = list(devices)
-        self.per_device = int(per_device)
-        self.clip_len = int(clip_len)
-        self.batch = self.per_device * len(self.devices)
-        self.frame_stride = max(1, int(frame_stride))
-        self.shuffle = bool(shuffle)
-        self.seed = int(seed)
-        self.prefetch = max(1, int(prefetch))
-        self.stream_url = stream_url
-        if host_resize:
-            dst_w, dst_h = self.params.width, self.params.height
-            algo = host_resize_algo(self.params)
-        else:
-            dst_w = dst_h = algo = 0
-        self._handle = self._lib.ts_clip_create(
-            str(stream_url).encode(), int(workers), dst_w, dst_h, algo,
-            decode_threads or 1, int(bool(fast_decode)))
-        if not self._handle:
-            raise RuntimeError(
-                f"ShardedClipLoader: cannot scan {stream_url} (not a "
-                "seekable file, or no decodable frames)")
-        self._w = self._lib.ts_clip_out_width(self._handle)
-        self._h = self._lib.ts_clip_out_height(self._handle)
-        self.total_frames = self._lib.ts_clip_total_frames(self._handle)
-        span = (self.clip_len - 1) * self.frame_stride + 1
-        if span > self.total_frames:
-            self._lib.ts_clip_destroy(self._handle)
-            self._handle = None
-            raise ValueError(f"clip span {span} exceeds the stream's "
-                             f"{self.total_frames} frames")
-        self.clip_step = int(clip_step) if clip_step else span
-        self.starts = np.arange(0, self.total_frames - span + 1,
-                                self.clip_step, dtype=np.int64)
-        if host_resize:
-            cfg = FrameParameters(
-                pixel_format=self.params.pixel_format,
-                planes_pos=self.params.planes_pos,
-                normalization=self.params.normalization,
-                color_standard=self.params.color_standard
-            ).to_config(self._w, self._h)
-        else:
-            cfg = self.params.to_config(self._w, self._h)
-        all_devices = jax.devices()
-        self._vpps = [
-            build_vpp_batched_flat(cfg, self.per_device * self.clip_len,
-                                   all_devices.index(d))
-            for d in self.devices]
-        self.mesh = Mesh(np.asarray(self.devices), ("dp",))
-        self._sharding = NamedSharding(self.mesh, PartitionSpec("dp"))
-        self.epoch = int(epoch)
-        self._cursor = int(start_clip)
-        self._order = self._epoch_order(self.epoch)
-        self._consumed = (self.epoch, self._cursor)
-        size = self.per_device * self.clip_len * self._w * self._h * 3 // 2
-        self._pool = queue.Queue()
-        for _ in range(self.prefetch + 2):
-            self._pool.put([np.empty(size, np.uint8) for _ in self.devices])
-        self._filled = queue.Queue(maxsize=self.prefetch)
-        self._pending = collections.deque()
-        self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._fill, daemon=True)
-        self._thread.start()
-
-    _epoch_order = ClipLoader._epoch_order
+        cfg = self._init_clip_source(
+            stream_url, clip_len, frame_stride, clip_step, shuffle, seed,
+            workers, host_resize, decode_threads, fast_decode, prefetch,
+            frame_kwargs)
+        try:
+            if devices is None:
+                devices = jax.devices()
+            self.devices = list(devices)
+            self.per_device = int(per_device)
+            self.batch = self.per_device * len(self.devices)
+            if self.batch > len(self.starts):
+                raise ValueError(
+                    f"global batch {self.batch} (= {len(self.devices)} "
+                    f"devices x {self.per_device} clips) exceeds the "
+                    f"{len(self.starts)} clip starts per epoch — every "
+                    "epoch would yield zero batches; lower "
+                    "per_device/clip_step or use fewer devices")
+            all_devices = jax.devices()
+            self._vpps = [
+                build_vpp_batched_flat(cfg, self.per_device * self.clip_len,
+                                       all_devices.index(d))
+                for d in self.devices]
+            self.mesh = Mesh(np.asarray(self.devices), ("dp",))
+            self._sharding = NamedSharding(self.mesh, PartitionSpec("dp"))
+            size = (self.per_device * self.clip_len
+                    * self._w * self._h * 3 // 2)
+            self._start_fill(
+                epoch, start_clip,
+                lambda: [np.empty(size, np.uint8) for _ in self.devices])
+        except Exception:
+            self._destroy_handle()
+            raise
 
     def __len__(self):
         """Full global batches per epoch (tails are dropped)."""
@@ -759,23 +781,10 @@ class ShardedClipLoader:
                 break
             self._filled.put((bufs, batch_starts, meta))
 
-    def __iter__(self):
-        return self
-
     def __next__(self):
         import jax
         item = self._filled.get()
-        if item is None:
-            raise StopIteration  # epoch boundary; fill thread continues
-        if item is _RENEGOTIATED:
-            self._filled.put(item)
-            raise RuntimeError(
-                "stream resolution changed mid-stream; use "
-                "ShardedClipLoader(host_resize=True, width=..., "
-                "height=...) to ride through switches")
-        if isinstance(item, Exception):
-            self._filled.put(item)
-            raise item
+        self._check_latched(item)
         bufs, starts, self._consumed = item
         parts = []
         # Dispatch every device's transfer before any compute so the
@@ -794,42 +803,6 @@ class ShardedClipLoader:
             jax.block_until_ready(old_clips)
             self._pool.put(old_bufs)
         return clips, list(starts)
-
-    def state(self):
-        """Resumable position (same contract as ClipLoader.state())."""
-        epoch, cursor = self._consumed
-        return {"stream_url": self.stream_url, "epoch": epoch,
-                "start_clip": cursor, "seed": self.seed}
-
-    @property
-    def frames_decoded(self):
-        return self._lib.ts_clip_frames_decoded(self._handle)
-
-    def close(self):
-        if self._handle is None:
-            return
-        self._stop.set()
-        while self._pending:
-            bufs, _ = self._pending.popleft()
-            self._pool.put(bufs)
-        try:
-            self._pool.put_nowait(None)
-        except queue.Full:
-            pass
-        try:
-            self._filled.get_nowait()
-        except queue.Empty:
-            pass
-        self._thread.join(timeout=10)
-        self._lib.ts_clip_destroy(self._handle)
-        self._handle = None
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
-        return False
 
 
 class ShardedStreamLoader:

@@ -201,7 +201,9 @@ def test_clip_loader_shapes_and_determinism():
         # Epoch 2 continues iteration with a DIFFERENT shuffle of the
         # same starts.
         clips2, starts2 = next(loader)
-        assert loader.epoch == 1
+        # state() reflects the handed-out batch (loader.epoch is the
+        # fill thread's look-ahead position and may already be further).
+        assert loader.state()["epoch"] == 1
 
     with ClipLoader(GOP10, workers=2, **kw) as again:
         seen2 = []
@@ -260,3 +262,16 @@ def test_clip_loader_rejects_oversized_span():
     from tensor_stream_tpu import ClipLoader
     with pytest.raises(ValueError, match="span"):
         ClipLoader(GOP10, clip_len=300, workers=1)
+
+
+def test_clip_loader_rejects_zero_batch_epochs():
+    """batch > clip starts with drop_partial=True would yield zero
+    batches every epoch (silent empty training loop) — rejected at
+    construction; drop_partial=False keeps the single partial batch."""
+    from tensor_stream_tpu import ClipLoader
+    with pytest.raises(ValueError, match="drop_partial"):
+        ClipLoader(GOP10, clip_len=4, batch=100, workers=1)
+    with ClipLoader(GOP10, clip_len=4, batch=100, workers=1,
+                    drop_partial=False, shuffle=False) as loader:
+        clips, starts = next(loader)
+        assert clips.shape[0] == 62  # all starts, one partial batch

@@ -169,7 +169,9 @@ def test_sharded_clip_loader_end_to_end():
         # Next epoch reshuffles; a sharded program consumes the global
         # array directly.
         clips2, starts2 = next(loader)
-        assert loader.epoch == 1
+        # state() reflects the handed-out batch (loader.epoch is the
+        # fill thread's look-ahead position and may already be further).
+        assert loader.state()["epoch"] == 1
         mesh = loader.mesh
         out = jax.jit(
             lambda x: jnp.mean(x, axis=(1, 2, 3, 4)),
@@ -196,3 +198,19 @@ def test_sharded_clip_loader_end_to_end():
         assert rest2 == rest
     finally:
         resumed.close()
+
+
+@needs_mesh
+def test_sharded_clip_loader_rejects_zero_batch_epochs():
+    """A global batch larger than the epoch's clip starts would yield
+    zero batches forever (tails are always dropped across equal-sized
+    shards) — rejected at construction, and the native handle is not
+    leaked by the failed constructor."""
+    import os
+
+    from tensor_stream_tpu import ShardedClipLoader
+
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "bbb_720x480_RGB24_250.h264")
+    with pytest.raises(ValueError, match="clip starts per epoch"):
+        ShardedClipLoader(fix, clip_len=4, per_device=8, workers=1)
