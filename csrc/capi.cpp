@@ -559,6 +559,13 @@ int ts_clip_segments(void* p) {
 long long ts_clip_frames_decoded(void* p) {
   return static_cast<ts::ClipReader*>(p)->framesDecoded();
 }
+// Close the per-worker decoder instances, keep the keyframe scan; a
+// many-file dataset caps its open-decoder footprint with this between
+// batches (the next ts_clip_get_batch reopens lazily). Not reentrant
+// with ts_clip_get_batch.
+void ts_clip_release_decoders(void* p) {
+  static_cast<ts::ClipReader*>(p)->ReleaseDecoders();
+}
 void ts_clip_destroy(void* p) { delete static_cast<ts::ClipReader*>(p); }
 
 // ------------------------------------------------------- video writer

@@ -60,6 +60,12 @@ class ClipReader {
   int GetClipBatch(const int64_t* starts, int n_clips, int clip_len,
                    int stride, uint8_t* out_y, uint8_t* out_uv);
 
+  // Close the per-worker demux+codec instances but keep the (cheap)
+  // keyframe scan: a many-file dataset LRU-caps open decoder pools
+  // without paying a rescan on reuse. The next GetClipBatch reopens
+  // workers lazily. Not reentrant with GetClipBatch.
+  void ReleaseDecoders() { pool_.clear(); }
+
   int width() const { return width_; }
   int height() const { return height_; }
   int outWidth() const { return params_.dst_width ? params_.dst_width : width_; }

@@ -11,7 +11,7 @@ Public API mirrors the reference package (tensor_stream/__init__.py):
 
     from tensor_stream_tpu import TensorStreamConverter, FourCC, Planes
 """
-from .data import (ClipLoader, FrameLoader, MultiStreamLoader,
+from .data import (ClipDataset, ClipLoader, FrameLoader, MultiStreamLoader,
                    PooledStreamLoader, ShardedClipLoader,
                    ShardedStreamLoader)
 from .enums import (ColorStandard, FourCC, FrameRate, LogsLevel, LogsType,
@@ -23,7 +23,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "TensorStreamConverter", "FrameParameters", "FrameLoader", "VideoWriter",
-    "ClipLoader", "MultiStreamLoader", "PooledStreamLoader",
+    "ClipDataset", "ClipLoader", "MultiStreamLoader", "PooledStreamLoader",
     "ShardedClipLoader", "ShardedStreamLoader",
     "StatusLevel", "LogsLevel",
     "LogsType", "FourCC", "ResizeType", "Planes", "FrameRate",

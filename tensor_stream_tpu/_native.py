@@ -119,6 +119,7 @@ def load():
         sig("ts_clip_total_frames", ctypes.c_longlong, [c_void_p])
         sig("ts_clip_segments", c_int, [c_void_p])
         sig("ts_clip_frames_decoded", ctypes.c_longlong, [c_void_p])
+        sig("ts_clip_release_decoders", None, [c_void_p])
         sig("ts_clip_destroy", None, [c_void_p])
         sig("ts_writer_create", c_void_p,
             [c_char_p, c_int, c_int, c_int, c_int, c_char_p, c_int])

@@ -386,14 +386,11 @@ class _ClipLoaderBase:
     to ``_start_fill``), the fill body (``_fill``) and the device
     handoff (``__next__``)."""
 
-    def _init_clip_source(self, stream_url, clip_len, frame_stride,
-                          clip_step, shuffle, seed, workers, host_resize,
-                          decode_threads, fast_decode, prefetch,
-                          frame_kwargs):
-        """Open + scan the native ClipReader, compute the clip-start
-        grid, and return the VPP config for the reader's output
-        geometry. On any failure after the native create, the handle is
-        destroyed before the exception propagates."""
+    def _init_clip_params(self, clip_len, frame_stride, shuffle, seed,
+                          prefetch, host_resize, frame_kwargs):
+        """Validate + store the sampling scalars shared by every clip
+        loader; returns the (dst_w, dst_h, algo) triple for the native
+        creates (zeros = deposit native geometry)."""
         self._lib = _native.load()
         self.params = FrameParameters(**frame_kwargs)
         if self.params.color_standard is ColorStandard.AUTO:
@@ -406,44 +403,83 @@ class _ClipLoaderBase:
         self.shuffle = bool(shuffle)
         self.seed = int(seed)
         self.prefetch = max(1, int(prefetch))
-        self.stream_url = stream_url
         if host_resize:
-            dst_w, dst_h = self.params.width, self.params.height
-            algo = host_resize_algo(self.params)
-        else:
-            dst_w = dst_h = algo = 0
-        self._handle = self._lib.ts_clip_create(
+            return (self.params.width, self.params.height,
+                    host_resize_algo(self.params))
+        return 0, 0, 0
+
+    def _create_reader(self, stream_url, workers, dst_w, dst_h, algo,
+                       decode_threads, fast_decode):
+        """Open + scan ONE source (keyframe table, no decode); returns
+        (handle, out_w, out_h, total_frames)."""
+        handle = self._lib.ts_clip_create(
             str(stream_url).encode(), int(workers), dst_w, dst_h, algo,
             decode_threads or 1, int(bool(fast_decode)))
-        if not self._handle:
+        if not handle:
             raise RuntimeError(
                 f"{type(self).__name__}: cannot scan {stream_url} (not "
                 "a seekable file, or no decodable frames)")
+        return (handle,
+                self._lib.ts_clip_out_width(handle),
+                self._lib.ts_clip_out_height(handle),
+                self._lib.ts_clip_total_frames(handle))
+
+    def _starts_grid(self, total_frames, clip_step, label):
+        """Clip-start grid for one source (also stores self.clip_step,
+        identical for every source of a dataset)."""
+        span = (self.clip_len - 1) * self.frame_stride + 1
+        if span > total_frames:
+            raise ValueError(
+                f"clip span {span} exceeds {label} {total_frames} frames")
+        self.clip_step = int(clip_step) if clip_step else span
+        return np.arange(0, total_frames - span + 1, self.clip_step,
+                         dtype=np.int64)
+
+    def _vpp_config(self, host_resize):
+        """VPP config for the readers' output geometry (self._w/_h).
+        With host resize the native side already produced the target
+        size, so the device program must not resize again."""
+        if host_resize:
+            cfg_params = FrameParameters(
+                pixel_format=self.params.pixel_format,
+                planes_pos=self.params.planes_pos,
+                normalization=self.params.normalization,
+                color_standard=self.params.color_standard)
+            return cfg_params.to_config(self._w, self._h)
+        return self.params.to_config(self._w, self._h)
+
+    def _check_batch_fits(self):
+        if self.drop_partial and self.batch > len(self.starts):
+            raise ValueError(
+                f"batch {self.batch} exceeds the {len(self.starts)} "
+                "clip starts per epoch — with drop_partial=True every "
+                "epoch would yield zero batches; lower batch/clip_step "
+                "or pass drop_partial=False")
+
+    def _init_clip_source(self, stream_url, clip_len, frame_stride,
+                          clip_step, shuffle, seed, workers, host_resize,
+                          decode_threads, fast_decode, prefetch,
+                          frame_kwargs):
+        """Open + scan the native ClipReader, compute the clip-start
+        grid, and return the VPP config for the reader's output
+        geometry. On any failure after the native create, the handle is
+        destroyed before the exception propagates."""
+        dst = self._init_clip_params(clip_len, frame_stride, shuffle, seed,
+                                     prefetch, host_resize, frame_kwargs)
+        self.stream_url = stream_url
+        self._handle, self._w, self._h, self.total_frames = \
+            self._create_reader(stream_url, workers, *dst, decode_threads,
+                                fast_decode)
         try:
-            self._w = self._lib.ts_clip_out_width(self._handle)
-            self._h = self._lib.ts_clip_out_height(self._handle)
-            self.total_frames = self._lib.ts_clip_total_frames(self._handle)
-            span = (self.clip_len - 1) * self.frame_stride + 1
-            if span > self.total_frames:
-                raise ValueError(
-                    f"clip span {span} exceeds the stream's "
-                    f"{self.total_frames} frames")
-            self.clip_step = int(clip_step) if clip_step else span
-            self.starts = np.arange(0, self.total_frames - span + 1,
-                                    self.clip_step, dtype=np.int64)
-            if host_resize:
-                cfg_params = FrameParameters(
-                    pixel_format=self.params.pixel_format,
-                    planes_pos=self.params.planes_pos,
-                    normalization=self.params.normalization,
-                    color_standard=self.params.color_standard)
-                return cfg_params.to_config(self._w, self._h)
-            return self.params.to_config(self._w, self._h)
+            self.starts = self._starts_grid(self.total_frames, clip_step,
+                                            label="the stream's")
+            return self._vpp_config(host_resize)
         except Exception:
             self._destroy_handle()
             raise
 
     def _start_fill(self, epoch, start_clip, make_staging):
+        self._closed = False
         self.epoch = int(epoch)
         self._cursor = int(start_clip)  # clip index within the epoch order
         self._order = self._epoch_order(self.epoch)
@@ -471,6 +507,25 @@ class _ClipLoaderBase:
             return self.starts
         rng = np.random.default_rng(self.seed + epoch)
         return rng.permutation(self.starts)
+
+    def _epoch_done(self):
+        """Fill-thread epoch boundary: when the cursor cannot produce
+        another batch, advance to the next (reshuffled) epoch, emit the
+        StopIteration sentinel, and return True."""
+        if self._cursor >= len(self._order) or \
+           (self.drop_partial and
+                self._cursor + self.batch > len(self._order)):
+            self.epoch += 1
+            self._cursor = 0
+            self._order = self._epoch_order(self.epoch)
+            self._filled.put(None)  # epoch boundary sentinel
+            return True
+        return False
+
+    def __len__(self):
+        """Batches per epoch."""
+        n = len(self.starts)
+        return n // self.batch if self.drop_partial else -(-n // self.batch)
 
     # ------------------------------------------------------------ iteration
 
@@ -506,9 +561,30 @@ class _ClipLoaderBase:
         sampling-efficiency observable vs frames returned."""
         return self._lib.ts_clip_frames_decoded(self._handle)
 
+    def _to_device_batch(self, buf, got):
+        """Single-device handoff: device_put + batched VPP +
+        [batch, clip_len, ...] reshape + partial-tail slice + staging-
+        buffer rotation. Returns the (async) device tensor."""
+        import jax
+        if self._device is None:
+            self._device = jax.devices()[self.device_index]
+        flat = jax.device_put(buf, self._device)
+        tensors = self._vpp(flat)  # [batch*clip_len, ...] async
+        tensors = tensors.reshape((self.batch, self.clip_len)
+                                  + tensors.shape[1:])
+        if got < self.batch:
+            tensors = tensors[:got]
+        self._pending.append((buf, tensors))
+        if len(self._pending) > self.prefetch:
+            oldest_buf, oldest_t = self._pending.popleft()
+            jax.block_until_ready(oldest_t)
+            self._pool.put(oldest_buf)
+        return tensors
+
     def close(self):
-        if self._handle is None:
-            return
+        if getattr(self, "_closed", True):
+            return  # never started, already closed, or handle leaked
+        self._closed = True
         self._stop.set()
         while self._pending:
             buf, _ = self._pending.popleft()
@@ -532,7 +608,6 @@ class _ClipLoaderBase:
                 warnings.warn(
                     f"{type(self).__name__}.close(): fill thread still "
                     "inside a native call; leaking the ClipReader handle")
-                self._handle = None
                 return
         self._destroy_handle()
 
@@ -586,12 +661,7 @@ class ClipLoader(_ClipLoaderBase):
             workers, host_resize, decode_threads, fast_decode, prefetch,
             frame_kwargs)
         try:
-            if self.drop_partial and self.batch > len(self.starts):
-                raise ValueError(
-                    f"batch {self.batch} exceeds the {len(self.starts)} "
-                    "clip starts per epoch — with drop_partial=True every "
-                    "epoch would yield zero batches; lower batch/clip_step "
-                    "or pass drop_partial=False")
+            self._check_batch_fits()
             self._vpp = build_vpp_batched_flat(self._cfg,
                                                self.batch * self.clip_len,
                                                device_index)
@@ -603,23 +673,12 @@ class ClipLoader(_ClipLoaderBase):
             self._destroy_handle()
             raise
 
-    def __len__(self):
-        """Batches per epoch."""
-        n = len(self.starts)
-        return n // self.batch if self.drop_partial else -(-n // self.batch)
-
     # ------------------------------------------------------------- internal
 
     def _fill(self):
         y_size = self.batch * self.clip_len * self._w * self._h
         while not self._stop.is_set():
-            if self._cursor >= len(self._order) or \
-               (self.drop_partial and
-                    self._cursor + self.batch > len(self._order)):
-                self.epoch += 1
-                self._cursor = 0
-                self._order = self._epoch_order(self.epoch)
-                self._filled.put(None)  # epoch boundary sentinel
+            if self._epoch_done():
                 continue
             batch_starts = self._order[self._cursor:self._cursor + self.batch]
             self._cursor += len(batch_starts)
@@ -656,24 +715,189 @@ class ClipLoader(_ClipLoaderBase):
         frame index of each clip. Raises StopIteration at each epoch
         boundary; iterating again continues into the next (reshuffled)
         epoch."""
-        import jax
         item = self._filled.get()
         self._check_latched(item)
         buf, got, starts, self._consumed = item
-        if self._device is None:
-            self._device = jax.devices()[self.device_index]
-        flat = jax.device_put(buf, self._device)
-        tensors = self._vpp(flat)  # [batch*clip_len, ...] async
-        tensors = tensors.reshape((self.batch, self.clip_len)
-                                  + tensors.shape[1:])
-        if got < self.batch:
-            tensors = tensors[:got]
-        self._pending.append((buf, tensors))
-        if len(self._pending) > self.prefetch:
-            oldest_buf, oldest_t = self._pending.popleft()
-            jax.block_until_ready(oldest_t)
-            self._pool.put(oldest_buf)
-        return tensors, list(starts)
+        return self._to_device_batch(buf, got), list(starts)
+
+
+class ClipDataset(_ClipLoaderBase):
+    """Globally-shuffled clip batches across MANY video files.
+
+    Real video training samples each batch from a whole corpus, not one
+    file. ClipDataset scans every source once (keyframe tables only, no
+    decode), concatenates the per-file clip-start grids into ONE global
+    index, and shuffles that with ``seed + epoch`` — every clip in the
+    corpus is visited exactly once per epoch regardless of which file
+    it lives in (the DALI VideoReader ``file_list`` behavior; the
+    reference cannot seek even one file — its src/Parser.cpp Reset is
+    unimplemented).
+
+    Decoder instances open lazily per file, and at most ``max_open``
+    files keep decoder pools alive (LRU-released between batches; the
+    cheap keyframe scans persist for the whole corpus) — a corpus of
+    thousands of files does not hold thousands of open codec contexts.
+
+        ds = ClipDataset(["a.mp4", "b.mp4"], clip_len=8, batch=4,
+                         host_resize=True, width=224, height=224,
+                         pixel_format=FourCC.RGB24,
+                         planes_pos=Planes.PLANAR, normalization=True)
+        for clips, labels in ds:     # clips [4, 8, 3, 224, 224] on TPU
+            ...                      # labels [(file_idx, start), ...]
+
+    Each batch keeps the global shuffle's membership but is regrouped
+    file-contiguous internally (one native batch call per touched file,
+    decoding straight into the shared staging buffer); ``labels`` gives
+    every clip's (file index, first frame) in yielded order, for
+    per-file supervision. Without ``host_resize`` all files must share
+    one decoded geometry; with it, mixed resolutions are fine. Epoch
+    semantics match ClipLoader: StopIteration per epoch, deterministic
+    reshuffle, ``state()``/(epoch, start_clip) resume."""
+
+    def __init__(self, stream_urls, clip_len, batch=4, frame_stride=1,
+                 clip_step=None, shuffle=True, seed=0, workers=2,
+                 host_resize=False, decode_threads=0, fast_decode=False,
+                 device_index=0, drop_partial=True, prefetch=2,
+                 epoch=0, start_clip=0, max_open=4, **frame_kwargs):
+        self.stream_urls = [str(u) for u in stream_urls]
+        if not self.stream_urls:
+            raise ValueError("ClipDataset needs at least one source")
+        self.batch = int(batch)
+        self.device_index = device_index
+        self.drop_partial = bool(drop_partial)
+        self.max_open = max(1, int(max_open))
+        dst = self._init_clip_params(clip_len, frame_stride, shuffle, seed,
+                                     prefetch, host_resize, frame_kwargs)
+        self._handles = []
+        try:
+            file_of, start_of = [], []
+            self._w = self._h = 0
+            for fi, url in enumerate(self.stream_urls):
+                handle, w, h, total = self._create_reader(
+                    url, workers, *dst, decode_threads, fast_decode)
+                self._handles.append(handle)
+                if fi == 0:
+                    self._w, self._h = w, h
+                elif (w, h) != (self._w, self._h):
+                    raise ValueError(
+                        f"{url} decodes to {w}x{h} but "
+                        f"{self.stream_urls[0]} to {self._w}x{self._h}; "
+                        "pass host_resize=True with width/height to mix "
+                        "resolutions")
+                starts = self._starts_grid(total, clip_step, label=f"{url}'s")
+                file_of.append(np.full(len(starts), fi, np.int64))
+                start_of.append(starts)
+            self._file_of = np.concatenate(file_of)
+            self._start_of = np.concatenate(start_of)
+            # The shuffled unit is the GLOBAL clip id (row into the
+            # file_of/start_of tables).
+            self.starts = np.arange(len(self._file_of), dtype=np.int64)
+            self._check_batch_fits()
+            self._vpp = build_vpp_batched_flat(self._vpp_config(host_resize),
+                                               self.batch * self.clip_len,
+                                               device_index)
+            self._device = None
+            self._lru = collections.OrderedDict()  # file idx (open pools)
+            size = self.batch * self.clip_len * self._w * self._h * 3 // 2
+            self._start_fill(epoch, start_clip,
+                             lambda: np.empty(size, np.uint8))
+        except Exception:
+            self._destroy_handle()
+            raise
+
+    @property
+    def files(self):
+        """Sources in label order: labels' file index points here."""
+        return list(self.stream_urls)
+
+    @property
+    def frames_decoded(self):
+        """Total frames decoded across all files (warm-up included)."""
+        return sum(self._lib.ts_clip_frames_decoded(h)
+                   for h in self._handles)
+
+    def state(self):
+        epoch, cursor = self._consumed
+        return {"stream_urls": self.files, "epoch": epoch,
+                "start_clip": cursor, "seed": self.seed}
+
+    def _destroy_handle(self):
+        for h in self._handles:
+            self._lib.ts_clip_destroy(h)
+        self._handles = []
+
+    # ------------------------------------------------------------- internal
+
+    def _touch(self, fi):
+        """LRU bookkeeping after a native call on file `fi`: release the
+        decoder pools (keyframe scans stay) of the least recently used
+        files beyond max_open. Fill-thread only."""
+        self._lru[fi] = True
+        self._lru.move_to_end(fi)
+        while len(self._lru) > self.max_open:
+            old, _ = self._lru.popitem(last=False)
+            self._lib.ts_clip_release_decoders(self._handles[old])
+
+    def _fill(self):
+        y_frame = self._w * self._h
+        uv_frame = (self._h // 2) * self._w
+        y_size = self.batch * self.clip_len * y_frame
+        while not self._stop.is_set():
+            if self._epoch_done():
+                continue
+            ids = self._order[self._cursor:self._cursor + self.batch]
+            self._cursor += len(ids)
+            meta = (self.epoch, self._cursor)
+            got = len(ids)
+            # Regroup file-contiguous (stable: the shuffle's within-file
+            # order survives); pad a trailing partial batch by repeating
+            # the LAST regrouped clip so pads extend the final file
+            # group and the tail slices off clean after conversion.
+            ids = ids[np.argsort(self._file_of[ids], kind="stable")]
+            if got < self.batch:
+                ids = np.concatenate(
+                    [ids, np.repeat(ids[-1:], self.batch - got)])
+            buf = self._pool.get()
+            if buf is None or self._stop.is_set():
+                break
+            files = self._file_of[ids]
+            err = None
+            pos = 0
+            for fi in np.unique(files):
+                sub = np.ascontiguousarray(self._start_of[ids[files == fi]])
+                carr = sub.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
+                rc = self._lib.ts_clip_get_batch(
+                    self._handles[fi], carr, len(sub), self.clip_len,
+                    self.frame_stride,
+                    buf.ctypes.data + pos * self.clip_len * y_frame,
+                    buf.ctypes.data + y_size + pos * self.clip_len * uv_frame)
+                self._touch(int(fi))
+                if rc != 0:
+                    err = rc
+                    break
+                pos += len(sub)
+            if err is not None:
+                self._filled.put(
+                    _RENEGOTIATED if err == _native.TS_RENEGOTIATE
+                    else RuntimeError(
+                        f"clip decode failed (code {err}, file "
+                        f"{self.stream_urls[int(fi)]})"))
+                break
+            self._filled.put((buf, got, ids[:got], meta))
+
+    # ------------------------------------------------------------ iteration
+
+    def __next__(self):
+        """Returns (clips, labels): clips is a [batch, clip_len, ...]
+        device tensor, labels the (file index, first frame) pair of each
+        clip in the same order. Raises StopIteration at each epoch
+        boundary; iterating again continues into the next epoch."""
+        item = self._filled.get()
+        self._check_latched(item)
+        buf, got, ids, self._consumed = item
+        labels = [(int(self._file_of[i]), int(self._start_of[i]))
+                  for i in ids]
+        return self._to_device_batch(buf, got), labels
 
 
 class ShardedClipLoader(_ClipLoaderBase):
@@ -719,6 +943,7 @@ class ShardedClipLoader(_ClipLoaderBase):
             self.devices = list(devices)
             self.per_device = int(per_device)
             self.batch = self.per_device * len(self.devices)
+            self.drop_partial = True  # shards must be equal-sized
             if self.batch > len(self.starts):
                 raise ValueError(
                     f"global batch {self.batch} (= {len(self.devices)} "
@@ -742,18 +967,10 @@ class ShardedClipLoader(_ClipLoaderBase):
             self._destroy_handle()
             raise
 
-    def __len__(self):
-        """Full global batches per epoch (tails are dropped)."""
-        return len(self.starts) // self.batch
-
     def _fill(self):
         y_size = self.per_device * self.clip_len * self._w * self._h
         while not self._stop.is_set():
-            if self._cursor + self.batch > len(self._order):
-                self.epoch += 1
-                self._cursor = 0
-                self._order = self._epoch_order(self.epoch)
-                self._filled.put(None)  # epoch boundary sentinel
+            if self._epoch_done():
                 continue
             batch_starts = self._order[self._cursor:self._cursor + self.batch]
             self._cursor += self.batch

@@ -264,6 +264,106 @@ def test_clip_loader_rejects_oversized_span():
         ClipLoader(GOP10, clip_len=300, workers=1)
 
 
+def test_clip_release_decoders_reopens_lazily():
+    """ts_clip_release_decoders closes the worker codec contexts but
+    keeps the keyframe scan; the next batch reopens lazily and decodes
+    the same bytes (the ClipDataset LRU contract)."""
+    lib = _native.load()
+    p = lib.ts_clip_create(GOP10.encode(), 2, 0, 0, 1, 1, 0)
+    assert p
+    starts = (ctypes.c_longlong * 2)(30, 119)
+    y = np.empty((2, 2, 480, 720), np.uint8)
+    uv = np.empty((2, 2, 240, 720), np.uint8)
+    assert lib.ts_clip_get_batch(p, starts, 2, 2, 1, y.ctypes.data,
+                                 uv.ctypes.data) == 0
+    lib.ts_clip_release_decoders(p)
+    y2 = np.empty_like(y)
+    uv2 = np.empty_like(uv)
+    assert lib.ts_clip_get_batch(p, starts, 2, 2, 1, y2.ctypes.data,
+                                 uv2.ctypes.data) == 0
+    assert np.array_equal(y, y2) and np.array_equal(uv, uv2)
+    lib.ts_clip_destroy(p)
+
+
+def test_clip_dataset_global_shuffle_bit_exact():
+    """ClipDataset over two files (different codecs, same grid rules):
+    one epoch visits every (file, start) in the corpus exactly once, and
+    each yielded clip is bit-identical to the single-file ClipLoader's
+    output for the same label — through LRU decoder churn (max_open=1
+    forces a release/reopen every time a batch straddles files) and a
+    padded partial tail."""
+    import jax
+
+    from tensor_stream_tpu import ClipDataset, ClipLoader, FourCC, Planes
+
+    files = [os.path.join(FIXDIR, "synthetic_640x360_120.h265"),
+             os.path.join(FIXDIR, "synthetic_640x360_90_vp9.ivf")]
+    kw = dict(clip_len=4, host_resize=True, width=160, height=128,
+              pixel_format=FourCC.RGB24, planes_pos=Planes.PLANAR,
+              normalization=True, seed=11)
+
+    oracle = {}
+    for fi, path in enumerate(files):
+        with ClipLoader(path, batch=2, shuffle=False, drop_partial=False,
+                        workers=1, **kw) as l:
+            for clips, starts in l:
+                clips = np.asarray(jax.block_until_ready(clips))
+                for c, s in zip(clips, starts):
+                    oracle[(fi, int(s))] = c
+
+    with ClipDataset(files, batch=5, workers=1, drop_partial=False,
+                     max_open=1, **kw) as ds:
+        assert ds.files == files
+        assert len(ds) == -(-len(oracle) // 5)
+        seen = []
+        for clips, labels in ds:
+            clips = np.asarray(jax.block_until_ready(clips))
+            assert clips.shape[1:] == (4, 3, 128, 160)
+            assert len(labels) == clips.shape[0]
+            for c, lab in zip(clips, labels):
+                assert np.array_equal(c, oracle[lab]), lab
+            seen.extend(labels)
+        assert sorted(seen) == sorted(oracle)  # exactly-once cover
+        assert ds.frames_decoded >= len(oracle) * 4
+
+
+def test_clip_dataset_geometry_mismatch_rejected():
+    """Mixed native geometries need host_resize (one device VPP program
+    serves the whole corpus)."""
+    from tensor_stream_tpu import ClipDataset
+    small = os.path.join(FIXDIR, "synthetic_320x240_30_bt709full.h264")
+    with pytest.raises(ValueError, match="host_resize"):
+        ClipDataset([GOP10, small], clip_len=2, workers=1)
+
+
+def test_clip_dataset_state_resume():
+    """state() round-trips across files: a fresh dataset resumed at
+    (epoch, start_clip) yields exactly the remaining labels."""
+    from tensor_stream_tpu import ClipDataset
+
+    files = [os.path.join(FIXDIR, "synthetic_640x360_120.h265"),
+             os.path.join(FIXDIR, "synthetic_640x360_90_vp9.ivf")]
+    kw = dict(clip_len=4, batch=6, shuffle=True, seed=5, workers=1,
+              prefetch=1)
+    first, rest = [], []
+    with ClipDataset(files, **kw) as ds:
+        for k, (_, labels) in enumerate(ds):
+            if k < 2:
+                first.extend(labels)
+                if k == 1:
+                    st = ds.state()
+            else:
+                rest.extend(labels)
+    assert st["epoch"] == 0 and st["stream_urls"] == files
+    with ClipDataset(files, epoch=st["epoch"], start_clip=st["start_clip"],
+                     **kw) as resumed:
+        rest2 = []
+        for _, labels in resumed:
+            rest2.extend(labels)
+    assert rest2 == rest
+    assert not set(first) & set(rest)
+
+
 def test_clip_loader_rejects_zero_batch_epochs():
     """batch > clip starts with drop_partial=True would yield zero
     batches every epoch (silent empty training loop) — rejected at
