@@ -12,8 +12,8 @@ Public API mirrors the reference package (tensor_stream/__init__.py):
     from tensor_stream_tpu import TensorStreamConverter, FourCC, Planes
 """
 from .data import (ClipDataset, ClipLoader, FrameLoader, MultiStreamLoader,
-                   PooledStreamLoader, ShardedClipLoader,
-                   ShardedStreamLoader)
+                   PooledStreamLoader, ShardedClipDataset,
+                   ShardedClipLoader, ShardedStreamLoader)
 from .enums import (ColorStandard, FourCC, FrameRate, LogsLevel, LogsType,
                     Planes, ResizeType, StatusLevel)
 from .tensor_stream import FrameParameters, TensorStreamConverter
@@ -24,7 +24,7 @@ __version__ = "0.1.0"
 __all__ = [
     "TensorStreamConverter", "FrameParameters", "FrameLoader", "VideoWriter",
     "ClipDataset", "ClipLoader", "MultiStreamLoader", "PooledStreamLoader",
-    "ShardedClipLoader", "ShardedStreamLoader",
+    "ShardedClipDataset", "ShardedClipLoader", "ShardedStreamLoader",
     "StatusLevel", "LogsLevel",
     "LogsType", "FourCC", "ResizeType", "Planes", "FrameRate",
     "ColorStandard",

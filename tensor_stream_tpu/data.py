@@ -581,6 +581,56 @@ class _ClipLoaderBase:
             self._pool.put(oldest_buf)
         return tensors
 
+    def _init_device_mesh(self, per_device, devices, cfg):
+        """dp-mesh plumbing shared by the sharded clip loaders: device
+        list, per-device VPP programs, 1D 'dp' mesh + sharding, global
+        batch size (tails always drop — shards must be equal-sized)."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        if devices is None:
+            devices = jax.devices()
+        self.devices = list(devices)
+        self.per_device = int(per_device)
+        self.batch = self.per_device * len(self.devices)
+        self.drop_partial = True  # shards must be equal-sized
+        if self.batch > len(self.starts):
+            raise ValueError(
+                f"global batch {self.batch} (= {len(self.devices)} "
+                f"devices x {self.per_device} clips) exceeds the "
+                f"{len(self.starts)} clip starts per epoch — every "
+                "epoch would yield zero batches; lower "
+                "per_device/clip_step or use fewer devices")
+        all_devices = jax.devices()
+        self._vpps = [
+            build_vpp_batched_flat(cfg, self.per_device * self.clip_len,
+                                   all_devices.index(d))
+            for d in self.devices]
+        self.mesh = Mesh(np.asarray(self.devices), ("dp",))
+        self._sharding = NamedSharding(self.mesh, PartitionSpec("dp"))
+
+    def _to_sharded_batch(self, bufs):
+        """Sharded handoff: per-device host->HBM transfers dispatched
+        before any compute (so the copies overlap), per-device VPP, then
+        one global dp-sharded [batch, clip_len, ...] array with zero
+        additional copies. Rotates the staging-buffer set."""
+        import jax
+        parts = []
+        for buf, dev, vpp in zip(bufs, self.devices, self._vpps):
+            flat = jax.device_put(buf, dev)
+            t = vpp(flat)
+            parts.append(t.reshape((self.per_device, self.clip_len)
+                                   + t.shape[1:]))
+        global_shape = (self.batch,) + parts[0].shape[1:]
+        clips = jax.make_array_from_single_device_arrays(
+            global_shape, self._sharding, parts)
+        self._pending.append((bufs, clips))
+        if len(self._pending) > self.prefetch:
+            old_bufs, old_clips = self._pending.popleft()
+            jax.block_until_ready(old_clips)
+            self._pool.put(old_bufs)
+        return clips
+
     def close(self):
         if getattr(self, "_closed", True):
             return  # never started, already closed, or handle leaked
@@ -759,12 +809,35 @@ class ClipDataset(_ClipLoaderBase):
                  host_resize=False, decode_threads=0, fast_decode=False,
                  device_index=0, drop_partial=True, prefetch=2,
                  epoch=0, start_clip=0, max_open=4, **frame_kwargs):
-        self.stream_urls = [str(u) for u in stream_urls]
-        if not self.stream_urls:
-            raise ValueError("ClipDataset needs at least one source")
         self.batch = int(batch)
         self.device_index = device_index
         self.drop_partial = bool(drop_partial)
+        cfg = self._init_corpus(stream_urls, clip_len, frame_stride,
+                                clip_step, shuffle, seed, workers,
+                                host_resize, decode_threads, fast_decode,
+                                prefetch, max_open, frame_kwargs)
+        try:
+            self._check_batch_fits()
+            self._vpp = build_vpp_batched_flat(cfg,
+                                               self.batch * self.clip_len,
+                                               device_index)
+            self._device = None
+            size = self.batch * self.clip_len * self._w * self._h * 3 // 2
+            self._start_fill(epoch, start_clip,
+                             lambda: np.empty(size, np.uint8))
+        except Exception:
+            self._destroy_handle()
+            raise
+
+    def _init_corpus(self, stream_urls, clip_len, frame_stride, clip_step,
+                     shuffle, seed, workers, host_resize, decode_threads,
+                     fast_decode, prefetch, max_open, frame_kwargs):
+        """Scan every source (keyframe tables only) and build the global
+        clip index; returns the VPP config. Destroys any handles already
+        created before re-raising a mid-scan failure."""
+        self.stream_urls = [str(u) for u in stream_urls]
+        if not self.stream_urls:
+            raise ValueError(f"{type(self).__name__} needs >=1 source")
         self.max_open = max(1, int(max_open))
         dst = self._init_clip_params(clip_len, frame_stride, shuffle, seed,
                                      prefetch, host_resize, frame_kwargs)
@@ -792,15 +865,8 @@ class ClipDataset(_ClipLoaderBase):
             # The shuffled unit is the GLOBAL clip id (row into the
             # file_of/start_of tables).
             self.starts = np.arange(len(self._file_of), dtype=np.int64)
-            self._check_batch_fits()
-            self._vpp = build_vpp_batched_flat(self._vpp_config(host_resize),
-                                               self.batch * self.clip_len,
-                                               device_index)
-            self._device = None
             self._lru = collections.OrderedDict()  # file idx (open pools)
-            size = self.batch * self.clip_len * self._w * self._h * 3 // 2
-            self._start_fill(epoch, start_clip,
-                             lambda: np.empty(size, np.uint8))
+            return self._vpp_config(host_resize)
         except Exception:
             self._destroy_handle()
             raise
@@ -838,10 +904,44 @@ class ClipDataset(_ClipLoaderBase):
             old, _ = self._lru.popitem(last=False)
             self._lib.ts_clip_release_decoders(self._handles[old])
 
-    def _fill(self):
+    def _decode_ids_into(self, ids, buf, capacity):
+        """Decode the clips named by global ids into `buf` (laid out for
+        `capacity` clips). Regroups file-contiguous (stable: the
+        shuffle's within-file order survives) so each touched file gets
+        ONE native call; a short `ids` is padded by repeating the LAST
+        regrouped clip, extending the final file group so the tail
+        slices off clean after conversion. Returns (regrouped unpadded
+        ids, rc, failed file idx)."""
+        got = len(ids)
+        ids = ids[np.argsort(self._file_of[ids], kind="stable")]
+        padded = ids if got == capacity else np.concatenate(
+            [ids, np.repeat(ids[-1:], capacity - got)])
         y_frame = self._w * self._h
         uv_frame = (self._h // 2) * self._w
-        y_size = self.batch * self.clip_len * y_frame
+        y_size = capacity * self.clip_len * y_frame
+        files = self._file_of[padded]
+        pos = 0
+        for fi in np.unique(files):
+            sub = np.ascontiguousarray(self._start_of[padded[files == fi]])
+            carr = sub.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
+            rc = self._lib.ts_clip_get_batch(
+                self._handles[fi], carr, len(sub), self.clip_len,
+                self.frame_stride,
+                buf.ctypes.data + pos * self.clip_len * y_frame,
+                buf.ctypes.data + y_size + pos * self.clip_len * uv_frame)
+            self._touch(int(fi))
+            if rc != 0:
+                return ids, rc, int(fi)
+            pos += len(sub)
+        return ids, 0, -1
+
+    def _put_decode_error(self, rc, fi):
+        self._filled.put(
+            _RENEGOTIATED if rc == _native.TS_RENEGOTIATE
+            else RuntimeError(f"clip decode failed (code {rc}, file "
+                              f"{self.stream_urls[fi]})"))
+
+    def _fill(self):
         while not self._stop.is_set():
             if self._epoch_done():
                 continue
@@ -849,41 +949,14 @@ class ClipDataset(_ClipLoaderBase):
             self._cursor += len(ids)
             meta = (self.epoch, self._cursor)
             got = len(ids)
-            # Regroup file-contiguous (stable: the shuffle's within-file
-            # order survives); pad a trailing partial batch by repeating
-            # the LAST regrouped clip so pads extend the final file
-            # group and the tail slices off clean after conversion.
-            ids = ids[np.argsort(self._file_of[ids], kind="stable")]
-            if got < self.batch:
-                ids = np.concatenate(
-                    [ids, np.repeat(ids[-1:], self.batch - got)])
             buf = self._pool.get()
             if buf is None or self._stop.is_set():
                 break
-            files = self._file_of[ids]
-            err = None
-            pos = 0
-            for fi in np.unique(files):
-                sub = np.ascontiguousarray(self._start_of[ids[files == fi]])
-                carr = sub.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
-                rc = self._lib.ts_clip_get_batch(
-                    self._handles[fi], carr, len(sub), self.clip_len,
-                    self.frame_stride,
-                    buf.ctypes.data + pos * self.clip_len * y_frame,
-                    buf.ctypes.data + y_size + pos * self.clip_len * uv_frame)
-                self._touch(int(fi))
-                if rc != 0:
-                    err = rc
-                    break
-                pos += len(sub)
-            if err is not None:
-                self._filled.put(
-                    _RENEGOTIATED if err == _native.TS_RENEGOTIATE
-                    else RuntimeError(
-                        f"clip decode failed (code {err}, file "
-                        f"{self.stream_urls[int(fi)]})"))
+            ids, rc, fi = self._decode_ids_into(ids, buf, self.batch)
+            if rc != 0:
+                self._put_decode_error(rc, fi)
                 break
-            self._filled.put((buf, got, ids[:got], meta))
+            self._filled.put((buf, got, ids, meta))
 
     # ------------------------------------------------------------ iteration
 
@@ -930,34 +1003,12 @@ class ShardedClipLoader(_ClipLoaderBase):
                  workers=2, host_resize=False, decode_threads=0,
                  fast_decode=False, prefetch=2, epoch=0, start_clip=0,
                  **frame_kwargs):
-        import jax
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec
-
         cfg = self._init_clip_source(
             stream_url, clip_len, frame_stride, clip_step, shuffle, seed,
             workers, host_resize, decode_threads, fast_decode, prefetch,
             frame_kwargs)
         try:
-            if devices is None:
-                devices = jax.devices()
-            self.devices = list(devices)
-            self.per_device = int(per_device)
-            self.batch = self.per_device * len(self.devices)
-            self.drop_partial = True  # shards must be equal-sized
-            if self.batch > len(self.starts):
-                raise ValueError(
-                    f"global batch {self.batch} (= {len(self.devices)} "
-                    f"devices x {self.per_device} clips) exceeds the "
-                    f"{len(self.starts)} clip starts per epoch — every "
-                    "epoch would yield zero batches; lower "
-                    "per_device/clip_step or use fewer devices")
-            all_devices = jax.devices()
-            self._vpps = [
-                build_vpp_batched_flat(cfg, self.per_device * self.clip_len,
-                                       all_devices.index(d))
-                for d in self.devices]
-            self.mesh = Mesh(np.asarray(self.devices), ("dp",))
-            self._sharding = NamedSharding(self.mesh, PartitionSpec("dp"))
+            self._init_device_mesh(per_device, devices, cfg)
             size = (self.per_device * self.clip_len
                     * self._w * self._h * 3 // 2)
             self._start_fill(
@@ -999,27 +1050,92 @@ class ShardedClipLoader(_ClipLoaderBase):
             self._filled.put((bufs, batch_starts, meta))
 
     def __next__(self):
-        import jax
         item = self._filled.get()
         self._check_latched(item)
         bufs, starts, self._consumed = item
-        parts = []
-        # Dispatch every device's transfer before any compute so the
-        # per-chip host->HBM copies overlap.
-        for buf, dev, vpp in zip(bufs, self.devices, self._vpps):
-            flat = jax.device_put(buf, dev)
-            t = vpp(flat)
-            parts.append(t.reshape((self.per_device, self.clip_len)
-                                   + t.shape[1:]))
-        global_shape = (self.batch,) + parts[0].shape[1:]
-        clips = jax.make_array_from_single_device_arrays(
-            global_shape, self._sharding, parts)
-        self._pending.append((bufs, clips))
-        if len(self._pending) > self.prefetch:
-            old_bufs, old_clips = self._pending.popleft()
-            jax.block_until_ready(old_clips)
-            self._pool.put(old_bufs)
-        return clips, list(starts)
+        return self._to_sharded_batch(bufs), list(starts)
+
+
+class ShardedClipDataset(ClipDataset):
+    """Globally-shuffled clips from MANY files, sharded over N chips.
+
+    The full video-training input pipeline: ClipDataset's corpus-wide
+    epoch (one ``seed + epoch`` shuffle across every clip of every
+    file, lazy per-file decoder pools LRU-capped at ``max_open``)
+    combined with ShardedClipLoader's dp fan-out (each device's
+    per_device-clip shard decodes into its own staging buffer,
+    transfers straight to that chip, and the batch arrives as ONE
+    global dp-sharded [n_devices*per_device, T, ...] array for any
+    pjit/shard_map train step).
+
+        ds = ShardedClipDataset(glob.glob("corpus/*.mp4"), clip_len=8,
+                                per_device=2, host_resize=True,
+                                width=224, height=224,
+                                pixel_format=FourCC.RGB24,
+                                planes_pos=Planes.PLANAR,
+                                normalization=True)
+        for clips, labels in ds:    # dp-sharded; labels (file_idx, s)
+            train_step(params, clips)
+
+    No clip is duplicated across chips within an epoch; epoch tails
+    that cannot fill every shard are dropped (shards must be
+    equal-sized). Labels follow each device's file-contiguous
+    regrouping, concatenated in device order."""
+
+    def __init__(self, stream_urls, clip_len, per_device=2, devices=None,
+                 frame_stride=1, clip_step=None, shuffle=True, seed=0,
+                 workers=2, host_resize=False, decode_threads=0,
+                 fast_decode=False, prefetch=2, epoch=0, start_clip=0,
+                 max_open=4, **frame_kwargs):
+        cfg = self._init_corpus(stream_urls, clip_len, frame_stride,
+                                clip_step, shuffle, seed, workers,
+                                host_resize, decode_threads, fast_decode,
+                                prefetch, max_open, frame_kwargs)
+        try:
+            self._init_device_mesh(per_device, devices, cfg)
+            size = (self.per_device * self.clip_len
+                    * self._w * self._h * 3 // 2)
+            self._start_fill(
+                epoch, start_clip,
+                lambda: [np.empty(size, np.uint8) for _ in self.devices])
+        except Exception:
+            self._destroy_handle()
+            raise
+
+    def _fill(self):
+        while not self._stop.is_set():
+            if self._epoch_done():
+                continue
+            ids = self._order[self._cursor:self._cursor + self.batch]
+            self._cursor += self.batch
+            meta = (self.epoch, self._cursor)
+            bufs = self._pool.get()
+            if bufs is None or self._stop.is_set():
+                break
+            shard_ids, failed = [], None
+            for k, buf in enumerate(bufs):
+                sub = ids[k * self.per_device:(k + 1) * self.per_device]
+                rids, rc, fi = self._decode_ids_into(sub, buf,
+                                                     self.per_device)
+                if rc != 0:
+                    failed = (rc, fi)
+                    break
+                shard_ids.append(rids)
+            if failed is not None:
+                self._put_decode_error(*failed)
+                break
+            self._filled.put((bufs, np.concatenate(shard_ids), meta))
+
+    def __next__(self):
+        """Returns (clips, labels): clips one global dp-sharded
+        [batch, clip_len, ...] array, labels the (file index, first
+        frame) of each clip in the same order."""
+        item = self._filled.get()
+        self._check_latched(item)
+        bufs, ids, self._consumed = item
+        labels = [(int(self._file_of[i]), int(self._start_of[i]))
+                  for i in ids]
+        return self._to_sharded_batch(bufs), labels
 
 
 class ShardedStreamLoader:

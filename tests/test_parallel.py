@@ -214,3 +214,54 @@ def test_sharded_clip_loader_rejects_zero_batch_epochs():
                        "fixtures", "bbb_720x480_RGB24_250.h264")
     with pytest.raises(ValueError, match="clip starts per epoch"):
         ShardedClipLoader(fix, clip_len=4, per_device=8, workers=1)
+
+
+@needs_mesh
+def test_sharded_clip_dataset_end_to_end():
+    """ShardedClipDataset: a two-file corpus -> dp-sharded clip batches,
+    one global shuffle across both files (no clip duplicated within the
+    epoch), every clip bit-equal to the single-file ClipLoader's output
+    for the same (file, start) label, decoder pools LRU-churned at
+    max_open=1."""
+    import os
+
+    from tensor_stream_tpu import (ClipLoader, FourCC, Planes,
+                                   ShardedClipDataset)
+
+    fixdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "fixtures")
+    files = [os.path.join(fixdir, "synthetic_640x360_120.h265"),
+             os.path.join(fixdir, "synthetic_640x360_90_vp9.ivf")]
+    vkw = dict(clip_len=4, host_resize=True, width=64, height=64,
+               pixel_format=FourCC.RGB24, planes_pos=Planes.PLANAR,
+               normalization=True, seed=3)
+
+    oracle = {}
+    for fi, path in enumerate(files):
+        with ClipLoader(path, batch=2, shuffle=False, drop_partial=False,
+                        workers=1, **vkw) as l:
+            for clips, starts in l:
+                arr = np.asarray(jax.block_until_ready(clips))
+                for c, s in zip(arr, starts):
+                    oracle[(fi, int(s))] = c
+
+    with ShardedClipDataset(files, per_device=1, workers=1, max_open=1,
+                            **vkw) as ds:
+        assert len(ds.devices) == 8 and ds.batch == 8
+        assert len(ds) == len(oracle) // 8  # 52 clips -> 6 full batches
+        seen = []
+        for clips, labels in ds:
+            assert clips.shape == (8, 4, 3, 64, 64)
+            assert len({s.device for s in clips.addressable_shards}) == 8
+            arr = np.asarray(jax.block_until_ready(clips))
+            for c, lab in zip(arr, labels):
+                assert np.array_equal(c, oracle[lab]), lab
+            seen.extend(labels)
+        assert len(seen) == 48 and len(set(seen)) == 48
+        assert {lab[0] for lab in seen} == {0, 1}  # both files sampled
+        # The global array feeds a sharded program directly.
+        clips2, _ = next(ds)
+        out = jax.jit(lambda x: jnp.mean(x, axis=(1, 2, 3, 4)),
+                      in_shardings=ds._sharding,
+                      out_shardings=ds._sharding)(clips2)
+        assert np.isfinite(np.asarray(out)).all()
