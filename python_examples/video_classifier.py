@@ -33,7 +33,8 @@ import numpy as np
 import optax
 from flax import linen as nn
 
-from tensor_stream_tpu import ClipLoader, FourCC, Planes, ResizeType
+from tensor_stream_tpu import (ClipDataset, ClipLoader, FourCC, Planes,
+                               ResizeType)
 
 
 class TimeDirectionNet(nn.Module):
@@ -60,7 +61,9 @@ class TimeDirectionNet(nn.Module):
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    parser.add_argument("-i", "--input", required=True)
+    parser.add_argument("-i", "--input", required=True, nargs="+",
+                        help="one or more seekable video files; several "
+                             "train on a globally-shuffled ClipDataset")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--clip-len", type=int, default=8)
@@ -99,15 +102,18 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss, acc
 
-    loader = ClipLoader(
-        args.input, clip_len=args.clip_len, batch=args.batch,
-        frame_stride=args.frame_stride, shuffle=True, seed=args.seed,
-        workers=args.workers, host_resize=True,
-        width=args.size, height=args.size,
-        resize_type=ResizeType.BILINEAR, pixel_format=FourCC.RGB24,
-        planes_pos=Planes.MERGED, normalization=True)
-    print(f"{len(loader.starts)} clip starts, {len(loader)} batches/epoch, "
-          f"{loader.total_frames} frames")
+    kw = dict(clip_len=args.clip_len, batch=args.batch,
+              frame_stride=args.frame_stride, shuffle=True, seed=args.seed,
+              workers=args.workers, host_resize=True,
+              width=args.size, height=args.size,
+              resize_type=ResizeType.BILINEAR, pixel_format=FourCC.RGB24,
+              planes_pos=Planes.MERGED, normalization=True)
+    if len(args.input) == 1:
+        loader = ClipLoader(args.input[0], **kw)
+    else:  # corpus: one globally-shuffled epoch across every file
+        loader = ClipDataset(args.input, **kw)
+    print(f"{len(args.input)} file(s), {len(loader.starts)} clip starts, "
+          f"{len(loader)} batches/epoch")
 
     flip_rng = np.random.default_rng(args.seed)
     step = 0

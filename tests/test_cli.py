@@ -182,6 +182,14 @@ def test_example_video_classifier():
                        "--size", "64", "--workers", "2", timeout=560)
     assert "training done: 6 steps" in out
     assert "loss" in out
+    # Several -i files switch the input to a globally-shuffled
+    # ClipDataset over the corpus (mixed resolutions via host resize).
+    fix2 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "synthetic_640x360_120.h265")
+    out = _run_example("video_classifier.py", "-i", fix, fix2,
+                       "--steps", "2", "--batch", "8", "--clip-len", "4",
+                       "--size", "64", "--workers", "2", timeout=560)
+    assert "2 file(s)" in out and "training done: 2 steps" in out
 
 
 @pytest.mark.slow
