@@ -75,10 +75,15 @@ tsan:
 	./tools/stress_tsan tests/fixtures/bbb_720x480_RGB24_250.h264 4 \
 	  tests/fixtures/switch_320x240_480x360_24.h264
 
-# Regenerates the fixtures upstream declares missing (needs libx264).
+# Regenerates the fixtures upstream declares missing (needs libx264),
+# plus the open-GOP HEVC fixture (CRA entries with RASL leading
+# pictures, needs libx265).
 fixtures:
 	g++ -O2 -std=c++20 tools/make_fixture.cpp -lavcodec -lavutil -o tools/make_fixture
 	./tools/make_fixture tests/fixtures/bbb_720x480_RGB24_250.h264
+	./tools/make_fixture tests/fixtures/synthetic_640x360_96_opengop.h265 \
+	  96 640 360 24 libx265 yuv420p "" \
+	  "open-gop=1:bframes=3:b-adapt=0:keyint=24:min-keyint=24:scenecut=0"
 
 clean:
 	$(MAKE) -C csrc clean

@@ -89,9 +89,18 @@ int ClipReader::decodeClip(Worker& w, int64_t start, int clip_len, int stride,
   }
   const size_t ys = static_cast<size_t>(outWidth()) * outHeight();
   int rc = TS_OK;
+  // Cold start at a CRA entry: the decoder drops the RASL itself but
+  // outputs the RADL leading pictures, which display BEFORE the entry —
+  // discard them without advancing pos. A riding decoder is mid-stream
+  // and sees every leading picture in display order (no discard).
+  int skip = cont ? 0 : seg.lead_skip;
 
   auto take = [&](const AVFrame* f) -> int {
     frames_decoded_.fetch_add(1, std::memory_order_relaxed);
+    if (skip > 0) {
+      skip--;
+      return TS_OK;
+    }
     if (pos >= start && pos <= last && (pos - start) % stride == 0) {
       const size_t slot = static_cast<size_t>((pos - start) / stride);
       int r = depositFrame(w, f, out_y + slot * ys, out_uv + slot * (ys / 2));

@@ -5,12 +5,14 @@
 // Parser cannot even Reset — src/Parser.cpp Reset is unimplemented);
 // this is the software twin of NVIDIA-DALI-style VideoReader sampling
 // built on the same keyframe-scan infrastructure as the GOP/segment-
-// parallel reader (segment_reader.h): ScanStream builds the IDR table
-// once, then each requested clip seeks to the nearest cold-decoder-safe
-// entry point at-or-before its first frame, warm-up decodes to the
-// start, and collects every stride-th frame. Decoded bytes are
-// BIT-IDENTICAL to the serial decode of the same frame indices (IDR
-// clears the DPB, so segment entry points reproduce the serial pixels).
+// parallel reader (segment_reader.h): ScanStream builds the entry table
+// (H.264 IDR; HEVC IDR + open-GOP CRA/BLA with leading-picture
+// accounting; VP9/AV1 keyframes) once, then each requested clip seeks
+// to the nearest cold-decoder-safe entry point at-or-before its first
+// frame, warm-up decodes to the start, and collects every stride-th
+// frame. Decoded bytes are BIT-IDENTICAL to the serial decode of the
+// same frame indices (entries refresh the DPB; a cold decoder at a CRA
+// drops the RASL itself and the reader discards the RADL outputs).
 //
 // N workers each own an independent demux+codec instance and pull clip
 // tasks from a shared counter; a worker whose decoder already sits at-

@@ -13,11 +13,11 @@ namespace ts {
 
 namespace {
 
-// True when the (annexb) access unit starts with an IDR slice — the only
-// H.264/HEVC split points where a cold decoder reproduces the serial
-// decode bit-for-bit (IDR clears the DPB; a CRA/recovery-point keyframe
-// does not forbid leading pictures referencing across it).
-bool IsIdrAccessUnit(const uint8_t* data, int size, AVCodecID codec) {
+// NAL type of the first VCL NAL in an (annexb) access unit, or -1 when
+// none. H.264: slice types 1..5 (nal_unit_type & 0x1F); HEVC: VCL types
+// 0..31 (IRAP 16..21: BLA 16-18, IDR 19/20, CRA 21; leading pictures
+// RADL 6/7, RASL 8/9).
+int FirstVclNal(const uint8_t* data, int size, AVCodecID codec) {
   for (int i = 0; i + 3 < size;) {
     if (data[i] == 0 && data[i + 1] == 0) {
       int off = 0;
@@ -27,14 +27,13 @@ bool IsIdrAccessUnit(const uint8_t* data, int size, AVCodecID codec) {
         off = 4;
       if (off) {
         int hdr = i + off;
-        if (hdr >= size) return false;
+        if (hdr >= size) return -1;
         if (codec == AV_CODEC_ID_H264) {
           int t = data[hdr] & 0x1F;
-          if (t == 5) return true;
-          if (t == 1) return false;  // non-IDR slice leads the AU
-        } else {  // HEVC: VCL types 0..21; IRAP 16..21, IDR are 19/20
+          if (t >= 1 && t <= 5) return t;
+        } else {
           int t = (data[hdr] >> 1) & 0x3F;
-          if (t <= 21) return t == 19 || t == 20;
+          if (t <= 31) return t;
         }
         i = hdr + 1;
         continue;
@@ -42,7 +41,26 @@ bool IsIdrAccessUnit(const uint8_t* data, int size, AVCodecID codec) {
     }
     i++;
   }
-  return false;
+  return -1;
+}
+
+// Entry-point split points where a cold decoder reproduces the serial
+// decode bit-for-bit: H.264 IDR (clears the DPB; recovery-point SEI
+// open GOP is NOT accepted — frames after it may reference across), and
+// HEVC IRAP (IDR, or CRA/BLA — nothing at-or-after an IRAP in display
+// order references across it except its own RASL pictures, which a
+// cold-started libavcodec drops itself).
+bool IsIdrVcl(int t, AVCodecID codec) {
+  return codec == AV_CODEC_ID_H264 ? t == 5 : (t == 19 || t == 20);
+}
+bool IsCraVcl(int t, AVCodecID codec) {
+  return codec == AV_CODEC_ID_HEVC && ((t >= 16 && t <= 18) || t == 21);
+}
+bool IsLeadingVcl(int t, AVCodecID codec) {
+  return codec == AV_CODEC_ID_HEVC && t >= 6 && t <= 9;  // RADL/RASL
+}
+bool IsRadlVcl(int t, AVCodecID codec) {
+  return codec == AV_CODEC_ID_HEVC && (t == 6 || t == 7);
 }
 
 int64_t PacketTime(const AVPacket* pkt) {
@@ -134,37 +152,60 @@ int ScanStream(const std::string& input, const std::shared_ptr<Logger>& logger,
   AVPacket* pkt = av_packet_alloc();
   AVPacket* filtered = av_packet_alloc();
   int64_t n = 0;
+  bool lead_window = false;  // inside the last CRA entry's leading run
+  const AVCodecID cid = out->codec_id;
   while ((sts = av_read_frame(fmt, pkt)) >= 0) {
     if (pkt->stream_index != vi) {
       av_packet_unref(pkt);
       continue;
     }
-    bool split = false;
+    // Probe the first VCL NAL type only where it can matter: keyframe-
+    // flagged packets (potential entry) and every packet while a CRA's
+    // leading-picture window is open (~1 extra probe per CRA).
+    int vcl = -1;
+    if (bsf && ((pkt->flags & AV_PKT_FLAG_KEY) || lead_window)) {
+      AVPacket* probe = av_packet_clone(pkt);
+      if (probe && av_bsf_send_packet(bsf, probe) >= 0) {
+        bool first = true;
+        while (av_bsf_receive_packet(bsf, filtered) >= 0) {
+          if (first)
+            vcl = FirstVclNal(filtered->data, filtered->size, cid);
+          first = false;
+          av_packet_unref(filtered);
+        }
+      }
+      if (probe) av_packet_free(&probe);
+    }
+    bool split = false, cra = false;
     if (pkt->flags & AV_PKT_FLAG_KEY) {
       if (bsf) {
-        AVPacket* probe = av_packet_clone(pkt);
-        if (probe && av_bsf_send_packet(bsf, probe) >= 0) {
-          while (av_bsf_receive_packet(bsf, filtered) >= 0) {
-            if (IsIdrAccessUnit(filtered->data, filtered->size, out->codec_id))
-              split = true;
-            av_packet_unref(filtered);
-          }
-        }
-        if (probe) av_packet_free(&probe);
+        cra = IsCraVcl(vcl, cid);
+        split = cra || IsIdrVcl(vcl, cid);
       } else {
         split = true;  // VP9/AV1 keyframes reset the reference set
       }
     }
+    if (lead_window && !split) {
+      if (IsLeadingVcl(vcl, cid)) {
+        auto& e = out->segments.back();
+        e.lead_total++;
+        if (IsRadlVcl(vcl, cid)) e.lead_skip++;  // RADL output, RASL dropped
+      } else {
+        lead_window = false;  // first trailing picture closes the run
+      }
+    }
     // The first packet always opens chunk 0: a cold decoder there IS the
-    // serial decode, IDR or not.
+    // serial decode, IDR or not (so chunk 0 never needs CRA accounting —
+    // the serial pipeline drops/keeps its leading pictures identically).
     if (n == 0 || split) {
       SegmentChunk c;
       c.byte_pos = pkt->pos;
       c.pts = PacketTime(pkt);
-      c.first_frame = n;
+      c.dec_idx = n;
+      c.cra = n != 0 && cra;
       out->segments.push_back(c);
+      lead_window = c.cra;
     }
-    out->segments.back().n_frames++;
     n++;
     av_packet_unref(pkt);
   }
@@ -174,6 +215,25 @@ int ScanStream(const std::string& input, const std::shared_ptr<Logger>& logger,
   avformat_close_input(&fmt);
   if (sts != AVERROR_EOF && sts < 0) return sts;
   if (n == 0) return TS_UNSUPPORTED;
+  // Display-index fix-up (see SegmentChunk): a CRA entry's display index
+  // exceeds its decode index by its leading-run length; the previous
+  // chunk's display range grows by the same amount and its decoder must
+  // feed through the next entry packet + leading run to produce those
+  // frames (the next entry's own frame is fed too — the chunk discards
+  // that one extra output).
+  auto& segs = out->segments;
+  for (size_t k = 0; k < segs.size(); k++) {
+    segs[k].first_frame = segs[k].dec_idx + segs[k].lead_total;
+    const bool has_next = k + 1 < segs.size();
+    const int64_t next_disp =
+        has_next ? segs[k + 1].dec_idx + segs[k + 1].lead_total : n;
+    const int64_t next_feed =
+        has_next ? segs[k + 1].dec_idx +
+                       (segs[k + 1].cra ? segs[k + 1].lead_total + 1 : 0)
+                 : n;
+    segs[k].n_frames = static_cast<int>(next_disp - segs[k].first_frame);
+    segs[k].feed_packets = next_feed - segs[k].dec_idx;
+  }
   out->total_frames = n;
   return TS_OK;
 }
@@ -254,11 +314,15 @@ int SegmentedReader::scan() {
   total_frames_ = scan.total_frames;
 
   // Merge adjacent segments into ~chunk_frames tasks: one seek + one
-  // flush per chunk instead of per GOP.
+  // flush per chunk instead of per GOP. A merged chunk keeps the first
+  // segment's entry (seek target, cold-start skip) and feeds through to
+  // the last merged segment's feed boundary.
   for (const auto& seg : scan.segments) {
     if (!chunks_.empty() &&
         chunks_.back().n_frames + seg.n_frames <= params_.chunk_frames) {
-      chunks_.back().n_frames += seg.n_frames;
+      auto& c = chunks_.back();
+      c.n_frames += seg.n_frames;
+      c.feed_packets = (seg.dec_idx - c.dec_idx) + seg.feed_packets;
     } else {
       chunks_.push_back(seg);
     }
@@ -345,8 +409,9 @@ int SegmentedReader::decodeChunk(AVFormatContext* fmt, AVCodecContext* ctx,
     if (frame) av_frame_free(&frame);
     return TS_ERROR;
   }
-  int fed = 0;
-  int64_t out_idx = 0;
+  int64_t fed = 0;
+  int64_t out_idx = 0;          // deposits made (display offset in chunk)
+  int skip = chunk.lead_skip;   // cold-start RADL outputs to discard
   int rc = TS_OK;
   // Container seeks land at-or-before the target keyframe; skip demuxed
   // packets until the chunk's own first packet. Byte seeks land exactly.
@@ -357,14 +422,20 @@ int SegmentedReader::decodeChunk(AVFormatContext* fmt, AVCodecContext* ctx,
       int r = avcodec_receive_frame(ctx, frame);
       if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return TS_OK;
       if (r < 0) return r;
-      r = deposit(base + out_idx, frame, scratch);
-      out_idx++;
+      if (skip > 0) {
+        skip--;  // this entry's RADL: display before the chunk
+      } else if (out_idx >= chunk.n_frames) {
+        // the next entry's own frame (fed to decode its leading run)
+      } else {
+        r = deposit(base + out_idx, frame, scratch);
+        out_idx++;
+      }
       av_frame_unref(frame);
       if (r < 0) return r;
     }
   };
 
-  while (fed < chunk.n_frames && rc == TS_OK) {
+  while (fed < chunk.feed_packets && rc == TS_OK) {
     sts = av_read_frame(fmt, pkt);
     if (sts == AVERROR_EOF) break;
     if (sts < 0) {
@@ -397,8 +468,14 @@ int SegmentedReader::decodeChunk(AVFormatContext* fmt, AVCodecContext* ctx,
     while (true) {
       sts = avcodec_receive_frame(ctx, frame);
       if (sts < 0) break;
-      rc = deposit(base + out_idx, frame, scratch);
-      out_idx++;
+      if (skip > 0) {
+        skip--;
+      } else if (out_idx >= chunk.n_frames) {
+        // next entry's frame, see drain_ready
+      } else {
+        rc = deposit(base + out_idx, frame, scratch);
+        out_idx++;
+      }
       av_frame_unref(frame);
       if (rc < 0) break;
     }

@@ -53,11 +53,27 @@ struct SegmentedParams {
 };
 
 // One decode task: a run of whole segments starting at a keyframe.
+//
+// All frame indices are DISPLAY order. For IDR entries decode order and
+// display order agree at the boundary, so first_frame is also the entry
+// packet's decode index. For HEVC open-GOP (CRA/BLA) entries the leading
+// pictures (RASL/RADL) FOLLOW the entry packet in decode order but
+// display BEFORE it: first_frame = dec_idx + (count of leading AUs), a
+// cold decoder started here drops the RASL itself (libavcodec
+// NoRaslOutputFlag semantics after flush) and the chunk discards the
+// lead_skip RADL outputs, and the PREVIOUS chunk feeds feed_packets
+// past its own decode span — through this entry packet and its leading
+// AUs — to produce the leading frames that display inside ITS range.
 struct SegmentChunk {
   int64_t byte_pos = -1;   // pkt->pos of the first (key) packet
   int64_t pts = AV_NOPTS_VALUE;
-  int64_t first_frame = 0; // 0-based global index of its first frame
-  int n_frames = 0;        // video packets (== decoded frames) in chunk
+  int64_t first_frame = 0; // 0-based global DISPLAY index of first frame
+  int n_frames = 0;        // display frames in [first, next.first)
+  int64_t dec_idx = 0;     // decode-order packet index of entry packet
+  int64_t feed_packets = 0;  // packets a chunk decoder must feed
+  int lead_total = 0;      // leading AUs (RASL+RADL) after a CRA entry
+  int lead_skip = 0;       // cold-start outputs to discard (the RADL)
+  bool cra = false;        // open-GOP entry (CRA/BLA), not IDR
 };
 
 // ----- shared seekable-source decode infrastructure (segment + clip
@@ -81,8 +97,10 @@ struct StreamScan {
 
 // Demux the whole file once (no decode) and build the keyframe table.
 // Returns TS_OK, TS_UNSUPPORTED (not seekable / no video frames), or a
-// libav error. Split points are IDR-only for H.264/HEVC (cold-decoder
-// bit-exactness; see IsIdrAccessUnit in segment_reader.cpp).
+// libav error. Split points: H.264 IDR; HEVC IDR plus open-GOP CRA/BLA
+// entries with leading-picture accounting (see SegmentChunk); VP9/AV1
+// keyframes. Cold-decoder bit-exactness holds at every entry (see
+// FirstVclNal / the scan loop in segment_reader.cpp).
 int ScanStream(const std::string& input, const std::shared_ptr<Logger>& logger,
                StreamScan* out);
 

@@ -116,19 +116,42 @@ def test_resized_clips_match_serial_resized():
     assert_clips_match_serial(r, sy, suv, starts, 4, 1)
 
 
-@pytest.mark.parametrize("name,frames", [
-    ("synthetic_640x360_120.h265", 120),
-    ("synthetic_640x360_90_vp9.ivf", 90),
+@pytest.mark.parametrize("name,frames,segs", [
+    ("synthetic_640x360_120.h265", 120, 5),
+    ("synthetic_640x360_90_vp9.ivf", 90, 4),
 ])
-def test_other_codecs(name, frames):
-    """HEVC (x265 CRA keyframes are refused as entry points — clips
-    warm up from the single IDR at frame 0, correct if slower) and VP9
-    (every keyframe is an entry point)."""
+def test_other_codecs(name, frames, segs):
+    """HEVC (IDR + open-GOP CRA entry points) and VP9 (every keyframe
+    is an entry point)."""
     path = os.path.join(FIXDIR, name)
     gs, sy, suv = serial_frames(path, frames)
     starts = [0, frames // 3, frames - 5]
     r = clip_batch(path, starts, 3)
+    assert r["segments"] == segs
     assert_clips_match_serial(r, sy, suv, starts, 3, 1)
+
+
+def test_hevc_open_gop_rasl_clips():
+    """Open-GOP HEVC with RASL leading pictures: a cold seek to a CRA
+    drops the RASL (libavcodec NoRaslOutputFlag) without disturbing the
+    display indexing; clips spanning a CRA boundary mid-decode see the
+    RASL normally; warm-up is bounded by the CRA spacing (24), proving
+    the CRAs really are entry points."""
+    path = os.path.join(FIXDIR, "synthetic_640x360_96_opengop.h265")
+    gs, sy, suv = serial_frames(path, 96)
+    assert gs == 96
+    # Clip starts: at a CRA (48), just after (49), in the RASL window
+    # right before a CRA (70: frames 70-73 include RASL 69-71? leading
+    # display 45-47/69-71), spanning a boundary (46), and the tail.
+    starts = [48, 49, 70, 46, 92, 0]
+    r = clip_batch(path, starts, 4, workers=2)
+    assert r["segments"] == 4
+    assert_clips_match_serial(r, sy, suv, starts, 4, 1)
+    # Entry spacing is 24 frames: a single mid-GOP clip near the end
+    # must NOT warm up from frame 0.
+    r = clip_batch(path, [90], 2, workers=1)
+    assert r["rc"] == 0 and r["decoded"] <= 24 + 2
+    assert np.array_equal(r["y"][0, 0], sy[90])
 
 
 def test_out_of_range_rejected():

@@ -122,14 +122,30 @@ def test_container_pts_seek_path():
     ("synthetic_320x240_60_av1.ivf", 60),
 ])
 def test_bit_exact_other_codecs(name, frames):
-    """Codec-agnostic: HEVC (IDR check via BSF — x265's CRA keyframes
-    are refused as split points, larger chunks result), VP9 and AV1
-    (keyframes reset the reference set, trusted directly)."""
+    """Codec-agnostic: HEVC (IDR and open-GOP CRA entries via BSF NAL
+    classification), VP9 and AV1 (keyframes reset the reference set,
+    trusted directly)."""
     path = os.path.join(FIXDIR, name)
     gs, sy, suv = serial_frames(path, frames)
     assert gs == frames
     r = segmented_frames(path, frames, 3, chunk=25)
     assert r["got"] == frames
+    assert np.array_equal(sy, r["y"]) and np.array_equal(suv, r["uv"])
+
+
+def test_bit_exact_hevc_open_gop_rasl():
+    """Open-GOP HEVC (CRA entries with RASL leading pictures — display
+    before their CRA, decode after it): chunks REALLY split at CRAs,
+    the previous chunk feeds through the next CRA + leading run to
+    produce the leading frames inside its display range, a cold-started
+    chunk relies on libavcodec dropping the RASL, and the stitched
+    output is bit-identical to the serial decode."""
+    path = os.path.join(FIXDIR, "synthetic_640x360_96_opengop.h265")
+    gs, sy, suv = serial_frames(path, 96)
+    assert gs == 96
+    r = segmented_frames(path, 96, 3, chunk=24)
+    assert r["got"] == 96
+    assert r["chunks"] == 4  # IDR@0 + CRA@24/48/72: real splits
     assert np.array_equal(sy, r["y"]) and np.array_equal(suv, r["uv"])
 
 

@@ -108,6 +108,15 @@ int main(int argc, char** argv) {
     ctx->max_b_frames = 2;  // exercises the analyzer's POC/reorder checks
     av_opt_set(ctx->priv_data, "preset", "veryfast", 0);
     av_opt_set(ctx->priv_data, "crf", "23", 0);
+    // Optional raw x264-params/x265-params string (argv[9]), e.g.
+    // "open-gop=1:bframes=3:b-adapt=0:keyint=24:min-keyint=24" to force
+    // CRA entries with RASL leading pictures (open-GOP random access).
+    if (argc > 9 && argv[9][0]) {
+      av_opt_set(ctx->priv_data,
+                 std::strstr(codec_name, "x265") ? "x265-params"
+                                                 : "x264-params",
+                 argv[9], 0);
+    }
   } else {
     av_opt_set(ctx->priv_data, "deadline", "realtime", 0);  // vp9
     av_opt_set(ctx->priv_data, "cpu-used", "8", 0);         // vp9/av1
