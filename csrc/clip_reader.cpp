@@ -1,7 +1,9 @@
 #include "clip_reader.h"
 
 #include <algorithm>
+#include <cstring>
 #include <thread>
+#include <vector>
 
 #include "nv12_pack.h"
 
@@ -187,7 +189,27 @@ int ClipReader::GetClipBatch(const int64_t* starts, int n_clips, int clip_len,
         starts[i] + static_cast<int64_t>(clip_len - 1) * stride;
     if (starts[i] < 0 || lastf >= total_frames_) return TS_ERROR;
   }
-  const int nw = std::min(params_.workers, n_clips);
+  // Decode in ASCENDING start order (outputs still land in the caller's
+  // slot order): nearby clips assign to the same pass direction, so a
+  // worker whose decoder sits just behind the next task rides forward
+  // instead of seek+warm-up. Duplicate starts (e.g. a partial batch
+  // padded by repeating a clip) decode once and memcpy after.
+  std::vector<int> order(n_clips);
+  for (int i = 0; i < n_clips; i++) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int a, int b) { return starts[a] < starts[b]; });
+  std::vector<int> tasks;       // slots to decode (first of each run)
+  std::vector<int> dup_of(n_clips, -1);  // slot -> canonical slot
+  tasks.reserve(n_clips);
+  for (int k = 0; k < n_clips; k++) {
+    if (k > 0 && starts[order[k]] == starts[order[k - 1]])
+      dup_of[order[k]] = dup_of[order[k - 1]] >= 0 ? dup_of[order[k - 1]]
+                                                   : order[k - 1];
+    else
+      tasks.push_back(order[k]);
+  }
+  const int n_tasks = static_cast<int>(tasks.size());
+  const int nw = std::min(params_.workers, n_tasks);
   while (static_cast<int>(pool_.size()) < nw)
     pool_.emplace_back(new Worker());
   std::atomic<int> next{0};
@@ -207,8 +229,9 @@ int ClipReader::GetClipBatch(const int64_t* starts, int n_clips, int clip_len,
       w.open = true;
     }
     while (!error.load(std::memory_order_relaxed)) {
-      const int i = next.fetch_add(1);
-      if (i >= n_clips) break;
+      const int t = next.fetch_add(1);
+      if (t >= n_tasks) break;
+      const int i = tasks[t];
       int rc = decodeClip(w, starts[i], clip_len, stride,
                           out_y + static_cast<size_t>(i) * clip_y,
                           out_uv + static_cast<size_t>(i) * (clip_y / 2));
@@ -227,7 +250,19 @@ int ClipReader::GetClipBatch(const int64_t* starts, int n_clips, int clip_len,
     for (int i = 0; i < nw; i++) threads.emplace_back(run, i);
     for (auto& t : threads) t.join();
   }
-  return error.load();
+  const int rc = error.load();
+  if (rc == TS_OK) {
+    for (int i = 0; i < n_clips; i++) {
+      if (dup_of[i] < 0) continue;
+      const int src = dup_of[i];
+      std::memcpy(out_y + static_cast<size_t>(i) * clip_y,
+                  out_y + static_cast<size_t>(src) * clip_y, clip_y);
+      std::memcpy(out_uv + static_cast<size_t>(i) * (clip_y / 2),
+                  out_uv + static_cast<size_t>(src) * (clip_y / 2),
+                  clip_y / 2);
+    }
+  }
+  return rc;
 }
 
 }  // namespace ts

@@ -15,10 +15,12 @@
 // drops the RASL itself and the reader discards the RADL outputs).
 //
 // N workers each own an independent demux+codec instance and pull clip
-// tasks from a shared counter; a worker whose decoder already sits at-
-// or-before a clip's start (and at-or-after its entry keyframe) rides
-// forward without a seek — sorted/sequential samplers decode each frame
-// at most once.
+// tasks from a shared counter in ASCENDING start order (outputs land in
+// the caller's slot order; duplicate starts decode once and memcpy); a
+// worker whose decoder already sits at-or-before a clip's start (and
+// at-or-after its entry keyframe) rides forward without a seek — so
+// sequential samplers, and nearby clips within a shuffled batch, decode
+// each frame at most once.
 #pragma once
 
 #include <atomic>

@@ -99,6 +99,20 @@ def test_sequential_clips_ride_without_seek():
     assert r["decoded"] == 248  # strictly sequential: zero re-decode
 
 
+def test_batch_sorts_and_dedups_decode_work():
+    """A shuffled batch decodes in ascending start order (riding between
+    nearby clips instead of re-warming) and duplicate starts decode
+    once: total decode work equals the sorted-unique batch's, while
+    outputs land in the caller's slot order."""
+    gs, sy, suv = serial_frames(GOP10, 250)
+    shuffled = [233, 0, 30, 0, 119, 7, 233, 30]
+    r = clip_batch(GOP10, shuffled, 2, workers=1)
+    assert_clips_match_serial(r, sy, suv, shuffled, 2, 1)
+    sorted_unique = sorted(set(shuffled))
+    r2 = clip_batch(GOP10, sorted_unique, 2, workers=1)
+    assert r["decoded"] == r2["decoded"]
+
+
 def test_warmup_cost_is_bounded_by_gop():
     """A mid-GOP clip decodes at most one GOP of warm-up (entry points
     every 25 frames in this fixture)."""
