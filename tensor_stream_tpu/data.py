@@ -131,7 +131,8 @@ class FrameLoader:
                 pixel_format=self.params.pixel_format,
                 planes_pos=self.params.planes_pos,
                 normalization=self.params.normalization,
-                color_standard=self.params.color_standard)
+                color_standard=self.params.color_standard,
+                dtype=self.params.dtype)
             self._cfg = cfg_params.to_config(self._w, self._h)
         else:
             self._w, self._h = w, h
@@ -190,7 +191,8 @@ class FrameLoader:
                 pixel_format=self.params.pixel_format,
                 planes_pos=self.params.planes_pos,
                 normalization=self.params.normalization,
-                color_standard=self.params.color_standard)
+                color_standard=self.params.color_standard,
+                dtype=self.params.dtype)
             self._cfg = cfg_params.to_config(w, h)
         else:
             self._cfg = self.params.to_config(w, h)
@@ -444,7 +446,8 @@ class _ClipLoaderBase:
                 pixel_format=self.params.pixel_format,
                 planes_pos=self.params.planes_pos,
                 normalization=self.params.normalization,
-                color_standard=self.params.color_standard)
+                color_standard=self.params.color_standard,
+                dtype=self.params.dtype)
             return cfg_params.to_config(self._w, self._h)
         return self.params.to_config(self._w, self._h)
 
@@ -1375,7 +1378,8 @@ class PooledStreamLoader:
                 pixel_format=self.params.pixel_format,
                 planes_pos=self.params.planes_pos,
                 normalization=self.params.normalization,
-                color_standard=self.params.color_standard
+                color_standard=self.params.color_standard,
+                dtype=self.params.dtype
             ).to_config(self._w, self._h)
         else:
             cfg = self.params.to_config(self._w, self._h)

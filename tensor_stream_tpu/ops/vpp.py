@@ -42,8 +42,19 @@ class VPPConfig:
     # Only affects RGB24/BGR24/HSV — the YUV-domain formats never apply
     # the matrix.
     standard: ColorStandard = ColorStandard.BT601
+    # Output dtype override (TPU extension): "" keeps the reference
+    # contract (uint8, or float32 when normalization is on); "bfloat16"
+    # / "float16" / "float32" cast the final tensor on device. bf16 is
+    # the natural model-input dtype on TPU — halving the post-VPP HBM
+    # footprint — and the cast fuses into the conversion program (one
+    # rounding, RN-even, applied after the reference-exact f32 math).
+    dtype: str = ""
 
     def __post_init__(self):
+        if self.dtype not in ("", "float32", "bfloat16", "float16"):
+            raise ValueError(
+                f"unsupported output dtype {self.dtype!r}; expected "
+                "'bfloat16', 'float16', 'float32' or '' (contract default)")
         # HSV output is always normalized float (VideoProcessor.h:39-52).
         if self.fourcc == FourCC.HSV:
             object.__setattr__(self, "normalization", True)
@@ -78,6 +89,8 @@ class VPPConfig:
         return (1, int(h * c), w)
 
     def output_dtype(self):
+        if self.dtype:
+            return jnp.dtype(self.dtype)
         return jnp.float32 if self.normalization else jnp.uint8
 
 
@@ -110,13 +123,17 @@ def make_vpp_fn(cfg: VPPConfig):
                   jax.default_backend() == "tpu")
     if use_pallas:
         from .pallas_color import build_pallas_nv12_to_rgb
-        return build_pallas_nv12_to_rgb(cfg.src_height, cfg.src_width,
-                                        cfg.fourcc == FourCC.BGR24,
-                                        cfg.planes == Planes.PLANAR,
-                                        cfg.normalization,
-                                        standard=cfg.standard.value)
+        kernel = build_pallas_nv12_to_rgb(cfg.src_height, cfg.src_width,
+                                          cfg.fourcc == FourCC.BGR24,
+                                          cfg.planes == Planes.PLANAR,
+                                          cfg.normalization,
+                                          standard=cfg.standard.value)
+        if not cfg.dtype:
+            return kernel
+        out_dtype = jnp.dtype(cfg.dtype)
+        return lambda y, uv: kernel(y, uv).astype(out_dtype)
 
-    def fn(y, uv):
+    def base_fn(y, uv):
         # named_scope: stage names surface in jax.profiler / XLA metadata,
         # the device-side counterpart of the reference's NVTX ranges.
         if do_crop:
@@ -148,6 +165,13 @@ def make_vpp_fn(cfg: VPPConfig):
         if four == FourCC.HSV:
             return color_ops.nv12_to_hsv(y, uv, standard=cfg.standard.value)
         raise ValueError(f"unsupported FourCC {four}")
+
+    if not cfg.dtype:
+        return base_fn
+    out_dtype = jnp.dtype(cfg.dtype)
+
+    def fn(y, uv):
+        return base_fn(y, uv).astype(out_dtype)
 
     return fn
 

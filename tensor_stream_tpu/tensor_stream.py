@@ -39,7 +39,8 @@ class FrameParameters:
                  pixel_format=FourCC.RGB24,
                  planes_pos=Planes.MERGED,
                  normalization=None,
-                 color_standard=ColorStandard.BT601):
+                 color_standard=ColorStandard.BT601,
+                 dtype=""):
         self.width = width
         self.height = height
         self.crop_coords = tuple(crop_coords)
@@ -51,6 +52,9 @@ class FrameParameters:
         self.normalization = normalization
         # TPU extension: YUV->RGB matrix; BT601 = reference-exact default.
         self.color_standard = color_standard
+        # TPU extension: output dtype override ("bfloat16"/"float16"/
+        # "float32"); "" keeps the uint8-or-float32 reference contract.
+        self.dtype = dtype
 
     def to_config(self, src_width: int, src_height: int) -> VPPConfig:
         norm = self.normalization
@@ -61,7 +65,7 @@ class FrameParameters:
                          height=self.height, resize_type=self.resize_type,
                          fourcc=self.pixel_format, planes=self.planes_pos,
                          normalization=bool(norm),
-                         standard=self.color_standard)
+                         standard=self.color_standard, dtype=self.dtype)
 
     def __repr__(self):
         return (f"FrameParameters(\n"
@@ -71,7 +75,8 @@ class FrameParameters:
                 f"    resize_type={self.resize_type},\n"
                 f"    pixel_format={self.pixel_format},\n"
                 f"    planes_pos={self.planes_pos},\n"
-                f"    normalization={self.normalization}\n"
+                f"    normalization={self.normalization},\n"
+                f"    dtype={self.dtype!r}\n"
                 ")")
 
 
@@ -425,14 +430,15 @@ class TensorStreamConverter:
              normalization=None,
              delay=0,
              return_index=False,
-             color_standard=ColorStandard.BT601):
+             color_standard=ColorStandard.BT601,
+             dtype=""):
         """Reads the next decoded frame as a jax.Array
         (reference: tensor_stream.py:248-273)."""
         frame_parameters = FrameParameters(
             width=width, height=height, crop_coords=crop_coords,
             resize_type=resize_type, pixel_format=pixel_format,
             planes_pos=planes_pos, normalization=normalization,
-            color_standard=color_standard)
+            color_standard=color_standard, dtype=dtype)
         return self.param_read(frame_parameters, name=name, delay=delay,
                                return_index=return_index)
 
@@ -579,7 +585,8 @@ class TensorStreamConverter:
             width=0, height=0, pixel_format=fp.pixel_format,
             planes_pos=fp.planes_pos,
             normalization=fp.normalization,
-            color_standard=fp.color_standard).to_config(dst_w, dst_h))
+            color_standard=fp.color_standard,
+            dtype=fp.dtype).to_config(dst_w, dst_h))
         (flat,) = self._device_put(staging)
         tensors = build_vpp_batched_flat(cfg, int(batch),
                                          self.device_index)(flat)

@@ -169,3 +169,26 @@ def test_loader_checkpoint_resume_bitexact(fixture):
         assert idx == want_idx
         np.testing.assert_array_equal(np.asarray(tensors), want)
     resumed.close()
+
+
+def test_loader_bf16_output_dtype():
+    """dtype="bfloat16" (TPU extension) flows through the loader: same
+    bytes as the f32 contract output, one RN-even cast at the end —
+    the natural model-input dtype on TPU at half the HBM footprint."""
+    import jax
+    import jax.numpy as jnp
+    path = resource("bbb_1080x608_420_10.h264")
+    kw = dict(batch=5, width=224, height=224,
+              resize_type=ResizeType.BILINEAR, host_resize=True,
+              pixel_format=FourCC.RGB24, planes_pos=Planes.PLANAR,
+              normalization=True)
+    with FrameLoader(path, **kw) as loader:
+        f32, _ = next(iter(loader))
+        jax.block_until_ready(f32)
+    with FrameLoader(path, dtype="bfloat16", **kw) as loader:
+        bf16, _ = next(iter(loader))
+        jax.block_until_ready(bf16)
+    assert bf16.dtype == jnp.bfloat16
+    assert bf16.shape == f32.shape
+    np.testing.assert_array_equal(np.asarray(bf16),
+                                  np.asarray(f32.astype(jnp.bfloat16)))

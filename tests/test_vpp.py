@@ -146,3 +146,46 @@ def test_batched_vpp_matches_single(bbb_frame0):
     assert batched.shape == (2,) + cfg.output_shape()
     np.testing.assert_array_equal(batched[0], single)
     np.testing.assert_array_equal(batched[1], single)
+
+
+# ------------------------------------------------------------- dtype override
+
+def test_output_dtype_bf16_is_cast_of_contract_output(bbb_frame0):
+    """dtype="bfloat16" (TPU extension) must be EXACTLY the contract
+    output (reference-exact u8/f32 math) followed by one RN-even cast —
+    no change to the conversion arithmetic itself."""
+    import jax.numpy as jnp
+    y, uv, w, h = bbb_frame0
+    for base_kwargs in (
+            dict(fourcc=FourCC.RGB24, planes=Planes.PLANAR,
+                 normalization=True, width=224, height=224,
+                 resize_type=ResizeType.BILINEAR),   # normalized f32 path
+            dict(fourcc=FourCC.RGB24, planes=Planes.MERGED),  # u8 path
+    ):
+        ref = vpp_numpy(VPPConfig(src_width=w, src_height=h,
+                                  **base_kwargs), y, uv)
+        for dt in ("bfloat16", "float16", "float32"):
+            cfg = VPPConfig(src_width=w, src_height=h, dtype=dt,
+                            **base_kwargs)
+            assert cfg.output_dtype() == jnp.dtype(dt)
+            out = vpp_numpy(cfg, y, uv)
+            assert out.dtype == jnp.dtype(dt)
+            assert out.shape == cfg.output_shape()
+            np.testing.assert_array_equal(
+                out, np.asarray(jnp.asarray(ref).astype(dt)))
+
+
+def test_output_dtype_u8_values_exact_in_bf16(bbb_frame0):
+    """0..255 are all exactly representable in bfloat16 (8 significand
+    bits), so the unnormalized u8 -> bf16 cast is lossless."""
+    y, uv, w, h = bbb_frame0
+    u8 = vpp_numpy(VPPConfig(src_width=w, src_height=h,
+                             fourcc=FourCC.Y800), y, uv)
+    bf = vpp_numpy(VPPConfig(src_width=w, src_height=h,
+                             fourcc=FourCC.Y800, dtype="bfloat16"), y, uv)
+    np.testing.assert_array_equal(bf.astype(np.uint8), u8.reshape(bf.shape))
+
+
+def test_output_dtype_rejects_unknown():
+    with pytest.raises(ValueError, match="dtype"):
+        VPPConfig(src_width=64, src_height=64, dtype="int8")
