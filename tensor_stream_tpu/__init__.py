@@ -16,6 +16,7 @@ from .data import (ClipDataset, ClipLoader, FrameLoader, MultiStreamLoader,
                    ShardedClipLoader, ShardedStreamLoader)
 from .enums import (ColorStandard, FourCC, FrameRate, LogsLevel, LogsType,
                     Planes, ResizeType, StatusLevel)
+from .ops.augment import AugmentConfig
 from .tensor_stream import FrameParameters, TensorStreamConverter
 from .video_writer import VideoWriter
 
@@ -23,6 +24,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "TensorStreamConverter", "FrameParameters", "FrameLoader", "VideoWriter",
+    "AugmentConfig",
     "ClipDataset", "ClipLoader", "MultiStreamLoader", "PooledStreamLoader",
     "ShardedClipDataset", "ShardedClipLoader", "ShardedStreamLoader",
     "StatusLevel", "LogsLevel",

@@ -31,7 +31,7 @@ from . import _native
 from .enums import ColorStandard, FourCC, FrameRate, Planes, ResizeType
 from .tensor_stream import (FrameParameters, TensorStreamConverter,
                             host_resize_algo)
-from .ops.vpp import build_vpp_batched_flat
+from .ops.vpp import build_vpp_batched_flat, build_vpp_clip_augment
 
 # Queue sentinel: the drain hit a mid-stream resolution switch on the
 # fixed-geometry (full-frame) path.
@@ -437,6 +437,34 @@ class _ClipLoaderBase:
         return np.arange(0, total_frames - span + 1, self.clip_step,
                          dtype=np.int64)
 
+    def _init_augment(self, augment, aug_seed):
+        """Store the (optional) AugmentConfig + its key seed. Must run
+        after _init_clip_params (needs self.seed) and before any VPP
+        program is built."""
+        self.augment = augment
+        self.aug_seed = self.seed if aug_seed is None else int(aug_seed)
+
+    def _build_vpp(self, cfg, clips, device_index):
+        """VPP program for `clips` clips: the plain flat-batch program,
+        or the fused VPP+augment program when augment is set."""
+        if self.augment is not None:
+            return build_vpp_clip_augment(cfg, self.augment, clips,
+                                          self.clip_len, self.aug_seed,
+                                          device_index)
+        return build_vpp_batched_flat(cfg, clips * self.clip_len,
+                                      device_index)
+
+    def _aug_ids(self, epoch, idents, capacity):
+        """int32 [capacity, 2] of (epoch, clip identity) for the augment
+        program's key derivation; short batches pad by repeating the
+        last identity (the pad rows are sliced off after conversion,
+        like the decoded pad)."""
+        ids = np.resize(np.asarray(idents, np.int64), capacity)
+        out = np.empty((capacity, 2), np.int32)
+        out[:, 0] = epoch
+        out[:, 1] = ids
+        return out
+
     def _vpp_config(self, host_resize):
         """VPP config for the readers' output geometry (self._w/_h).
         With host resize the native side already produced the target
@@ -564,17 +592,21 @@ class _ClipLoaderBase:
         sampling-efficiency observable vs frames returned."""
         return self._lib.ts_clip_frames_decoded(self._handle)
 
-    def _to_device_batch(self, buf, got):
-        """Single-device handoff: device_put + batched VPP +
-        [batch, clip_len, ...] reshape + partial-tail slice + staging-
-        buffer rotation. Returns the (async) device tensor."""
+    def _to_device_batch(self, buf, got, aug_ids=None):
+        """Single-device handoff: device_put + batched VPP (+ fused
+        augmentation) + [batch, clip_len, ...] reshape + partial-tail
+        slice + staging-buffer rotation. Returns the (async) device
+        tensor."""
         import jax
         if self._device is None:
             self._device = jax.devices()[self.device_index]
         flat = jax.device_put(buf, self._device)
-        tensors = self._vpp(flat)  # [batch*clip_len, ...] async
-        tensors = tensors.reshape((self.batch, self.clip_len)
-                                  + tensors.shape[1:])
+        if self.augment is not None:
+            tensors = self._vpp(flat, aug_ids)  # [batch, clip_len, ...]
+        else:
+            tensors = self._vpp(flat)  # [batch*clip_len, ...] async
+            tensors = tensors.reshape((self.batch, self.clip_len)
+                                      + tensors.shape[1:])
         if got < self.batch:
             tensors = tensors[:got]
         self._pending.append((buf, tensors))
@@ -606,24 +638,30 @@ class _ClipLoaderBase:
                 "per_device/clip_step or use fewer devices")
         all_devices = jax.devices()
         self._vpps = [
-            build_vpp_batched_flat(cfg, self.per_device * self.clip_len,
-                                   all_devices.index(d))
+            self._build_vpp(cfg, self.per_device, all_devices.index(d))
             for d in self.devices]
         self.mesh = Mesh(np.asarray(self.devices), ("dp",))
         self._sharding = NamedSharding(self.mesh, PartitionSpec("dp"))
 
-    def _to_sharded_batch(self, bufs):
+    def _to_sharded_batch(self, bufs, aug_ids=None):
         """Sharded handoff: per-device host->HBM transfers dispatched
-        before any compute (so the copies overlap), per-device VPP, then
-        one global dp-sharded [batch, clip_len, ...] array with zero
-        additional copies. Rotates the staging-buffer set."""
+        before any compute (so the copies overlap), per-device VPP
+        (+ fused augmentation), then one global dp-sharded
+        [batch, clip_len, ...] array with zero additional copies.
+        Rotates the staging-buffer set."""
         import jax
         parts = []
-        for buf, dev, vpp in zip(bufs, self.devices, self._vpps):
+        for k, (buf, dev, vpp) in enumerate(zip(bufs, self.devices,
+                                                self._vpps)):
             flat = jax.device_put(buf, dev)
-            t = vpp(flat)
-            parts.append(t.reshape((self.per_device, self.clip_len)
-                                   + t.shape[1:]))
+            if self.augment is not None:
+                t = vpp(flat, aug_ids[k * self.per_device:
+                                      (k + 1) * self.per_device])
+            else:
+                t = vpp(flat)
+                t = t.reshape((self.per_device, self.clip_len)
+                              + t.shape[1:])
+            parts.append(t)
         global_shape = (self.batch,) + parts[0].shape[1:]
         clips = jax.make_array_from_single_device_arrays(
             global_shape, self._sharding, parts)
@@ -705,7 +743,8 @@ class ClipLoader(_ClipLoaderBase):
                  clip_step=None, shuffle=True, seed=0, workers=2,
                  host_resize=False, decode_threads=0, fast_decode=False,
                  device_index=0, drop_partial=True, prefetch=2,
-                 epoch=0, start_clip=0, **frame_kwargs):
+                 epoch=0, start_clip=0, augment=None, aug_seed=None,
+                 **frame_kwargs):
         self.batch = int(batch)
         self.device_index = device_index
         self.drop_partial = bool(drop_partial)
@@ -714,10 +753,10 @@ class ClipLoader(_ClipLoaderBase):
             workers, host_resize, decode_threads, fast_decode, prefetch,
             frame_kwargs)
         try:
+            self._init_augment(augment, aug_seed)
             self._check_batch_fits()
-            self._vpp = build_vpp_batched_flat(self._cfg,
-                                               self.batch * self.clip_len,
-                                               device_index)
+            self._vpp = self._build_vpp(self._cfg, self.batch,
+                                        device_index)
             self._device = None
             size = self.batch * self.clip_len * self._w * self._h * 3 // 2
             self._start_fill(epoch, start_clip,
@@ -771,7 +810,9 @@ class ClipLoader(_ClipLoaderBase):
         item = self._filled.get()
         self._check_latched(item)
         buf, got, starts, self._consumed = item
-        return self._to_device_batch(buf, got), list(starts)
+        aug_ids = None if self.augment is None else \
+            self._aug_ids(self._consumed[0], starts, self.batch)
+        return self._to_device_batch(buf, got, aug_ids), list(starts)
 
 
 class ClipDataset(_ClipLoaderBase):
@@ -811,7 +852,8 @@ class ClipDataset(_ClipLoaderBase):
                  clip_step=None, shuffle=True, seed=0, workers=2,
                  host_resize=False, decode_threads=0, fast_decode=False,
                  device_index=0, drop_partial=True, prefetch=2,
-                 epoch=0, start_clip=0, max_open=4, **frame_kwargs):
+                 epoch=0, start_clip=0, max_open=4, augment=None,
+                 aug_seed=None, **frame_kwargs):
         self.batch = int(batch)
         self.device_index = device_index
         self.drop_partial = bool(drop_partial)
@@ -820,10 +862,9 @@ class ClipDataset(_ClipLoaderBase):
                                 host_resize, decode_threads, fast_decode,
                                 prefetch, max_open, frame_kwargs)
         try:
+            self._init_augment(augment, aug_seed)
             self._check_batch_fits()
-            self._vpp = build_vpp_batched_flat(cfg,
-                                               self.batch * self.clip_len,
-                                               device_index)
+            self._vpp = self._build_vpp(cfg, self.batch, device_index)
             self._device = None
             size = self.batch * self.clip_len * self._w * self._h * 3 // 2
             self._start_fill(epoch, start_clip,
@@ -973,7 +1014,9 @@ class ClipDataset(_ClipLoaderBase):
         buf, got, ids, self._consumed = item
         labels = [(int(self._file_of[i]), int(self._start_of[i]))
                   for i in ids]
-        return self._to_device_batch(buf, got), labels
+        aug_ids = None if self.augment is None else \
+            self._aug_ids(self._consumed[0], ids, self.batch)
+        return self._to_device_batch(buf, got, aug_ids), labels
 
 
 class ShardedClipLoader(_ClipLoaderBase):
@@ -1005,12 +1048,13 @@ class ShardedClipLoader(_ClipLoaderBase):
                  frame_stride=1, clip_step=None, shuffle=True, seed=0,
                  workers=2, host_resize=False, decode_threads=0,
                  fast_decode=False, prefetch=2, epoch=0, start_clip=0,
-                 **frame_kwargs):
+                 augment=None, aug_seed=None, **frame_kwargs):
         cfg = self._init_clip_source(
             stream_url, clip_len, frame_stride, clip_step, shuffle, seed,
             workers, host_resize, decode_threads, fast_decode, prefetch,
             frame_kwargs)
         try:
+            self._init_augment(augment, aug_seed)
             self._init_device_mesh(per_device, devices, cfg)
             size = (self.per_device * self.clip_len
                     * self._w * self._h * 3 // 2)
@@ -1056,7 +1100,9 @@ class ShardedClipLoader(_ClipLoaderBase):
         item = self._filled.get()
         self._check_latched(item)
         bufs, starts, self._consumed = item
-        return self._to_sharded_batch(bufs), list(starts)
+        aug_ids = None if self.augment is None else \
+            self._aug_ids(self._consumed[0], starts, self.batch)
+        return self._to_sharded_batch(bufs, aug_ids), list(starts)
 
 
 class ShardedClipDataset(ClipDataset):
@@ -1089,12 +1135,13 @@ class ShardedClipDataset(ClipDataset):
                  frame_stride=1, clip_step=None, shuffle=True, seed=0,
                  workers=2, host_resize=False, decode_threads=0,
                  fast_decode=False, prefetch=2, epoch=0, start_clip=0,
-                 max_open=4, **frame_kwargs):
+                 max_open=4, augment=None, aug_seed=None, **frame_kwargs):
         cfg = self._init_corpus(stream_urls, clip_len, frame_stride,
                                 clip_step, shuffle, seed, workers,
                                 host_resize, decode_threads, fast_decode,
                                 prefetch, max_open, frame_kwargs)
         try:
+            self._init_augment(augment, aug_seed)
             self._init_device_mesh(per_device, devices, cfg)
             size = (self.per_device * self.clip_len
                     * self._w * self._h * 3 // 2)
@@ -1138,7 +1185,9 @@ class ShardedClipDataset(ClipDataset):
         bufs, ids, self._consumed = item
         labels = [(int(self._file_of[i]), int(self._start_of[i]))
                   for i in ids]
-        return self._to_sharded_batch(bufs), labels
+        aug_ids = None if self.augment is None else \
+            self._aug_ids(self._consumed[0], ids, self.batch)
+        return self._to_sharded_batch(bufs, aug_ids), labels
 
 
 class ShardedStreamLoader:

@@ -213,6 +213,55 @@ def build_vpp_batched_flat(cfg: VPPConfig, batch: int, device_index: int = 0):
 
 
 @lru_cache(maxsize=64)
+def build_vpp_clip_augment(cfg: VPPConfig, aug, clips: int, clip_len: int,
+                           aug_seed: int, device_index: int = 0):
+    """Jitted batched VPP + per-clip training augmentation.
+
+    Same flat-staging contract as `build_vpp_batched_flat`, but the
+    program takes a second `ids` input — int32 [clips, 2] of
+    (epoch, clip identity) — derives one PRNG key per clip via
+    fold_in(fold_in(key(aug_seed), epoch), identity), and applies the
+    `AugmentConfig` transform (ops/augment.py) to each clip inside the
+    SAME dispatch: decode bytes ship to HBM once and the normalized,
+    augmented model input comes back. Returns [clips, clip_len, ...].
+    Deterministic and resume-stable: a resumed loader re-derives the
+    identical keys for the identical clips.
+    """
+    from .augment import make_clip_augment_fn
+    if cfg.fourcc not in (FourCC.RGB24, FourCC.BGR24):
+        raise ValueError("augment requires an RGB24/BGR24 pixel format "
+                         f"(got {cfg.fourcc}) — the transforms are "
+                         "defined on RGB model inputs")
+    if aug.mean and cfg.output_dtype() == jnp.uint8:
+        raise ValueError("mean/std normalization needs a float tensor; "
+                         "pass normalization=True or dtype='bfloat16'/"
+                         "'float32'")
+    _compile_cache.ensure_compile_cache()
+    device = jax.devices()[device_index]
+    fn = make_vpp_fn(cfg)
+    h, w = cfg.src_height, cfg.src_width
+    out_w, out_h = cfg.output_size()
+    clip_fn = make_clip_augment_fn(
+        aug, out_h, out_w, planar=(cfg.planes == Planes.PLANAR),
+        unit=1.0 if cfg.normalization else 255.0,
+        bgr=(cfg.fourcc == FourCC.BGR24), out_dtype=cfg.output_dtype())
+    batch = clips * clip_len
+    y_size = batch * h * w
+
+    def flat_fn(flat, ids):
+        ys = flat[:y_size].reshape(batch, h, w)
+        uvs = flat[y_size:].reshape(batch, h // 2, w)
+        t = jax.vmap(fn)(ys, uvs)
+        t = t.reshape((clips, clip_len) + t.shape[1:])
+        base = jax.random.key(aug_seed)
+        keys = jax.vmap(lambda e, i: jax.random.fold_in(
+            jax.random.fold_in(base, e), i))(ids[:, 0], ids[:, 1])
+        return jax.vmap(clip_fn)(t, keys)
+
+    return jax.jit(flat_fn, device=device)
+
+
+@lru_cache(maxsize=64)
 def build_vpp_batched(cfg: VPPConfig, device_index: int = 0):
     """Jitted batched VPP: (y [N,H,W], uv [N,H/2,W]) -> [N, ...].
 

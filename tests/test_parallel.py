@@ -201,6 +201,35 @@ def test_sharded_clip_loader_end_to_end():
 
 
 @needs_mesh
+def test_sharded_clip_loader_augment_matches_single_device():
+    """Fused augmentation is device-placement-invariant: the dp-sharded
+    loader with per_device=1 over 8 chips produces the same augmented
+    bytes as a single-device ClipLoader with batch=8 — keys derive from
+    (epoch, clip start), not from device or shard position."""
+    import os
+
+    from tensor_stream_tpu import AugmentConfig, ClipLoader, FourCC, \
+        Planes, ShardedClipLoader
+
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "bbb_720x480_RGB24_250.h264")
+    aug = AugmentConfig(width=48, height=48, scale=(0.4, 1.0),
+                        hflip=0.5, brightness=0.3, contrast=0.3)
+    kw = dict(clip_len=4, seed=11, workers=2, host_resize=True,
+              width=64, height=64, pixel_format=FourCC.RGB24,
+              planes_pos=Planes.PLANAR, normalization=True, augment=aug)
+    with ClipLoader(fix, batch=8, drop_partial=True, **kw) as single:
+        want, want_starts = next(iter(single))
+        want = np.asarray(jax.block_until_ready(want))
+    with ShardedClipLoader(fix, per_device=1, **kw) as sharded:
+        clips, starts = next(iter(sharded))
+        assert clips.shape == (8, 4, 3, 48, 48)
+        got = np.asarray(jax.block_until_ready(clips))
+    assert list(starts) == list(want_starts)
+    np.testing.assert_array_equal(got, want)
+
+
+@needs_mesh
 def test_sharded_clip_loader_rejects_zero_batch_epochs():
     """A global batch larger than the epoch's clip starts would yield
     zero batches forever (tails are always dropped across equal-sized
