@@ -66,6 +66,8 @@ class FrameLoader:
                  start_frame=1,
                  fast_decode=False,
                  segment_parallel=0,
+                 augment=None,
+                 aug_seed=None,
                  **frame_kwargs):
         self.batch = int(batch)
         self.prefetch = max(1, int(prefetch))
@@ -73,7 +75,29 @@ class FrameLoader:
         self.drop_partial = bool(drop_partial)
         self.device_index = device_index
         self.stream_url = stream_url
+        # Per-frame training augmentation (ops/augment.py), fused into
+        # the batched VPP program. Keys derive from
+        # fold_in(fold_in(key(aug_seed), 0), absolute frame index): a
+        # loader resumed via start_frame replays identical augmented
+        # bytes for the identical frames.
+        self.augment = augment
+        self.aug_seed = 0 if aug_seed is None else int(aug_seed)
         self.params = FrameParameters(**frame_kwargs)
+        if augment is not None:
+            # Mirror build_vpp_clip_augment's checks BEFORE any native
+            # reader exists, so a bad config can't leak a started
+            # pipeline/thread out of a failed __init__.
+            if self.params.pixel_format not in (FourCC.RGB24,
+                                                FourCC.BGR24):
+                raise ValueError(
+                    "augment requires an RGB24/BGR24 pixel format (got "
+                    f"{self.params.pixel_format}) — the transforms are "
+                    "defined on RGB model inputs")
+            if augment.mean and not (self.params.normalization
+                                     or self.params.dtype):
+                raise ValueError(
+                    "mean/std normalization needs a float tensor; pass "
+                    "normalization=True or dtype='bfloat16'/'float32'")
         if self.host_resize:
             self._algo = host_resize_algo(self.params)
         self.reader = None
@@ -140,8 +164,15 @@ class FrameLoader:
         self._start_common()
 
     def _start_common(self):
-        self._vpp = build_vpp_batched_flat(self._cfg, self.batch,
-                                           self.device_index)
+        if self.augment is not None:
+            # Frames are length-1 clips of the fused VPP+augment
+            # program: one key per frame, [batch, 1, ...] out.
+            self._vpp = build_vpp_clip_augment(
+                self._cfg, self.augment, self.batch, 1, self.aug_seed,
+                self.device_index)
+        else:
+            self._vpp = build_vpp_batched_flat(self._cfg, self.batch,
+                                               self.device_index)
         # Rotating staging pool: one buffer per in-flight batch plus one
         # being filled, so the drain thread never writes a buffer the
         # main thread is still shipping.
@@ -294,7 +325,17 @@ class FrameLoader:
             if self._device is None:
                 self._device = jax.devices()[self.device_index]
             flat = jax.device_put(buf, self._device)
-            tensors = self._vpp(flat)  # async dispatch
+            if self.augment is not None:
+                # Key each frame by its absolute stream index (epoch
+                # slot fixed at 0): deterministic across runs, resume-
+                # exact under start_frame, and fresh per pass when
+                # loop=True (the pipeline index keeps counting).
+                ids = np.empty((self.batch, 2), np.int32)
+                ids[:, 0] = 0
+                ids[:, 1] = np.arange(first, first + self.batch)
+                tensors = self._vpp(flat, ids)[:, 0]  # [batch, ...]
+            else:
+                tensors = self._vpp(flat)  # async dispatch
             if got < self.batch:
                 tensors = tensors[:got]
             return tensors, list(range(first, first + got)), buf

@@ -192,3 +192,81 @@ def test_loader_bf16_output_dtype():
     assert bf16.shape == f32.shape
     np.testing.assert_array_equal(np.asarray(bf16),
                                   np.asarray(f32.astype(jnp.bfloat16)))
+
+
+def test_loader_augment_identity_and_determinism():
+    """augment= on FrameLoader (TPU extension, ops/augment.py): the
+    identity config reproduces the plain loader's bytes exactly, and a
+    non-trivial config is deterministic run-to-run (keys derive from
+    the absolute frame index)."""
+    import jax
+    from tensor_stream_tpu import AugmentConfig
+    path = resource("bbb_1080x608_420_10.h264")
+    kw = dict(batch=4, width=96, height=96, host_resize=True,
+              resize_type=ResizeType.BILINEAR,
+              pixel_format=FourCC.RGB24, planes_pos=Planes.PLANAR,
+              normalization=True)
+    with FrameLoader(path, **kw) as ld:
+        plain, idx0 = next(iter(ld))
+        plain = np.asarray(jax.block_until_ready(plain))
+    with FrameLoader(path, augment=AugmentConfig(), **kw) as ld:
+        fused, idx1 = next(iter(ld))
+        fused = np.asarray(jax.block_until_ready(fused))
+    assert idx0 == idx1
+    np.testing.assert_array_equal(plain, fused)
+
+    aug = AugmentConfig(width=64, height=64, scale=(0.4, 1.0),
+                        hflip=0.5, brightness=0.3, contrast=0.3)
+    runs = []
+    for _ in range(2):
+        with FrameLoader(path, augment=aug, **kw) as ld:
+            t, idx = next(iter(ld))
+            runs.append((idx, np.asarray(jax.block_until_ready(t))))
+    assert runs[0][1].shape == (4, 3, 64, 64)
+    assert runs[0][0] == runs[1][0]
+    np.testing.assert_array_equal(runs[0][1], runs[1][1])
+    # Different frames draw different keys: not all frames identical.
+    assert not np.array_equal(runs[0][1][0], runs[0][1][1])
+
+
+def test_loader_augment_resume_replays_same_bytes():
+    """Keys derive from the absolute frame index, so a start_frame
+    resume replays bit-identical augmented frames."""
+    import jax
+    from tensor_stream_tpu import AugmentConfig
+    path = resource("bbb_1080x608_420_10.h264")
+    aug = AugmentConfig(width=48, height=48, scale=(0.5, 1.0),
+                        hflip=0.5, brightness=0.4, saturation=0.4)
+    kw = dict(batch=3, width=96, height=96, host_resize=True,
+              resize_type=ResizeType.BILINEAR, augment=aug,
+              pixel_format=FourCC.RGB24, planes_pos=Planes.PLANAR,
+              normalization=True)
+    with FrameLoader(path, **kw) as ld:
+        it = iter(ld)
+        next(it)
+        ckpt = ld.checkpoint()
+        want_idx, want = [], []
+        for t, idx in it:
+            want_idx.append(idx)
+            want.append(np.asarray(jax.block_until_ready(t)))
+    with FrameLoader(path, start_frame=ckpt["next_index"], **kw) as ld:
+        for widx, w in zip(want_idx, want):
+            t, idx = next(iter(ld))
+            assert idx == widx
+            np.testing.assert_array_equal(np.asarray(t), w)
+
+
+def test_loader_augment_validation_before_reader_starts():
+    """Bad augment configs fail in __init__ BEFORE any native pipeline
+    exists — nothing to leak, no thread to join."""
+    import pytest
+    from tensor_stream_tpu import AugmentConfig
+    path = resource("bbb_1080x608_420_10.h264")
+    with pytest.raises(ValueError, match="RGB24/BGR24"):
+        FrameLoader(path, augment=AugmentConfig(), batch=2,
+                    pixel_format=FourCC.Y800)
+    with pytest.raises(ValueError, match="float"):
+        FrameLoader(path, batch=2, width=96, height=96, host_resize=True,
+                    pixel_format=FourCC.RGB24,
+                    augment=AugmentConfig(mean=(0.5,) * 3,
+                                          std=(0.25,) * 3))

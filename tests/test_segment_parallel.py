@@ -237,3 +237,37 @@ def test_frame_loader_segment_parallel_live_source_raises():
     from tensor_stream_tpu import FrameLoader
     with pytest.raises(RuntimeError, match="seekable"):
         FrameLoader("tcp://127.0.0.1:1/nothing", segment_parallel=2)
+
+
+def test_frame_loader_segment_parallel_augment_matches_serial():
+    """augment= composes with segment_parallel: keys derive from the
+    absolute frame index and stitching is bit-exact, so the parallel
+    loader's augmented bytes equal the serial loader's."""
+    import jax
+
+    from tensor_stream_tpu import (AugmentConfig, FourCC, FrameLoader,
+                                   Planes, ResizeType)
+
+    aug = AugmentConfig(width=64, height=64, scale=(0.4, 1.0), hflip=0.5,
+                        brightness=0.3, contrast=0.3)
+
+    def first_batches(**kw):
+        loader = FrameLoader(GOP10, batch=16, prefetch=2, host_resize=True,
+                             width=96, height=96,
+                             resize_type=ResizeType.BILINEAR,
+                             pixel_format=FourCC.RGB24,
+                             planes_pos=Planes.PLANAR,
+                             normalization=True, augment=aug, **kw)
+        outs, idxs = [], []
+        for t, i in loader:
+            outs.append(np.asarray(jax.block_until_ready(t)))
+            idxs.extend(i)
+            if len(idxs) >= 48:
+                break
+        loader.close()
+        return np.concatenate(outs), idxs
+
+    a, ia = first_batches()
+    b, ib = first_batches(segment_parallel=3)
+    assert ia == ib
+    assert np.array_equal(a, b)
