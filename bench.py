@@ -158,6 +158,44 @@ def bench_device_vpp(seconds):
     return frames / elapsed
 
 
+def bench_device_augment(seconds):
+    """Batched convert + fused training augmentation on device, compute
+    only: the clip loaders' augment=AugmentConfig(...) program
+    (RandomResizedCrop + flip + full ColorJitter + normalize on top of
+    the headline VPP). Compare with device_vpp_fps — the delta is the
+    entire device cost of augmentation."""
+    import jax
+    import numpy as np
+
+    from tensor_stream_tpu import AugmentConfig, FourCC, Planes
+    from tensor_stream_tpu.ops.vpp import (VPPConfig,
+                                           build_vpp_clip_augment)
+
+    clip_len = 8
+    clips = max(1, BATCH // clip_len)
+    cfg = VPPConfig(src_width=224, src_height=224, fourcc=FourCC.RGB24,
+                    planes=Planes.PLANAR, normalization=True)
+    aug = AugmentConfig(width=224, height=224, scale=(0.3, 1.0),
+                        ratio=(0.75, 4 / 3), hflip=0.5, brightness=0.4,
+                        contrast=0.4, saturation=0.4, hue=0.05,
+                        mean=(0.45, 0.45, 0.45), std=(0.225, 0.225, 0.225))
+    fn = build_vpp_clip_augment(cfg, aug, clips, clip_len, 0)
+    n = clips * clip_len
+    flat = jax.device_put(np.random.randint(
+        0, 255, n * 224 * 224 * 3 // 2, np.uint8), jax.devices()[0])
+    ids = np.stack([np.zeros(clips, np.int32),
+                    np.arange(clips, dtype=np.int32)], axis=1)
+    jax.block_until_ready(fn(flat, ids))  # compile
+    frames = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        out = fn(flat, ids)
+        frames += n
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    return frames / elapsed
+
+
 def bench_pool_aggregate(lib, seconds, n_streams=4, workers=0):
     """Aggregate decode fps of N pooled streams on shared workers
     (ts::StreamPool) — the many-stream serving path. On a 1-core host
@@ -389,6 +427,7 @@ def main():
         "transfer_gbps": round(transfer_gbps, 3),
         "transfer_fps_at_224": round(transfer_fps, 1),
         "device_vpp_fps": round(bench_device_vpp(STAGE_SECONDS), 1),
+        "augment_vpp_fps": round(bench_device_augment(half), 1),
         "pool_aggregate_fps": round(
             _best_of(2, bench_pool_aggregate, lib, half), 1),
         "segment_parallel_fps": round(

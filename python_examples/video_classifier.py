@@ -33,8 +33,8 @@ import numpy as np
 import optax
 from flax import linen as nn
 
-from tensor_stream_tpu import (ClipDataset, ClipLoader, FourCC, Planes,
-                               ResizeType)
+from tensor_stream_tpu import (AugmentConfig, ClipDataset, ClipLoader,
+                               FourCC, Planes, ResizeType)
 
 
 class TimeDirectionNet(nn.Module):
@@ -73,6 +73,10 @@ def main():
                         default=max(2, (os.cpu_count() or 2) // 2))
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--augment", action="store_true",
+                        help="fuse RandomResizedCrop + flip + ColorJitter "
+                             "into the loader's device program (one key "
+                             "per clip; epochs re-draw)")
     args = parser.parse_args()
 
     model = TimeDirectionNet()
@@ -108,6 +112,19 @@ def main():
               width=args.size, height=args.size,
               resize_type=ResizeType.BILINEAR, pixel_format=FourCC.RGB24,
               planes_pos=Planes.MERGED, normalization=True)
+    if args.augment:
+        # Decode slightly larger, then RandomResizedCrop back to --size
+        # inside the same jitted program as the NV12 conversion. All
+        # frames of a clip share one transform (temporal consistency —
+        # required for the arrow-of-time signal); epochs fold into the
+        # keys, so every epoch re-draws.
+        decode = (int(args.size * 1.15) + 1) // 2 * 2
+        kw.update(width=decode, height=decode,
+                  augment=AugmentConfig(
+                      width=args.size, height=args.size,
+                      scale=(0.5, 1.0), ratio=(0.75, 4 / 3), hflip=0.5,
+                      brightness=0.4, contrast=0.4, saturation=0.4,
+                      hue=0.05))
     if len(args.input) == 1:
         loader = ClipLoader(args.input[0], **kw)
     else:  # corpus: one globally-shuffled epoch across every file

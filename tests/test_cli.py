@@ -188,7 +188,8 @@ def test_example_video_classifier():
                         "fixtures", "synthetic_640x360_120.h265")
     out = _run_example("video_classifier.py", "-i", fix, fix2,
                        "--steps", "2", "--batch", "8", "--clip-len", "4",
-                       "--size", "64", "--workers", "2", timeout=560)
+                       "--size", "64", "--workers", "2", "--augment",
+                       timeout=560)
     assert "2 file(s)" in out and "training done: 2 steps" in out
 
 
