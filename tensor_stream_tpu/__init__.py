@@ -17,6 +17,7 @@ from .data import (ClipDataset, ClipLoader, FrameLoader, MultiStreamLoader,
 from .enums import (ColorStandard, FourCC, FrameRate, LogsLevel, LogsType,
                     Planes, ResizeType, StatusLevel)
 from .ops.augment import AugmentConfig
+from .ops.mix import cutmix, mix_labels, mixup
 from .tensor_stream import FrameParameters, TensorStreamConverter
 from .video_writer import VideoWriter
 
@@ -24,7 +25,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "TensorStreamConverter", "FrameParameters", "FrameLoader", "VideoWriter",
-    "AugmentConfig",
+    "AugmentConfig", "mixup", "cutmix", "mix_labels",
     "ClipDataset", "ClipLoader", "MultiStreamLoader", "PooledStreamLoader",
     "ShardedClipDataset", "ShardedClipLoader", "ShardedStreamLoader",
     "StatusLevel", "LogsLevel",

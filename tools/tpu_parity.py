@@ -16,7 +16,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SUITES = ["tests/test_vpp.py", "tests/test_pallas.py",
-          "tests/test_resize_crc.py"]
+          "tests/test_resize_crc.py", "tests/test_augment.py"]
 
 
 def next_round_tag():
