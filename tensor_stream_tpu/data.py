@@ -498,12 +498,14 @@ class _ClipLoaderBase:
     def _aug_ids(self, epoch, idents, capacity):
         """int32 [capacity, 2] of (epoch, clip identity) for the augment
         program's key derivation; short batches pad by repeating the
-        last identity (the pad rows are sliced off after conversion,
-        like the decoded pad)."""
-        ids = np.resize(np.asarray(idents, np.int64), capacity)
+        LAST identity — matching the decode pad (_decode_ids_into), so
+        pad rows carry the key of the clip whose pixels they hold (the
+        rows are sliced off after conversion either way)."""
+        ids = np.asarray(idents, np.int64)
         out = np.empty((capacity, 2), np.int32)
         out[:, 0] = epoch
-        out[:, 1] = ids
+        out[:len(ids), 1] = ids
+        out[len(ids):, 1] = ids[-1]
         return out
 
     def _vpp_config(self, host_resize):
@@ -820,8 +822,9 @@ class ClipLoader(_ClipLoaderBase):
             # The native call and VPP program are fixed-size; pad a
             # trailing partial batch by repeating its last start, then
             # slice the pad off after conversion.
-            padded = np.resize(batch_starts, self.batch) if got < self.batch \
-                else batch_starts
+            padded = batch_starts if got == self.batch else np.concatenate(
+                [batch_starts,
+                 np.full(self.batch - got, batch_starts[-1], np.int64)])
             buf = self._pool.get()
             if buf is None or self._stop.is_set():
                 break

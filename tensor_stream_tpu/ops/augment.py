@@ -155,11 +155,16 @@ def _grid_1d(n_out, start, extent, flip=None):
 
 
 def _gather_lerp(x, coords, axis, size):
-    """Bilinear 1D resample of `x` along `axis` at float `coords`."""
+    """Bilinear 1D resample of `x` along `axis` at float `coords`,
+    edge-replicated: BOTH neighbor indices clamp independently from the
+    unclamped floor, so an out-of-range coordinate (e.g. -0.4 at the
+    top border of an upsample) blends (0, 0) — pure edge pixel — not
+    (0, 1)."""
     lo = jnp.floor(coords)
     t = (coords - lo)
-    i0 = jnp.clip(lo.astype(jnp.int32), 0, size - 1)
-    i1 = jnp.clip(i0 + 1, 0, size - 1)
+    lo = lo.astype(jnp.int32)
+    i0 = jnp.clip(lo, 0, size - 1)
+    i1 = jnp.clip(lo + 1, 0, size - 1)
     a = jnp.take(x, i0, axis=axis)
     b = jnp.take(x, i1, axis=axis)
     shape = [1] * a.ndim

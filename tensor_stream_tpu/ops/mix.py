@@ -10,13 +10,13 @@ mix the labels with the same coefficients.
     mixed, perm, lam = mixup(key, clips, alpha=0.2)
     target = mix_labels(one_hot, perm, lam)
 
-Semantics follow the papers and timm's defaults:
+Semantics follow the papers:
 
-* MixUp (Zhang et al. 2018): ``lam ~ Beta(alpha, alpha)``, one draw per
-  batch (timm's default batch-wise mode), blended against a reversed
-  batch — ``x[::-1]`` — which is a fixed, bijective pairing that traces
-  to a static gather (a random permutation adds nothing statistically:
-  the batch order is already random).
+* MixUp (Zhang et al. 2018): raw ``lam ~ Beta(alpha, alpha)``, one draw
+  per batch (batch-wise mode), blended against a reversed batch —
+  ``x[::-1]`` — which is a fixed, bijective pairing that traces to a
+  static gather (a random permutation adds nothing statistically: the
+  batch order is already random).
 * CutMix (Yun et al. 2019): ``lam ~ Beta(alpha, alpha)``, one rectangle
   with area fraction ``1 - lam`` at a uniform center, clipped to the
   frame; ``lam`` is then CORRECTED to the exact surviving-pixel
@@ -39,14 +39,12 @@ def mixup(key, batch, alpha=0.2):
     """MixUp a ``[B, ...]`` float batch.
 
     Returns ``(mixed, perm, lam)``: ``mixed = lam * batch +
-    (1 - lam) * batch[perm]`` with one ``lam ~ Beta(alpha, alpha)``
-    for the whole batch and ``perm`` the reversal pairing (pass both
-    to `mix_labels`). ``lam`` is maxed with ``1 - lam`` so the
-    "primary" sample always dominates (timm convention keeps label
-    ordering stable)."""
+    (1 - lam) * batch[perm]`` with one raw ``lam ~ Beta(alpha, alpha)``
+    for the whole batch (the paper's draw, unfolded) and ``perm`` the
+    reversal pairing — pass both to `mix_labels` for the soft
+    targets."""
     b = batch.shape[0]
     lam = jax.random.beta(key, alpha, alpha)
-    lam = jnp.maximum(lam, 1.0 - lam)
     mixed = lam * batch + (1.0 - lam) * _pair(batch)
     return mixed, jnp.arange(b - 1, -1, -1), lam
 

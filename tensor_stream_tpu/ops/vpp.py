@@ -10,6 +10,7 @@ combination: static shapes, all gather tables baked in as constants, fully
 fused by the compiler, one HBM round trip. Compiled programs are cached per
 `VPPConfig` the way the reference cached per-consumer CUDA streams.
 """
+import dataclasses
 from dataclasses import dataclass
 from functools import lru_cache
 
@@ -238,7 +239,12 @@ def build_vpp_clip_augment(cfg: VPPConfig, aug, clips: int, clip_len: int,
                          "'float32'")
     _compile_cache.ensure_compile_cache()
     device = jax.devices()[device_index]
-    fn = make_vpp_fn(cfg)
+    # The inner VPP runs WITHOUT the output-dtype override: augmentation
+    # math must see the contract f32/u8 values, and the single final
+    # rounding to cfg's dtype happens in clip_fn (out_dtype) — otherwise
+    # a bf16/f16 override would quantize BEFORE the jitter/crop math and
+    # round a second time after it.
+    fn = make_vpp_fn(dataclasses.replace(cfg, dtype=""))
     h, w = cfg.src_height, cfg.src_width
     out_w, out_h = cfg.output_size()
     clip_fn = make_clip_augment_fn(

@@ -57,16 +57,18 @@ def test_hflip_is_exact_reverse():
 
 
 def manual_bilinear(img, oh, ow):
-    """Half-pixel bilinear, clamped edges — the documented sampling."""
+    """Half-pixel bilinear, edge-replicated: both neighbors clamp
+    independently from the UNCLAMPED floor (so a -1 floor blends
+    (0, 0), not (0, 1))."""
     H, W = img.shape[:2]
     ys = (np.arange(oh) + 0.5) * H / oh - 0.5
     xs = (np.arange(ow) + 0.5) * W / ow - 0.5
     y0f, x0f = np.floor(ys), np.floor(xs)
     ty, tx = ys - y0f, xs - x0f
     y0 = np.clip(y0f.astype(int), 0, H - 1)
-    y1 = np.clip(y0 + 1, 0, H - 1)
+    y1 = np.clip(y0f.astype(int) + 1, 0, H - 1)
     x0 = np.clip(x0f.astype(int), 0, W - 1)
-    x1 = np.clip(x0 + 1, 0, W - 1)
+    x1 = np.clip(x0f.astype(int) + 1, 0, W - 1)
     rows = img[y0] * (1 - ty)[:, None, None] + img[y1] * ty[:, None, None]
     return (rows[:, x0] * (1 - tx)[None, :, None]
             + rows[:, x1] * tx[None, :, None])
@@ -79,6 +81,31 @@ def test_full_frame_resize_matches_manual_bilinear():
     out = np.asarray(fn(clip, KEY))
     for t in range(clip.shape[0]):
         np.testing.assert_allclose(out[t], manual_bilinear(clip[t], 12, 20),
+                                   atol=1e-5)
+
+
+def test_upsample_edge_replicates():
+    """Regression: out-of-range sampling coordinates at the top/left of
+    an UPSAMPLE must edge-replicate — a 2-row source [0, 1] blown up to
+    8 rows starts at exactly 0.0 (the old clamp blended row 1 into the
+    border)."""
+    src = np.zeros((1, 2, 2, 3), np.float32)
+    src[:, 1] = 1.0
+    cfg = AugmentConfig(width=2, height=8)
+    fn = jax.jit(make_clip_augment_fn(cfg, 2, 2, planar=False))
+    out = np.asarray(fn(src, KEY))[0, :, 0, 0]
+    want = manual_bilinear(src[0], 8, 2)[:, 0, 0]
+    np.testing.assert_allclose(out, want, atol=1e-6)
+    assert out[0] == 0.0 and out[-1] == 1.0  # pure edge pixels
+
+
+def test_upsample_matches_manual_bilinear():
+    clip = merged_clip()
+    cfg = AugmentConfig(width=96, height=64)  # 48x32 -> 96x64 upsample
+    fn = jax.jit(make_clip_augment_fn(cfg, 32, 48, planar=False))
+    out = np.asarray(fn(clip, KEY))
+    for t in range(clip.shape[0]):
+        np.testing.assert_allclose(out[t], manual_bilinear(clip[t], 64, 96),
                                    atol=1e-5)
 
 
@@ -318,6 +345,29 @@ def test_clip_loader_augment_epochs_differ():
     diff = [s for s in by_start[0]
             if not np.array_equal(by_start[0][s], by_start[1][s])]
     assert diff, "every clip got the identical augmentation both epochs"
+
+
+def test_augment_bf16_single_final_rounding():
+    """dtype='bfloat16' + augment: the math must run on the contract
+    f32 values with ONE final RN-even cast — i.e. exactly the f32-run
+    result cast to bf16 (regression: the fused program once let the
+    VPP quantize to bf16 BEFORE the augment math, double-rounding)."""
+    import jax.numpy as jnp
+    aug = AugmentConfig(width=64, height=64, scale=(0.5, 1.0), hflip=0.5,
+                        brightness=0.3, contrast=0.3,
+                        mean=(0.45,) * 3, std=(0.225,) * 3)
+    kw = dict(LOADER_KW, augment=aug)
+    with ClipLoader(BBB, **kw) as ld:
+        f32, starts = next(iter(ld))
+        f32 = np.asarray(jax.block_until_ready(f32))
+    with ClipLoader(BBB, dtype="bfloat16", **kw) as ld:
+        bf16, starts2 = next(iter(ld))
+        assert bf16.dtype == jnp.bfloat16
+        bf16 = np.asarray(jax.block_until_ready(bf16.astype(jnp.float32)))
+    assert starts == starts2
+    want = np.asarray(jnp.asarray(f32).astype(jnp.bfloat16)
+                      .astype(jnp.float32))
+    np.testing.assert_array_equal(bf16, want)
 
 
 def test_augment_requires_rgb():

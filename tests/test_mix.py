@@ -22,7 +22,7 @@ def test_mixup_closed_form():
     x = clips()
     mixed, perm, lam = jax.jit(lambda k, v: mixup(k, v, 0.4))(KEY, x)
     lam = float(lam)
-    assert 0.5 <= lam <= 1.0  # maxed with 1-lam
+    assert 0.0 <= lam <= 1.0  # raw Beta(alpha, alpha) draw (the paper's)
     want = lam * x + (1.0 - lam) * x[::-1]
     np.testing.assert_allclose(np.asarray(mixed), want, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(perm), np.arange(5, -1, -1))
