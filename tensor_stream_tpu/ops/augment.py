@@ -25,7 +25,12 @@ Semantics follow the de-facto standards so users can port recipes:
   the value range at the end. Contrast blends against the mean gray of
   the WHOLE clip, not each frame — temporally consistent by design.
 * ``mean``/``std``: per-channel normalization in the tensor's value
-  scale, applied last (after the clamp).
+  scale, applied after the clamp.
+* ``erase``: torchvision ``RandomErasing`` — probability ``erase``, one
+  rectangle per clip with area fraction uniform in ``erase_scale`` and
+  aspect (w/h) log-uniform in ``erase_ratio``, zero-filled, applied
+  LAST (after mean/std, so the fill is the mean color of a normalized
+  input — torchvision's recipe order).
 
 Every random draw comes from an explicit ``jax.random`` key and one
 key augments a whole clip — all frames of a clip share the transform
@@ -77,6 +82,13 @@ class AugmentConfig:
     # after the final clamp. Both empty or both length-3.
     mean: tuple = ()
     std: tuple = ()
+    # RandomErasing (torchvision semantics, applied LAST — after
+    # mean/std, zero fill, i.e. the mean color of a normalized input):
+    # probability, area-fraction range, aspect (w/h) range. One rect
+    # per clip, shared by all frames (temporal consistency).
+    erase: float = 0.0
+    erase_scale: tuple = (0.02, 0.33)
+    erase_ratio: tuple = (0.3, 3.3)
 
     def __post_init__(self):
         if (self.width > 0) != (self.height > 0):
@@ -106,6 +118,16 @@ class AugmentConfig:
         if not 0.0 <= self.hue <= 0.5:
             raise ValueError(f"hue must be in [0, 0.5] turns, got "
                              f"{self.hue}")
+        if not 0.0 <= self.erase <= 1.0:
+            raise ValueError(f"erase must be a probability, got "
+                             f"{self.erase}")
+        es, er = self.erase_scale, self.erase_ratio
+        if len(es) != 2 or not (0.0 < es[0] <= es[1] <= 1.0):
+            raise ValueError(f"erase_scale must be (lo, hi) within "
+                             f"(0, 1], got {es}")
+        if len(er) != 2 or not (0.0 < er[0] <= er[1]):
+            raise ValueError(f"erase_ratio must be (lo, hi) with "
+                             f"0 < lo <= hi, got {er}")
         if bool(self.mean) != bool(self.std):
             raise ValueError("mean/std must be set together")
         if self.mean and (len(self.mean) != 3 or len(self.std) != 3
@@ -120,7 +142,7 @@ class AugmentConfig:
                 and self.ratio == (1.0, 1.0) and self.hflip == 0
                 and self.brightness == 0 and self.contrast == 0
                 and self.saturation == 0 and self.hue == 0
-                and not self.mean)
+                and not self.mean and self.erase == 0)
 
     def output_size(self, src_w, src_h):
         return (self.width or src_w, self.height or src_h)
@@ -201,7 +223,7 @@ def make_clip_augment_fn(cfg: AugmentConfig, src_h: int, src_w: int,
                                   maxval=1.0 + half_range)
 
     def fn(clip, key):
-        k_rect, k_flip, k_b, k_c, k_s, k_h = jax.random.split(key, 6)
+        k_rect, k_flip, k_b, k_c, k_s, k_h, k_e = jax.random.split(key, 7)
         x = clip.astype(jnp.float32)
         if spatial:
             if cfg.width and (cfg.scale != (1.0, 1.0)
@@ -253,6 +275,31 @@ def make_clip_augment_fn(cfg: AugmentConfig, src_h: int, src_w: int,
                 std = jnp.asarray(cfg.std, jnp.float32)
                 x = (x - mean) / std
             x = jnp.moveaxis(x, -1, c_axis)
+        if cfg.erase > 0:
+            # RandomErasing, LAST (torchvision order: after normalize;
+            # the zero fill is the mean color of a normalized input).
+            # One rect per clip, fully inside the frame, all channels.
+            ke_p, ke_a, ke_r, ke_y, ke_x = jax.random.split(k_e, 5)
+            area = out_h * out_w * jax.random.uniform(
+                ke_a, minval=cfg.erase_scale[0],
+                maxval=cfg.erase_scale[1])
+            r = jnp.exp(jax.random.uniform(
+                ke_r, minval=math.log(cfg.erase_ratio[0]),
+                maxval=math.log(cfg.erase_ratio[1])))
+            ew = jnp.clip(jnp.sqrt(area * r), 1.0, float(out_w))
+            eh = jnp.clip(jnp.sqrt(area / r), 1.0, float(out_h))
+            y0 = jax.random.uniform(ke_y) * (out_h - eh)
+            x0 = jax.random.uniform(ke_x) * (out_w - ew)
+            ys = jnp.arange(out_h, dtype=jnp.float32)
+            xs = jnp.arange(out_w, dtype=jnp.float32)
+            shape_y = [1] * x.ndim
+            shape_y[h_axis] = out_h
+            shape_x = [1] * x.ndim
+            shape_x[w_axis] = out_w
+            inside = (((ys >= y0) & (ys < y0 + eh)).reshape(shape_y)
+                      & ((xs >= x0) & (xs < x0 + ew)).reshape(shape_x))
+            do = jax.random.uniform(ke_p) < cfg.erase
+            x = jnp.where(do & inside, 0.0, x)
         dt = jnp.dtype(out_dtype) if out_dtype is not None else clip.dtype
         if dt == jnp.uint8:
             return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)

@@ -248,6 +248,42 @@ def test_frame_fn_matches_clip_fn():
         np.testing.assert_array_equal(np.asarray(ff(clip[t], KEY)), out[t])
 
 
+def test_random_erasing_zero_rect_after_normalize():
+    """erase=1.0 zeroes exactly one rectangle, shared by all frames and
+    channels, AFTER mean/std (fill is 0 in normalized space, i.e. the
+    mean color); area within the erase_scale envelope."""
+    clip = merged_clip(lo=0.5, hi=1.0)  # all values > 0 pre-normalize
+    mean, std = (0.2, 0.2, 0.2), (0.5, 0.5, 0.5)
+    cfg = AugmentConfig(erase=1.0, erase_scale=(0.1, 0.3),
+                        mean=mean, std=std)
+    fn = jax.jit(make_clip_augment_fn(cfg, 32, 48, planar=False))
+    out = np.asarray(fn(clip, KEY))
+    want = (clip - np.asarray(mean, np.float32)) / np.asarray(std,
+                                                              np.float32)
+    erased = (out == 0.0).all(axis=-1)  # post-normalize zeros
+    mask2d = erased[0]
+    # one solid rect, identical across frames
+    for t in range(clip.shape[0]):
+        assert np.array_equal(erased[t], mask2d)
+    ys, xs = np.nonzero(mask2d)
+    assert len(ys), "erase=1.0 must erase"
+    assert mask2d[ys.min():ys.max() + 1, xs.min():xs.max() + 1].all()
+    frac = mask2d.mean()
+    assert 0.05 <= frac <= 0.35  # scale envelope (integer-rounded rect)
+    np.testing.assert_allclose(np.where(erased[..., None], 0.0, out),
+                               np.where(erased[..., None], 0.0, want),
+                               atol=1e-6)
+
+
+def test_random_erasing_probability_zero_and_identity():
+    clip = merged_clip()
+    fn = jax.jit(make_clip_augment_fn(
+        AugmentConfig(erase=0.0), 32, 48, planar=False))
+    np.testing.assert_array_equal(np.asarray(fn(clip, KEY)), clip)
+    assert not AugmentConfig(erase=0.5).identity
+    assert AugmentConfig().identity
+
+
 def test_config_validation():
     with pytest.raises(ValueError, match="together"):
         AugmentConfig(width=224)
@@ -267,6 +303,12 @@ def test_config_validation():
         AugmentConfig(mean=(0.5, 0.5, 0.5))
     with pytest.raises(ValueError, match="mean/std"):
         AugmentConfig(mean=(0.5,), std=(0.5,))
+    with pytest.raises(ValueError, match="erase must"):
+        AugmentConfig(erase=1.5)
+    with pytest.raises(ValueError, match="erase_scale"):
+        AugmentConfig(erase=0.5, erase_scale=(0.0, 0.3))
+    with pytest.raises(ValueError, match="erase_ratio"):
+        AugmentConfig(erase=0.5, erase_ratio=(2.0, 1.0))
 
 
 # ------------------------------------------------------- loader integration
