@@ -1267,10 +1267,14 @@ class ShardedStreamLoader:
                              f"devices, have {len(devices)}")
         kwargs.setdefault("drop_partial", True)
         self.devices = list(devices)
+        # Decorrelate per-frame augmentation across streams (see
+        # MultiStreamLoader): same frame index on two streams must not
+        # share a key.
+        base_seed = kwargs.pop("aug_seed", None) or 0
         self.loaders = [
-            FrameLoader(url, batch=per_stream,
+            FrameLoader(url, batch=per_stream, aug_seed=base_seed + k,
                         device_index=jax.devices().index(dev), **kwargs)
-            for url, dev in zip(stream_urls, self.devices)]
+            for k, (url, dev) in enumerate(zip(stream_urls, self.devices))]
         self.mesh = Mesh(np.asarray(self.devices), ("dp",))
         self._sharding = NamedSharding(self.mesh, PartitionSpec("dp"))
         self.per_stream = per_stream
@@ -1349,8 +1353,13 @@ class MultiStreamLoader:
     """
 
     def __init__(self, stream_urls, per_stream=8, **loader_kwargs):
-        self.loaders = [FrameLoader(url, batch=per_stream, **loader_kwargs)
-                        for url in stream_urls]
+        # Per-frame augmentation (augment=...) rides through to the
+        # FrameLoaders; offset each stream's aug_seed so streams at the
+        # same frame index draw independent transforms.
+        base_seed = loader_kwargs.pop("aug_seed", None) or 0
+        self.loaders = [FrameLoader(url, batch=per_stream,
+                                    aug_seed=base_seed + k, **loader_kwargs)
+                        for k, url in enumerate(stream_urls)]
 
     def __iter__(self):
         return self

@@ -270,3 +270,25 @@ def test_loader_augment_validation_before_reader_starts():
                     pixel_format=FourCC.RGB24,
                     augment=AugmentConfig(mean=(0.5,) * 3,
                                           std=(0.25,) * 3))
+
+
+def test_multi_stream_loader_augment_decorrelated():
+    """augment= flows through to each stream's FrameLoader with a
+    per-stream aug_seed offset: the SAME file on two slots draws
+    different transforms at the same frame indices."""
+    import jax
+    from tensor_stream_tpu import AugmentConfig, MultiStreamLoader
+    path = resource("bbb_1080x608_420_10.h264")
+    aug = AugmentConfig(width=48, height=48, scale=(0.4, 1.0), hflip=0.5,
+                        brightness=0.4)
+    with MultiStreamLoader([path, path], per_stream=3, width=96,
+                           height=96, host_resize=True,
+                           resize_type=ResizeType.BILINEAR,
+                           pixel_format=FourCC.RGB24,
+                           planes_pos=Planes.PLANAR, normalization=True,
+                           augment=aug) as ld:
+        tensors, indices = next(iter(ld))
+        a = np.asarray(jax.block_until_ready(tensors))
+    assert a.shape == (6, 3, 48, 48)
+    assert indices[0] == indices[1]  # same frames...
+    assert not np.array_equal(a[:3], a[3:])  # ...different transforms
