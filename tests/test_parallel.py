@@ -294,3 +294,45 @@ def test_sharded_clip_dataset_end_to_end():
                       in_shardings=ds._sharding,
                       out_shardings=ds._sharding)(clips2)
         assert np.isfinite(np.asarray(out)).all()
+
+
+@needs_mesh
+def test_sharded_clip_dataset_augment_keys_by_corpus_identity():
+    """ShardedClipDataset + augment: keys derive from the GLOBAL clip
+    identity, so (a) the identity config reproduces the plain corpus
+    bytes, and (b) a non-trivial config is deterministic run-to-run
+    with per-clip-distinct transforms."""
+    import os
+
+    from tensor_stream_tpu import (AugmentConfig, FourCC, Planes,
+                                   ShardedClipDataset)
+
+    fixdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "fixtures")
+    files = [os.path.join(fixdir, "synthetic_640x360_120.h265"),
+             os.path.join(fixdir, "synthetic_640x360_90_vp9.ivf")]
+    kw = dict(clip_len=4, per_device=1, workers=1, host_resize=True,
+              width=64, height=64, pixel_format=FourCC.RGB24,
+              planes_pos=Planes.PLANAR, normalization=True, seed=3)
+
+    with ShardedClipDataset(files, **kw) as ds:
+        plain, labels0 = next(iter(ds))
+        plain = np.asarray(jax.block_until_ready(plain))
+    with ShardedClipDataset(files, augment=AugmentConfig(), **kw) as ds:
+        fused, labels1 = next(iter(ds))
+        fused = np.asarray(jax.block_until_ready(fused))
+    assert labels0 == labels1
+    np.testing.assert_array_equal(plain, fused)
+
+    aug = AugmentConfig(width=48, height=48, scale=(0.4, 1.0), hflip=0.5,
+                        brightness=0.4)
+    runs = []
+    for _ in range(2):
+        with ShardedClipDataset(files, augment=aug, **kw) as ds:
+            clips, labels = next(iter(ds))
+            runs.append((labels,
+                         np.asarray(jax.block_until_ready(clips))))
+    assert runs[0][0] == runs[1][0]
+    np.testing.assert_array_equal(runs[0][1], runs[1][1])
+    assert runs[0][1].shape == (8, 4, 3, 48, 48)
+    assert not np.array_equal(runs[0][1][0], runs[0][1][1])
