@@ -73,13 +73,27 @@ def main():
                         default=max(2, (os.cpu_count() or 2) // 2))
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--model", choices=("cnn", "vit"), default="cnn",
+                        help="cnn = small 3D CNN; vit = factorized "
+                             "space-time VideoViT (bf16 MXU matmuls, "
+                             "remat) — needs --size divisible by 16 and "
+                             "--clip-len divisible by 2")
+    parser.add_argument("--vit-dim", type=int, default=192)
+    parser.add_argument("--vit-depth", type=int, default=4)
     parser.add_argument("--augment", action="store_true",
                         help="fuse RandomResizedCrop + flip + ColorJitter "
                              "into the loader's device program (one key "
                              "per clip; epochs re-draw)")
     args = parser.parse_args()
 
-    model = TimeDirectionNet()
+    if args.model == "vit":
+        from tensor_stream_tpu.models import VideoViT
+        model = VideoViT(num_classes=2, depth=args.vit_depth,
+                         dim=args.vit_dim,
+                         num_heads=max(1, args.vit_dim // 64),
+                         remat=True)
+    else:
+        model = TimeDirectionNet()
     rng = jax.random.PRNGKey(args.seed)
     dummy = jnp.zeros((args.batch, args.clip_len, args.size, args.size, 3),
                       jnp.float32)

@@ -1,3 +1,6 @@
-"""Model families: the fast-neural-style TransformerNet (flax)."""
+"""Model families: the fast-neural-style TransformerNet and the
+factorized space-time VideoViT (flax)."""
 from .transformer_net import (TransformerNet, init_params, gram_matrix,
                               style_transfer_loss)  # noqa: F401
+from .video_vit import (VideoViT, init_vit, make_act_sharding,  # noqa: F401
+                        make_vit_train_step, vit_param_specs)

@@ -1,0 +1,258 @@
+"""VideoViT — a factorized space-time video transformer, TPU-native.
+
+Second model family beyond the fast-neural-style CNN (the reference
+example stops at per-frame CNN inference, python_examples/
+fast_neural_style/neural_style.py; this framework's clip loaders produce
+the [B, T, H, W, C] batches video transformers train on, which the
+reference cannot produce at all). The architecture is the factorized
+encoder of ViViT: each block attends spatially (within a frame), then
+temporally (across frames at the same patch position), then applies an
+MLP — O(N² + T²) attention instead of O((N·T)²), which keeps the
+attention matmuls large and square for the MXU without blowing up HBM.
+
+TPU-first design decisions:
+
+  * bfloat16 compute / float32 parameters (mixed precision): every
+    matmul feeds the MXU in bf16; attention logits and softmax
+    accumulate in f32 (`preferred_element_type`), the numerically
+    load-bearing part.
+  * NTHWC tubelet embedding: one strided Conv3D (t×p×p patches) — a
+    single big MXU matmul after im2col, channels-last.
+  * factorized positional embeddings: (T', D) temporal + (N, D) spatial
+    added broadcast — T'·N·D params would dominate tiny models and
+    shard poorly.
+  * `remat=True` wraps each block in `jax.checkpoint`: activations are
+    recomputed in the backward pass, trading MXU FLOPs (cheap) for HBM
+    (the bottleneck) — the standard way to fit longer clips.
+  * Megatron-style tensor parallelism via `vit_param_specs`: q/k/v
+    projections column-sharded over heads, the output projection
+    row-sharded, MLP fc1 column- / fc2 row-sharded. GSPMD inserts the
+    psum after the row-sharded matmuls; each block does exactly two
+    collectives, the textbook schedule.
+  * optional sequence parallelism: `act_sharding` shards the token axis
+    of every residual-stream activation; GSPMD all-gathers tokens only
+    where attention genuinely needs them.
+
+Sharding helpers at the bottom build the full pjit train step over a
+("dp", "mp") mesh; see tests/test_video_vit.py for the 8-device proofs.
+"""
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+class MHA(nn.Module):
+    """Multi-head attention over the last-but-one axis.
+
+    Input [..., S, D]; leading axes are batch. Logits/softmax in f32,
+    everything else in `compute_dtype`.
+    """
+    num_heads: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        d_model = x.shape[-1]
+        assert d_model % self.num_heads == 0, (d_model, self.num_heads)
+        head_dim = d_model // self.num_heads
+        dense = partial(nn.DenseGeneral, dtype=self.compute_dtype,
+                        param_dtype=jnp.float32)
+        q = dense(features=(self.num_heads, head_dim), name="query")(x)
+        k = dense(features=(self.num_heads, head_dim), name="key")(x)
+        v = dense(features=(self.num_heads, head_dim), name="value")(x)
+        scale = head_dim ** -0.5
+        logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.compute_dtype)
+        o = jnp.einsum("...hqk,...khd->...qhd", probs, v)
+        return dense(features=d_model, axis=(-2, -1), name="out")(o)
+
+
+class MLP(nn.Module):
+    hidden_mult: int = 4
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        d_model = x.shape[-1]
+        h = nn.Dense(self.hidden_mult * d_model, dtype=self.compute_dtype,
+                     param_dtype=jnp.float32, name="fc1")(x)
+        h = nn.gelu(h)
+        return nn.Dense(d_model, dtype=self.compute_dtype,
+                        param_dtype=jnp.float32, name="fc2")(h)
+
+
+class FactorizedBlock(nn.Module):
+    """Pre-LN block: spatial attention → temporal attention → MLP.
+
+    Input [B, T, N, D]. LayerNorm runs in f32 (its rsqrt is the
+    precision-sensitive op); attention/MLP in `compute_dtype`.
+    `act_sharding` (if set) re-pins the residual stream after every
+    sub-layer so sequence-parallel layouts survive GSPMD propagation.
+    """
+    num_heads: int
+    hidden_mult: int = 4
+    compute_dtype: Any = jnp.bfloat16
+    act_sharding: Optional[Callable] = None
+
+    def _pin(self, x):
+        return self.act_sharding(x) if self.act_sharding is not None else x
+
+    @nn.compact
+    def __call__(self, x):
+        ln = partial(nn.LayerNorm, dtype=jnp.float32,
+                     param_dtype=jnp.float32)
+        mha = partial(MHA, num_heads=self.num_heads,
+                      compute_dtype=self.compute_dtype)
+        # Spatial: tokens within a frame attend; (B, T) are batch axes.
+        y = ln(name="ln_s")(x).astype(self.compute_dtype)
+        x = self._pin(x + mha(name="attn_s")(y).astype(x.dtype))
+        # Temporal: same patch position across frames; (B, N) are batch.
+        y = ln(name="ln_t")(x).astype(self.compute_dtype)
+        y = jnp.swapaxes(y, 1, 2)                       # [B, N, T, D]
+        y = mha(name="attn_t")(y)
+        x = self._pin(x + jnp.swapaxes(y, 1, 2).astype(x.dtype))
+        y = ln(name="ln_m")(x).astype(self.compute_dtype)
+        return self._pin(x + MLP(self.hidden_mult, self.compute_dtype,
+                                 name="mlp")(y).astype(x.dtype))
+
+
+class VideoViT(nn.Module):
+    """Factorized space-time ViT: [B, T, H, W, C] clips → logits.
+
+    T must be divisible by tubelet_t and H, W by patch. Residual stream
+    is float32 (parameters' dtype); matmuls run in `compute_dtype`.
+    """
+    num_classes: int
+    depth: int = 4
+    dim: int = 192
+    num_heads: int = 3
+    patch: int = 16
+    tubelet_t: int = 2
+    hidden_mult: int = 4
+    compute_dtype: Any = jnp.bfloat16
+    remat: bool = False
+    act_sharding: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, clips):
+        b, t, h, w, c = clips.shape
+        assert t % self.tubelet_t == 0 and h % self.patch == 0 \
+            and w % self.patch == 0, (clips.shape, self.tubelet_t, self.patch)
+        x = clips.astype(self.compute_dtype)
+        x = nn.Conv(self.dim,
+                    kernel_size=(self.tubelet_t, self.patch, self.patch),
+                    strides=(self.tubelet_t, self.patch, self.patch),
+                    padding="VALID", dtype=self.compute_dtype,
+                    param_dtype=jnp.float32, name="tubelet")(x)
+        tt, hh, ww = x.shape[1:4]
+        x = x.reshape(b, tt, hh * ww, self.dim).astype(jnp.float32)
+        pos_s = self.param("pos_spatial", nn.initializers.normal(0.02),
+                           (hh * ww, self.dim))
+        pos_t = self.param("pos_temporal", nn.initializers.normal(0.02),
+                           (tt, self.dim))
+        x = x + pos_s[None, None] + pos_t[None, :, None]
+        if self.act_sharding is not None:
+            x = self.act_sharding(x)
+        block = FactorizedBlock
+        if self.remat:
+            block = nn.remat(block)
+        for i in range(self.depth):
+            x = block(num_heads=self.num_heads, hidden_mult=self.hidden_mult,
+                      compute_dtype=self.compute_dtype,
+                      act_sharding=self.act_sharding, name=f"block{i}")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
+        x = x.mean(axis=(1, 2))                          # global token pool
+        return nn.Dense(self.num_classes, dtype=jnp.float32,
+                        name="head")(x)
+
+
+# ---------------------------------------------------------------------------
+# Sharding: Megatron tensor parallelism + dp batch parallelism.
+# ---------------------------------------------------------------------------
+
+def vit_param_specs(params, tp_axis: str = "mp"):
+    """PartitionSpec pytree for VideoViT params (Megatron schedule).
+
+    q/k/v kernels (D, H, dh): heads column-sharded → P(None, tp, None);
+    out kernel (H, dh, D): row-sharded → P(tp, None, None) (GSPMD inserts
+    the psum); MLP fc1 (D, F) column- / fc2 (F, D) row-sharded; matching
+    bias shards; everything else replicated.
+    """
+    def spec(path, x):
+        names = [getattr(k, "key", None) for k in path]
+        leaf = names[-1]
+        if any(n in ("query", "key", "value") for n in names):
+            if leaf == "kernel":
+                return P(None, tp_axis, None)
+            if leaf == "bias":
+                return P(tp_axis, None)
+        if "out" in names and leaf == "kernel":
+            return P(tp_axis, None, None)
+        if "fc1" in names:
+            return P(None, tp_axis) if leaf == "kernel" else P(tp_axis)
+        if "fc2" in names and leaf == "kernel":
+            return P(tp_axis, None)
+        return P()
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def make_act_sharding(mesh, seq_axis: Optional[str]):
+    """Residual-stream pin: [B, T, N, D] with batch on dp and (optionally)
+    the spatial-token axis on `seq_axis` (sequence parallelism)."""
+    s = NamedSharding(mesh, P("dp", None, seq_axis, None))
+
+    def pin(x):
+        return jax.lax.with_sharding_constraint(x, s)
+    return pin
+
+
+def init_vit(rng, model: VideoViT, clip_shape: Tuple[int, ...]):
+    """Initializes the param pytree for `clip_shape` clips."""
+    return model.init(rng, jnp.zeros(clip_shape, jnp.float32))
+
+
+def make_vit_train_step(mesh, model: VideoViT, tx, tp_axis: str = "mp"):
+    """Builds (shard_params, step): an arrow-of-time training step jitted
+    over `mesh` — dp shards the clip batch, `tp_axis` shards
+    heads/MLP-hidden (tensor parallel); construct the model with
+    `act_sharding=make_act_sharding(mesh, "sp")` for sequence parallelism
+    on top.
+
+    step(params, opt_state, clips, flip_mask) -> (params, opt_state,
+    loss, acc); clips [B, T, H, W, C] float, flip_mask [B] bool. The
+    masked clips are time-reversed ON DEVICE and the mask is the label —
+    the same self-supervised task as python_examples/video_classifier.py.
+    """
+    data_s = NamedSharding(mesh, P("dp"))
+
+    def shard_params(params):
+        specs = vit_param_specs(params, tp_axis)
+        return jax.tree_util.tree_map(
+            lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+            params, specs)
+
+    def loss_fn(params, clips, labels):
+        logits = model.apply(params, clips)
+        loss = -jnp.take_along_axis(
+            jax.nn.log_softmax(logits), labels[:, None], axis=1).mean()
+        acc = (logits.argmax(-1) == labels).mean()
+        return loss, acc
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, clips, flip_mask):
+        clips = jax.lax.with_sharding_constraint(clips, data_s)
+        x = jnp.where(flip_mask[:, None, None, None, None],
+                      jnp.flip(clips, axis=1), clips)
+        labels = flip_mask.astype(jnp.int32)
+        (loss, acc), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, x, labels)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, acc
+
+    return shard_params, step
