@@ -4,3 +4,5 @@ from .transformer_net import (TransformerNet, init_params, gram_matrix,
                               style_transfer_loss)  # noqa: F401
 from .video_vit import (VideoViT, init_vit, make_act_sharding,  # noqa: F401
                         make_vit_train_step, vit_param_specs)
+from .moe import (VideoMoE, MoEMLP, make_moe_train_step,  # noqa: F401
+                  moe_param_specs)
