@@ -16,6 +16,7 @@ from .data import (ClipDataset, ClipLoader, FrameLoader, MultiStreamLoader,
                    ShardedClipLoader, ShardedStreamLoader)
 from .enums import (ColorStandard, FourCC, FrameRate, LogsLevel, LogsType,
                     Planes, ResizeType, StatusLevel)
+from .checkpoint import TrainCheckpointer
 from .ops.augment import AugmentConfig
 from .ops.mix import cutmix, mix_labels, mixup
 from .tensor_stream import FrameParameters, TensorStreamConverter
@@ -25,7 +26,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "TensorStreamConverter", "FrameParameters", "FrameLoader", "VideoWriter",
-    "AugmentConfig", "mixup", "cutmix", "mix_labels",
+    "AugmentConfig", "mixup", "cutmix", "mix_labels", "TrainCheckpointer",
     "ClipDataset", "ClipLoader", "MultiStreamLoader", "PooledStreamLoader",
     "ShardedClipDataset", "ShardedClipLoader", "ShardedStreamLoader",
     "StatusLevel", "LogsLevel",
