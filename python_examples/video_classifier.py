@@ -84,6 +84,13 @@ def main():
                         help="fuse RandomResizedCrop + flip + ColorJitter "
                              "into the loader's device program (one key "
                              "per clip; epochs re-draw)")
+    parser.add_argument("--ckpt-dir", default=None,
+                        help="checkpoint directory: saves model+optimizer "
+                             "shards AND the loader's clip cursor every "
+                             "--ckpt-every steps; if it already holds a "
+                             "step, training resumes from it (same data "
+                             "order, same optimizer state)")
+    parser.add_argument("--ckpt-every", type=int, default=50)
     args = parser.parse_args()
 
     if args.model == "vit":
@@ -139,6 +146,21 @@ def main():
                       scale=(0.5, 1.0), ratio=(0.75, 4 / 3), hflip=0.5,
                       brightness=0.4, contrast=0.4, saturation=0.4,
                       hue=0.05))
+    ckpt = None
+    step = 0
+    if args.ckpt_dir:
+        from tensor_stream_tpu import TrainCheckpointer
+        ckpt = TrainCheckpointer(args.ckpt_dir)
+        if ckpt.latest_step() is not None:
+            step, restored, cursor = ckpt.restore(
+                template={"params": params, "opt": opt_state})
+            params, opt_state = restored["params"], restored["opt"]
+            if cursor:
+                kw.update(epoch=cursor["epoch"],
+                          start_clip=cursor["start_clip"])
+            print(f"resumed from step {step} "
+                  f"(epoch {cursor['epoch']}, clip {cursor['start_clip']})"
+                  if cursor else f"resumed from step {step}")
     if len(args.input) == 1:
         loader = ClipLoader(args.input[0], **kw)
     else:  # corpus: one globally-shuffled epoch across every file
@@ -146,20 +168,24 @@ def main():
     print(f"{len(args.input)} file(s), {len(loader.starts)} clip starts, "
           f"{len(loader)} batches/epoch")
 
-    flip_rng = np.random.default_rng(args.seed)
-    step = 0
     t0 = time.perf_counter()
     try:
         while step < args.steps:
             for clips, starts in loader:
-                flip = jnp.asarray(
-                    flip_rng.random(clips.shape[0]) < 0.5)
+                # Flip draws keyed on the step (not a consumed stream):
+                # checkpoint resume replays the identical label sequence.
+                flip = jnp.asarray(np.random.default_rng(
+                    args.seed * 1_000_003 + step).random(clips.shape[0])
+                    < 0.5)
                 params, opt_state, loss, acc = train_step(
                     params, opt_state, clips, flip)
                 step += 1
                 if step % 5 == 0 or step == args.steps:
                     print(f"step {step}: loss {float(loss):.4f} "
                           f"acc {float(acc):.3f}")
+                if ckpt and step % args.ckpt_every == 0:
+                    ckpt.save(step, {"params": params, "opt": opt_state},
+                              loader_state=loader.state())
                 if step >= args.steps:
                     break
             # for-loop exhaustion = epoch boundary; loop to continue into
@@ -168,6 +194,10 @@ def main():
         eff = (step * args.batch * args.clip_len /
                max(loader.frames_decoded, 1))
         loader.close()
+        if ckpt:
+            ckpt.save(step, {"params": params, "opt": opt_state},
+                      loader_state=loader.state(), force=True)
+            ckpt.close()
     dt = time.perf_counter() - t0
     print(f"training done: {step} steps in {dt:.1f}s "
           f"({step * args.batch * args.clip_len / dt:.0f} frames/s, "

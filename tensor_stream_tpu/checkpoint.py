@@ -49,6 +49,8 @@ class TrainCheckpointer:
         """Writes `state` (any pytree of jax.Arrays, sharded or not) and
         an optional JSON-serializable loader cursor at `step`."""
         ocp = self._ocp
+        if step in self._mgr.all_steps():
+            return False  # idempotent: that step is already on disk
         items = {"state": ocp.args.StandardSave(state)}
         if loader_state is not None:
             items["loader"] = ocp.args.JsonSave(loader_state)
