@@ -17,6 +17,7 @@ from .data import (ClipDataset, ClipLoader, FrameLoader, MultiStreamLoader,
 from .enums import (ColorStandard, FourCC, FrameRate, LogsLevel, LogsType,
                     Planes, ResizeType, StatusLevel)
 from .checkpoint import TrainCheckpointer
+from .export import export_inference, load_inference
 from .ops.augment import AugmentConfig
 from .ops.mix import cutmix, mix_labels, mixup
 from .tensor_stream import FrameParameters, TensorStreamConverter
@@ -27,6 +28,7 @@ __version__ = "0.1.0"
 __all__ = [
     "TensorStreamConverter", "FrameParameters", "FrameLoader", "VideoWriter",
     "AugmentConfig", "mixup", "cutmix", "mix_labels", "TrainCheckpointer",
+    "export_inference", "load_inference",
     "ClipDataset", "ClipLoader", "MultiStreamLoader", "PooledStreamLoader",
     "ShardedClipDataset", "ShardedClipLoader", "ShardedStreamLoader",
     "StatusLevel", "LogsLevel",
