@@ -301,6 +301,38 @@ def bench_clip_sampling(lib, seconds, workers=0):
     return frames / elapsed, frames / max(int(decoded), 1)
 
 
+def bench_serving(seconds, n_streams=2, per_stream=8):
+    """StreamInferencer end-to-end: N streams of the 1080p fixture →
+    one batched 224² RGB dispatch per tick → a jitted reduction model,
+    double-buffered (decode overlaps device compute). Reports served
+    frames/sec across all streams — the many-camera inference path
+    (the headline measures one stream's data-loading path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensor_stream_tpu.enums import FourCC, Planes
+    from tensor_stream_tpu.serving import StreamInferencer
+
+    @jax.jit
+    def model(batch):
+        return batch.astype(jnp.float32).mean(axis=(1, 2, 3))
+
+    eng = StreamInferencer(
+        [VIDEO] * n_streams, model, per_stream=per_stream,
+        width=224, height=224, host_resize=True,
+        pixel_format=FourCC.RGB24, planes_pos=Planes.MERGED, loop=True)
+    try:
+        it = eng.stream()
+        next(it)  # pay all compiles before the timed window
+        t0 = time.perf_counter()
+        frames = 0
+        while time.perf_counter() - t0 < seconds:
+            frames += len(next(it).frames)
+        return frames / (time.perf_counter() - t0)
+    finally:
+        eng.close()
+
+
 def bench_fast_read_latency(lib, n_reads=200):
     """p50/p95 per-read latency of FAST-mode latest-frame reads (NV12,
     no VPP): the quantitative counterpart of the reference's ~3 ms/frame
@@ -445,6 +477,7 @@ def main():
     clip_fps, clip_eff = bench_clip_sampling(lib, half)
     stages["clip_sampling_fps"] = round(clip_fps, 1)
     stages["clip_sampling_efficiency"] = round(clip_eff, 3)
+    stages["serving_fps"] = round(bench_serving(half), 1)
     result = {
         "metric": "1080p_decode_to_224px_rgb_planar_f32_fps_per_chip",
         "value": round(fps, 2),

@@ -18,6 +18,7 @@ from .enums import (ColorStandard, FourCC, FrameRate, LogsLevel, LogsType,
                     Planes, ResizeType, StatusLevel)
 from .checkpoint import TrainCheckpointer
 from .export import export_inference, load_inference
+from .serving import StreamInferencer, StreamResult
 from .ops.augment import AugmentConfig
 from .ops.mix import cutmix, mix_labels, mixup
 from .tensor_stream import FrameParameters, TensorStreamConverter
@@ -29,6 +30,7 @@ __all__ = [
     "TensorStreamConverter", "FrameParameters", "FrameLoader", "VideoWriter",
     "AugmentConfig", "mixup", "cutmix", "mix_labels", "TrainCheckpointer",
     "export_inference", "load_inference",
+    "StreamInferencer", "StreamResult",
     "ClipDataset", "ClipLoader", "MultiStreamLoader", "PooledStreamLoader",
     "ShardedClipDataset", "ShardedClipLoader", "ShardedStreamLoader",
     "StatusLevel", "LogsLevel",

@@ -1,0 +1,140 @@
+"""StreamInferencer — continuous batched inference over many streams.
+
+The serving engine tying the ingest and model layers together: N
+streams (files, RTMP/RTSP feeds) decode through one MultiStreamLoader /
+PooledStreamLoader into a single [N*per_stream, ...] device batch per
+tick, one jitted (or jax.export-reloaded) model call services every
+stream at once — batches are where the MXU wants its work — and the
+results demux back to per-stream slices with their frame indices.
+
+The reference's serving story was one process per GPU with consumers
+pulling frames one at a time (python_examples/many_consumers.py);
+batching across streams is the TPU-shaped transpose of that design.
+
+Dispatch stays ASYNC: jax enqueues each model call and the loop only
+blocks one batch behind (double buffering), so host decode of batch
+k+1 overlaps device compute of batch k. Per-batch device latency and
+per-stream frame counts are tracked continuously (`stats()`).
+
+    from tensor_stream_tpu.serving import StreamInferencer
+    eng = StreamInferencer(["cam0.mp4", "cam1.mp4"], serve_fn,
+                           per_stream=4, width=224, height=224,
+                           pixel_format=FourCC.RGB24,
+                           planes_pos=Planes.MERGED, host_resize=True)
+    for r in eng.stream(max_batches=100):
+        push(r.stream, r.frames, r.outputs)   # per-stream slice
+    eng.close()
+"""
+import time
+from collections import namedtuple
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .data import MultiStreamLoader
+
+StreamResult = namedtuple("StreamResult", ("stream", "frames", "outputs"))
+StreamResult.__doc__ = """One stream's slice of a served batch.
+
+stream:  index into the engine's stream_urls
+frames:  frame indices (this stream's clock) of the rows
+outputs: the model outputs for those rows (leading axis = frames)
+"""
+
+
+class StreamInferencer:
+    """Batched many-stream inference with per-stream demux + stats."""
+
+    def __init__(self, stream_urls: Sequence[str], infer_fn: Callable,
+                 per_stream: int = 8, loader: Optional[Any] = None,
+                 **loader_kwargs):
+        """`infer_fn(batch) -> outputs` must keep the leading batch
+        axis (any pytree of arrays with that axis works). Pass a
+        prebuilt Multi/PooledStreamLoader via `loader`, or let the
+        engine build a MultiStreamLoader from `stream_urls` and
+        `loader_kwargs` (loop=True for endless service)."""
+        self.infer_fn = infer_fn
+        self.per_stream = per_stream
+        self._own_loader = loader is None
+        self.loader = loader if loader is not None else MultiStreamLoader(
+            stream_urls, per_stream=per_stream, **loader_kwargs)
+        self._n_streams = len(stream_urls)
+        self._frames = [0] * self._n_streams
+        self._batches = 0
+        self._lat_ms = []
+        self._t0 = None
+
+    # -------------------------------------------------------------- core
+
+    def stream(self, max_batches: Optional[int] = None):
+        """Generator of StreamResult — one per stream per batch, in
+        stream order. Double-buffered: the model call for batch k+1 is
+        enqueued before batch k's results are awaited."""
+        pending = None  # (dispatch_t, outputs, indices)
+        fetched = 0
+        self._t0 = self._t0 or time.perf_counter()
+        it = iter(self.loader)
+        while max_batches is None or fetched < max_batches:
+            try:
+                batch, indices = next(it)
+            except StopIteration:
+                break
+            fetched += 1
+            t_dispatch = time.perf_counter()
+            nxt = (t_dispatch, self.infer_fn(batch), indices)
+            if pending is not None:
+                yield from self._drain(pending)
+            pending = nxt
+        if pending is not None:
+            yield from self._drain(pending)
+
+    def _drain(self, item):
+        t_dispatch, outputs, indices = item
+        outputs = jax.block_until_ready(outputs)
+        self._lat_ms.append((time.perf_counter() - t_dispatch) * 1e3)
+        self._batches += 1
+        row = 0
+        for stream in sorted(indices):
+            frames = indices[stream]
+            n = len(frames)
+            sl = jax.tree_util.tree_map(
+                lambda o: o[row:row + n], outputs)
+            self._frames[stream] += n
+            row += n
+            yield StreamResult(stream, frames, sl)
+
+    def run(self, callback: Callable[[StreamResult], None],
+            max_batches: Optional[int] = None):
+        """Drives stream() to completion, invoking callback per result."""
+        for r in self.stream(max_batches):
+            callback(r)
+
+    # ------------------------------------------------------------- stats
+
+    def stats(self) -> dict:
+        """Continuous counters: batches, per-stream frames, device-call
+        latency percentiles (ms), aggregate fps since first dispatch."""
+        lat = np.asarray(self._lat_ms, np.float64)
+        total = int(sum(self._frames))
+        dt = (time.perf_counter() - self._t0) if self._t0 else 0.0
+        return {
+            "batches": self._batches,
+            "frames": dict(enumerate(self._frames)),
+            "total_frames": total,
+            "latency_ms": {
+                "p50": float(np.percentile(lat, 50)) if lat.size else None,
+                "p95": float(np.percentile(lat, 95)) if lat.size else None,
+            },
+            "fps": (total / dt) if dt > 0 else 0.0,
+        }
+
+    def close(self):
+        if self._own_loader:
+            self.loader.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

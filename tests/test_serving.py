@@ -1,0 +1,115 @@
+"""StreamInferencer: demux correctness, async double-buffering liveness,
+stats counters, and service through a jax.export artifact."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensor_stream_tpu import FourCC, FrameLoader, Planes
+from tensor_stream_tpu.serving import StreamInferencer
+
+from conftest import BUNNY
+
+needs_fixture = pytest.mark.skipif(not os.path.exists(BUNNY),
+                                   reason="reference fixtures absent")
+
+KW = dict(width=64, height=48, pixel_format=FourCC.RGB24,
+          planes_pos=Planes.MERGED, host_resize=True)
+
+
+@needs_fixture
+def test_identity_demux_matches_single_loader():
+    """infer_fn=identity over two copies of the same stream: each
+    stream's results carry its own consecutive frame clock, and the
+    bytes equal a standalone FrameLoader reading the same file."""
+    ref = FrameLoader(BUNNY, batch=3, **KW)
+    want = {}
+    for _ in range(2):
+        tensors, idx = next(ref)
+        for k, i in enumerate(idx):
+            want[i] = np.asarray(tensors[k])
+    ref.close()
+
+    with StreamInferencer([BUNNY, BUNNY], lambda x: x, per_stream=3,
+                          **KW) as eng:
+        results = list(eng.stream(max_batches=2))
+    # 2 batches x 2 streams, stream order inside each batch.
+    assert [r.stream for r in results] == [0, 1, 0, 1]
+    for r in results:
+        assert len(r.frames) == 3
+        for k, i in enumerate(r.frames):
+            np.testing.assert_array_equal(np.asarray(r.outputs[k]),
+                                          want[i],
+                                          err_msg=f"stream {r.stream} "
+                                                  f"frame {i}")
+    # Each stream saw the same consecutive clock.
+    s0 = [i for r in results if r.stream == 0 for i in r.frames]
+    s1 = [i for r in results if r.stream == 1 for i in r.frames]
+    assert s0 == s1 == sorted(s0)
+
+
+@needs_fixture
+def test_model_outputs_and_stats():
+    """A jitted reduction model: output rows bind to the right frames,
+    stats track batches/frames/latency/fps."""
+    @jax.jit
+    def brightness(batch):  # [B, H, W, 3] -> [B]
+        return batch.astype(jnp.float32).mean(axis=(1, 2, 3))
+
+    with StreamInferencer([BUNNY, BUNNY], brightness, per_stream=2,
+                          **KW) as eng:
+        results = list(eng.stream(max_batches=3))
+        stats = eng.stats()
+    assert stats["batches"] == 3
+    assert stats["frames"] == {0: 6, 1: 6}
+    assert stats["total_frames"] == 12
+    assert stats["latency_ms"]["p50"] is not None
+    assert stats["latency_ms"]["p50"] >= 0
+    assert stats["fps"] > 0
+    # Same file on both streams: identical brightness trajectories.
+    b0 = np.concatenate([np.asarray(r.outputs) for r in results
+                         if r.stream == 0])
+    b1 = np.concatenate([np.asarray(r.outputs) for r in results
+                         if r.stream == 1])
+    np.testing.assert_array_equal(b0, b1)
+    assert np.isfinite(b0).all() and b0.std() >= 0
+
+
+@needs_fixture
+def test_serving_from_exported_artifact(tmp_path):
+    """The engine serves a jax.export artifact reloaded without model
+    code — the full production path (batch-polymorphic export)."""
+    from tensor_stream_tpu.export import export_inference, load_inference
+
+    @jax.jit
+    def model(batch):
+        return batch.astype(jnp.float32).mean(axis=(1, 2, 3))
+
+    path = str(tmp_path / "m.shlo")
+    export_inference(model, (jnp.zeros((4, 48, 64, 3), jnp.uint8),),
+                     path, batch_poly=True)
+    serve = load_inference(path)
+
+    with StreamInferencer([BUNNY, BUNNY], serve, per_stream=2,
+                          **KW) as eng:
+        results = list(eng.stream(max_batches=2))
+    assert len(results) == 4
+    with StreamInferencer([BUNNY, BUNNY], model, per_stream=2,
+                          **KW) as eng:
+        direct = list(eng.stream(max_batches=2))
+    for a, b in zip(results, direct):
+        assert a.stream == b.stream and a.frames == b.frames
+        np.testing.assert_array_equal(np.asarray(a.outputs),
+                                      np.asarray(b.outputs))
+
+
+@needs_fixture
+def test_run_callback_and_exhaustion():
+    """run() drives to stream exhaustion cleanly when the file ends."""
+    seen = []
+    with StreamInferencer([BUNNY], lambda x: x, per_stream=16,
+                          **KW) as eng:
+        eng.run(lambda r: seen.append(r.stream), max_batches=10_000)
+    assert seen and set(seen) == {0}
