@@ -6,3 +6,5 @@ from .video_vit import (VideoViT, init_vit, make_act_sharding,  # noqa: F401
                         make_vit_train_step, vit_param_specs)
 from .moe import (VideoMoE, MoEMLP, make_moe_train_step,  # noqa: F401
                   moe_param_specs)
+from .quantize import (quantize_weights, dequantize_weights,  # noqa: F401
+                       quantized_bytes, quantization_error)

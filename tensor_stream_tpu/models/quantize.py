@@ -1,0 +1,89 @@
+"""Weight-only int8 quantization for serving — HBM-bandwidth relief.
+
+TPU serving of small-batch video models is HBM-bound: every step
+streams the full parameter set from HBM while the MXU idles. Storing
+matmul weights as int8 with per-output-channel f32 scales halves (vs
+bf16) or quarters (vs f32) that traffic; XLA fuses the dequantize
+(int8 load → multiply by scale) into the consuming matmul, so weights
+cross HBM in int8 and expand only in VMEM. Classic weight-only PTQ:
+no calibration data needed, activations stay in the model's compute
+dtype, accuracy loss is bounded by the per-channel max-abs scaling
+(≤ 0.4% of each channel's range per weight).
+
+    qtree = quantize_weights(params)                 # int8 + scales
+    serve = jax.jit(lambda x: model.apply(dequantize_weights(qtree), x))
+
+Quantized leaves become {"q": int8, "scale": f32} records; anything
+not worth quantizing (biases, LayerNorm, positional embeddings, any
+vector) passes through untouched. `quantized_bytes` reports the real
+parameter footprint before/after.
+"""
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _is_qrecord(x) -> bool:
+    return isinstance(x, dict) and set(x) == {"q", "scale"}
+
+
+def quantize_weights(params: Any, min_size: int = 256) -> Any:
+    """int8-quantizes every float kernel with ndim >= 2 and at least
+    `min_size` elements, per OUTPUT channel (last axis): each output
+    column gets scale = max|w| / 127 — the per-channel symmetric
+    scheme every serving stack uses. Returns a pytree with
+    {"q", "scale"} records in place of quantized leaves."""
+    def quant(x):
+        if not hasattr(x, "dtype") or not jnp.issubdtype(x.dtype,
+                                                         jnp.floating):
+            return x
+        if x.ndim < 2 or x.size < min_size:
+            return x
+        w = jnp.asarray(x, jnp.float32)
+        scale = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)),
+                        keepdims=True) / 127.0
+        scale = jnp.where(scale == 0, 1.0, scale)
+        q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return {"q": q, "scale": scale.astype(jnp.float32)}
+    return jax.tree_util.tree_map(quant, params)
+
+
+def dequantize_weights(qtree: Any, dtype=jnp.float32) -> Any:
+    """Reconstructs a params pytree usable by model.apply. Call INSIDE
+    jit: XLA then keeps the int8 tensors as the HBM-resident form and
+    fuses the scale-multiply into the consuming matmul."""
+    def dequant(x):
+        if _is_qrecord(x):
+            return (x["q"].astype(jnp.float32) * x["scale"]).astype(dtype)
+        return x
+    return jax.tree_util.tree_map(dequant, qtree,
+                                  is_leaf=_is_qrecord)
+
+
+def quantized_bytes(tree: Any) -> int:
+    """Actual parameter bytes of a (possibly quantized) pytree."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        total += leaf.size * leaf.dtype.itemsize
+    return int(total)
+
+
+def quantization_error(params: Any, qtree: Any) -> float:
+    """Worst relative L2 error over the quantized leaves (sanity
+    metric: per-channel int8 sits around 1e-3..1e-2)."""
+    worst = 0.0
+    flat_p = jax.tree_util.tree_leaves(params)
+    flat_q = jax.tree_util.tree_leaves(
+        qtree, is_leaf=_is_qrecord)
+    for p, q in zip(flat_p, flat_q):
+        if not _is_qrecord(q):
+            continue
+        w = np.asarray(p, np.float64)
+        r = np.asarray(q["q"], np.float64) * np.asarray(q["scale"],
+                                                        np.float64)
+        denom = np.linalg.norm(w)
+        if denom > 0:
+            worst = max(worst, float(np.linalg.norm(w - r) / denom))
+    return worst
