@@ -16,7 +16,10 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SUITES = ["tests/test_vpp.py", "tests/test_pallas.py",
-          "tests/test_resize_crc.py", "tests/test_augment.py"]
+          "tests/test_resize_crc.py", "tests/test_augment.py",
+          # Proves the exported artifacts' tpu lowering actually runs
+          # on hardware (they claim platforms cpu+tpu).
+          "tests/test_export.py"]
 
 
 def next_round_tag():
