@@ -8,3 +8,4 @@ from .moe import (VideoMoE, MoEMLP, make_moe_train_step,  # noqa: F401
                   moe_param_specs)
 from .quantize import (quantize_weights, dequantize_weights,  # noqa: F401
                        quantized_bytes, quantization_error)
+from .streaming import init_stream_cache, stream_step  # noqa: F401

@@ -50,10 +50,12 @@ class MHA(nn.Module):
     """Multi-head attention over the last-but-one axis.
 
     Input [..., S, D]; leading axes are batch. Logits/softmax in f32,
-    everything else in `compute_dtype`.
+    everything else in `compute_dtype`. `causal=True` masks future
+    positions (used by the temporal pathway for streaming inference).
     """
     num_heads: int
     compute_dtype: Any = jnp.bfloat16
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -68,6 +70,10 @@ class MHA(nn.Module):
         scale = head_dim ** -0.5
         logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
                             preferred_element_type=jnp.float32) * scale
+        if self.causal:
+            s = x.shape[-2]
+            mask = jnp.tril(jnp.ones((s, s), bool))
+            logits = jnp.where(mask, logits, -jnp.inf)
         probs = jax.nn.softmax(logits, axis=-1).astype(self.compute_dtype)
         o = jnp.einsum("...hqk,...khd->...qhd", probs, v)
         return dense(features=d_model, axis=(-2, -1), name="out")(o)
@@ -94,11 +100,14 @@ class FactorizedBlock(nn.Module):
     precision-sensitive op); attention/MLP in `compute_dtype`.
     `act_sharding` (if set) re-pins the residual stream after every
     sub-layer so sequence-parallel layouts survive GSPMD propagation.
+    `causal=True` masks the temporal pathway (spatial stays full) —
+    the batch twin of the streaming KV-cache step (models/streaming.py).
     """
     num_heads: int
     hidden_mult: int = 4
     compute_dtype: Any = jnp.bfloat16
     act_sharding: Optional[Callable] = None
+    causal: bool = False
 
     def _pin(self, x):
         return self.act_sharding(x) if self.act_sharding is not None else x
@@ -115,7 +124,7 @@ class FactorizedBlock(nn.Module):
         # Temporal: same patch position across frames; (B, N) are batch.
         y = ln(name="ln_t")(x).astype(self.compute_dtype)
         y = jnp.swapaxes(y, 1, 2)                       # [B, N, T, D]
-        y = mha(name="attn_t")(y)
+        y = mha(name="attn_t", causal=self.causal)(y)
         x = self._pin(x + jnp.swapaxes(y, 1, 2).astype(x.dtype))
         y = ln(name="ln_m")(x).astype(self.compute_dtype)
         return self._pin(x + MLP(self.hidden_mult, self.compute_dtype,
@@ -138,6 +147,10 @@ class VideoViT(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     remat: bool = False
     act_sharding: Optional[Callable] = None
+    # causal=True: temporal attention masked, logits PER TUBELET STEP
+    # [B, T', classes] (pooled over tokens only) — the batch-mode twin
+    # of streaming inference (models/streaming.py).
+    causal: bool = False
 
     @nn.compact
     def __call__(self, clips):
@@ -165,9 +178,13 @@ class VideoViT(nn.Module):
         for i in range(self.depth):
             x = block(num_heads=self.num_heads, hidden_mult=self.hidden_mult,
                       compute_dtype=self.compute_dtype,
-                      act_sharding=self.act_sharding, name=f"block{i}")(x)
+                      act_sharding=self.act_sharding, causal=self.causal,
+                      name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
-        x = x.mean(axis=(1, 2))                          # global token pool
+        if self.causal:
+            x = x.mean(axis=2)               # per-step pool (tokens only)
+        else:
+            x = x.mean(axis=(1, 2))          # global token pool
         return nn.Dense(self.num_classes, dtype=jnp.float32,
                         name="head")(x)
 
