@@ -48,13 +48,23 @@ class StreamInferencer:
 
     def __init__(self, stream_urls: Sequence[str], infer_fn: Callable,
                  per_stream: int = 8, loader: Optional[Any] = None,
-                 **loader_kwargs):
+                 carry: Any = None, **loader_kwargs):
         """`infer_fn(batch) -> outputs` must keep the leading batch
         axis (any pytree of arrays with that axis works). Pass a
         prebuilt Multi/PooledStreamLoader via `loader`, or let the
         engine build a MultiStreamLoader from `stream_urls` and
-        `loader_kwargs` (loop=True for endless service)."""
+        `loader_kwargs` (loop=True for endless service).
+
+        STATEFUL models (e.g. the streaming KV-cache VideoViT): pass
+        the initial state as `carry`; infer_fn then has the signature
+        `infer_fn(carry, batch) -> (carry, outputs)`. The carry's batch
+        axis is the STREAM axis (n_streams rows, one temporal state per
+        stream) — set per_stream to the model's step size (tubelet_t
+        for stream_step) so each tick advances every stream one step.
+        Dispatch stays async: the carry chains device-side."""
         self.infer_fn = infer_fn
+        self.carry = carry
+        self._stateful = carry is not None
         self.per_stream = per_stream
         self._own_loader = loader is None
         self.loader = loader if loader is not None else MultiStreamLoader(
@@ -82,7 +92,11 @@ class StreamInferencer:
                 break
             fetched += 1
             t_dispatch = time.perf_counter()
-            nxt = (t_dispatch, self.infer_fn(batch), indices)
+            if self._stateful:
+                self.carry, out = self.infer_fn(self.carry, batch)
+            else:
+                out = self.infer_fn(batch)
+            nxt = (t_dispatch, out, indices)
             if pending is not None:
                 yield from self._drain(pending)
             pending = nxt
@@ -94,13 +108,19 @@ class StreamInferencer:
         outputs = jax.block_until_ready(outputs)
         self._lat_ms.append((time.perf_counter() - t_dispatch) * 1e3)
         self._batches += 1
+        # Stateless models emit one row per FRAME; stateful temporal
+        # models (KV-cache step) emit one row per STREAM per tick.
+        total = sum(len(v) for v in indices.values())
+        lead = jax.tree_util.tree_leaves(outputs)[0].shape[0]
+        per_stream_rows = lead == len(indices) and lead != total
         row = 0
-        for stream in sorted(indices):
+        for k, stream in enumerate(sorted(indices)):
             frames = indices[stream]
-            n = len(frames)
+            n = 1 if per_stream_rows else len(frames)
+            start = k if per_stream_rows else row
             sl = jax.tree_util.tree_map(
-                lambda o: o[row:row + n], outputs)
-            self._frames[stream] += n
+                lambda o: o[start:start + n], outputs)
+            self._frames[stream] += len(frames)
             row += n
             yield StreamResult(stream, frames, sl)
 

@@ -113,3 +113,60 @@ def test_run_callback_and_exhaustion():
                           **KW) as eng:
         eng.run(lambda r: seen.append(r.stream), max_batches=10_000)
     assert seen and set(seen) == {0}
+
+
+@needs_fixture
+def test_stateful_temporal_serving_matches_independent_streams():
+    """The streaming KV-cache VideoViT behind StreamInferencer: two
+    streams share one batched cache (stream axis = cache batch axis);
+    each stream's per-step logits equal an independent single-stream
+    stream_step run over the same frames."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from tensor_stream_tpu.models.streaming import (init_stream_cache,
+                                                    stream_step)
+    from tensor_stream_tpu.models.video_vit import VideoViT, init_vit
+
+    TUB, SIZE, STEPS = 2, 32, 3
+    model = VideoViT(num_classes=3, depth=2, dim=32, num_heads=2,
+                     patch=8, tubelet_t=TUB, compute_dtype=jnp.float32,
+                     causal=True)
+    params = init_vit(jax.random.PRNGKey(0), model,
+                      (2, TUB, SIZE, SIZE, 3))
+
+    skw = dict(width=SIZE, height=SIZE, pixel_format=FourCC.RGB24,
+               planes_pos=Planes.MERGED, host_resize=True,
+               normalization=True)
+
+    def make_infer(n_streams):
+        def infer(cache, batch):
+            frames = batch.reshape((n_streams, TUB) + batch.shape[1:])
+            return stream_step(model, params, cache, frames)
+        return jax.jit(infer)
+
+    cache = init_stream_cache(model, params, batch=2, max_steps=STEPS)
+    with StreamInferencer([BUNNY, BUNNY], make_infer(2), per_stream=TUB,
+                          carry=cache, **skw) as eng:
+        results = list(eng.stream(max_batches=STEPS))
+    assert [r.stream for r in results] == [0, 1] * STEPS
+    assert all(r.outputs.shape == (1, 3) for r in results)
+    assert all(len(r.frames) == TUB for r in results)
+
+    # Independent single-stream run over the same decoded frames.
+    cache1 = init_stream_cache(model, params, batch=1, max_steps=STEPS)
+    step1 = jax.jit(partial(stream_step, model, params))
+    loader = FrameLoader(BUNNY, batch=TUB, **skw)
+    try:
+        for t in range(STEPS):
+            tensors, idx = next(loader)
+            cache1, want = step1(cache1, tensors[None])
+            for r in results:
+                if r.frames == idx:
+                    np.testing.assert_allclose(
+                        np.asarray(r.outputs[0]), np.asarray(want[0]),
+                        rtol=1e-5, atol=1e-6,
+                        err_msg=f"stream {r.stream} step {t}")
+    finally:
+        loader.close()
