@@ -10,9 +10,12 @@ standard KV-cache serving schedule.
 
 Exact contract (tests/test_streaming.py): feeding a clip step-by-step
 through `stream_step` reproduces the batch causal forward's per-step
-logits. The cache is a fixed-size ring of `max_steps` (static shapes —
-jit-friendly); steps beyond the trained temporal extent clamp to the
-last positional embedding, and steps beyond `max_steps` raise.
+logits while `t < max_steps`. The cache is a fixed-size RING (static
+shapes — jit-friendly): step t writes slot `t % max_steps`, so beyond
+`max_steps` the attention window slides over the most recent
+`max_steps` steps (softmax is permutation-invariant over keys, so ring
+order never matters). Steps beyond the trained temporal extent clamp
+to the last positional embedding.
 
     model = VideoViT(num_classes=..., causal=True, ...)
     cache = init_stream_cache(model, params, batch=1, max_steps=64)
@@ -69,15 +72,17 @@ def _temporal_attn(p, y, cache_blk, t, compute_dtype):
         "bnd,dhk->bnhk", yt, p[name]["kernel"].astype(compute_dtype))
         + p[name]["bias"].astype(compute_dtype))
     q, k_new, v_new = proj("query"), proj("key"), proj("value")
-    kc = jax.lax.dynamic_update_index_in_dim(cache_blk["k"], k_new, t,
+    s = cache_blk["k"].shape[2]
+    slot = t % s                                        # sliding ring
+    kc = jax.lax.dynamic_update_index_in_dim(cache_blk["k"], k_new, slot,
                                              axis=2)
-    vc = jax.lax.dynamic_update_index_in_dim(cache_blk["v"], v_new, t,
+    vc = jax.lax.dynamic_update_index_in_dim(cache_blk["v"], v_new, slot,
                                              axis=2)
     head_dim = q.shape[-1]
     logits = jnp.einsum("bnhk,bnshk->bnhs", q, kc,
                         preferred_element_type=jnp.float32)
     logits = logits * (head_dim ** -0.5)
-    live = jnp.arange(kc.shape[2]) <= t                 # causal ring mask
+    live = jnp.arange(s) <= t        # all slots live once the ring wraps
     logits = jnp.where(live[None, None, None, :], logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
     o = jnp.einsum("bnhs,bnshk->bnhk", probs, vc)

@@ -124,3 +124,36 @@ def test_causal_model_trains():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_ring_slides_over_recent_steps():
+    """Past max_steps the cache is a ring: step t overwrites slot
+    t % S. Block-0 temporal k/v depend only on the current frame, so
+    they must match a large-cache run slot-for-slot after wrapping;
+    logits stay finite as the window slides."""
+    model = causal_vit()
+    params = init_vit(jax.random.PRNGKey(0), model, (B, T, H, W, 3))
+    S = 3
+    n_steps = S + 2
+    rng = np.random.default_rng(1)
+    frames = [jnp.asarray(rng.uniform(0, 1, (B, TUB, H, W, 3)),
+                          jnp.float32) for _ in range(n_steps)]
+
+    step = jax.jit(partial(stream_step, model, params))
+    ring = init_stream_cache(model, params, batch=B, max_steps=S)
+    big = init_stream_cache(model, params, batch=B, max_steps=n_steps)
+    for t in range(n_steps):
+        ring, ring_logits = step(ring, frames[t])
+        big, big_logits = step(big, frames[t])
+        assert np.isfinite(np.asarray(ring_logits)).all()
+        # Before the ring wraps the two runs are identical everywhere.
+        if t < S:
+            np.testing.assert_allclose(np.asarray(ring_logits),
+                                       np.asarray(big_logits),
+                                       rtol=2e-5, atol=2e-6)
+        # Block-0 k for step t sits at slot t%S and equals the
+        # large-cache entry for step t (history-independent at block 0).
+        np.testing.assert_allclose(
+            np.asarray(ring["blocks"][0]["k"][:, :, t % S]),
+            np.asarray(big["blocks"][0]["k"][:, :, t]),
+            rtol=1e-5, atol=1e-6, err_msg=f"step {t}")
