@@ -205,3 +205,45 @@ def test_sharded_bf16_step_descends():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+@needs_mesh
+def test_vit_train_step_on_sharded_clip_loader():
+    """Glue: ShardedClipLoader's dp-sharded global clip batches feed
+    make_vit_train_step on a 2D (dp, mp) mesh directly — the step's
+    sharding constraint reshards the 1D-dp arrays, loss finite and the
+    step descends over an epoch. NHWC merged RGB, augment-free."""
+    import os
+
+    from tensor_stream_tpu import FourCC, Planes, ShardedClipLoader
+
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "bbb_720x480_RGB24_250.h264")
+    if not os.path.exists(fix):
+        pytest.skip("fixture absent")
+    mesh = make_mesh(8, axes=("dp", "mp"))
+    model = tiny(compute_dtype=jnp.bfloat16, patch=16)
+    tx = optax.adam(1e-3)
+
+    loader = ShardedClipLoader(fix, clip_len=4, per_device=1, seed=3,
+                               workers=2, host_resize=True, width=32,
+                               height=32, pixel_format=FourCC.RGB24,
+                               planes_pos=Planes.MERGED,
+                               normalization=True)
+    try:
+        params = init_vit(jax.random.PRNGKey(0), model,
+                          (loader.batch, 4, 32, 32, 3))
+        shard_params, step = make_vit_train_step(mesh, model, tx)
+        sp = shard_params(params)
+        so = tx.init(sp)
+        rng = np.random.default_rng(0)
+        losses = []
+        for clips, starts in loader:
+            assert clips.shape == (8, 4, 32, 32, 3)
+            mask = rng.random(clips.shape[0]) < 0.5
+            sp, so, loss, acc = step(sp, so, clips, mask)
+            losses.append(float(loss))
+    finally:
+        loader.close()
+    assert len(losses) >= 3
+    assert np.isfinite(losses).all()
