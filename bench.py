@@ -323,7 +323,8 @@ def bench_serving(seconds, n_streams=2, per_stream=8):
         pixel_format=FourCC.RGB24, planes_pos=Planes.MERGED, loop=True)
     try:
         it = eng.stream()
-        next(it)  # pay all compiles before the timed window
+        for _ in range(n_streams):   # drain batch 1 fully: pay all
+            next(it)                 # compiles before the timed window
         t0 = time.perf_counter()
         frames = 0
         while time.perf_counter() - t0 < seconds:

@@ -87,9 +87,10 @@ def main():
     finally:
         stats = eng.stats()
         eng.close()
+    p50 = stats["latency_ms"]["p50"]
     print(f"served {stats['total_frames']} frames in {stats['batches']} "
-          f"batches: {stats['fps']:.0f} fps, device p50 "
-          f"{stats['latency_ms']['p50']:.2f} ms")
+          f"batches: {stats['fps']:.0f} fps"
+          + (f", result-wait p50 {p50:.2f} ms" if p50 is not None else ""))
 
 
 if __name__ == "__main__":

@@ -36,7 +36,7 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .video_vit import MHA
+from .video_vit import MHA, tubelet_embed
 
 
 class MoEMLP(nn.Module):
@@ -153,20 +153,7 @@ class VideoMoE(nn.Module):
 
     @nn.compact
     def __call__(self, clips):
-        b, t, h, w, c = clips.shape
-        x = clips.astype(self.compute_dtype)
-        x = nn.Conv(self.dim,
-                    kernel_size=(self.tubelet_t, self.patch, self.patch),
-                    strides=(self.tubelet_t, self.patch, self.patch),
-                    padding="VALID", dtype=self.compute_dtype,
-                    param_dtype=jnp.float32, name="tubelet")(x)
-        tt, hh, ww = x.shape[1:4]
-        x = x.reshape(b, tt, hh * ww, self.dim).astype(jnp.float32)
-        pos_s = self.param("pos_spatial", nn.initializers.normal(0.02),
-                           (hh * ww, self.dim))
-        pos_t = self.param("pos_temporal", nn.initializers.normal(0.02),
-                           (tt, self.dim))
-        x = x + pos_s[None, None] + pos_t[None, :, None]
+        x = tubelet_embed(self, clips)
         if self.act_sharding is not None:
             x = self.act_sharding(x)
         block = MoEBlock

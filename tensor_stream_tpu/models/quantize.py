@@ -29,13 +29,20 @@ def _is_qrecord(x) -> bool:
     return isinstance(x, dict) and set(x) == {"q", "scale"}
 
 
-def quantize_weights(params: Any, min_size: int = 256) -> Any:
-    """int8-quantizes every float kernel with ndim >= 2 and at least
-    `min_size` elements, per OUTPUT channel (last axis): each output
-    column gets scale = max|w| / 127 — the per-channel symmetric
-    scheme every serving stack uses. Returns a pytree with
-    {"q", "scale"} records in place of quantized leaves."""
-    def quant(x):
+def quantize_weights(params: Any, min_size: int = 256,
+                     weight_names=("kernel", "w1", "w2")) -> Any:
+    """int8-quantizes matmul weights — float leaves whose name is in
+    `weight_names` (flax Dense/DenseGeneral/Conv kernels, the MoE
+    expert stacks), ndim >= 2 and at least `min_size` elements — per
+    OUTPUT channel (last axis): each output column gets scale =
+    max|w| / 127, the per-channel symmetric scheme every serving stack
+    uses. Everything else (biases, LayerNorm, positional embeddings)
+    passes through untouched. Returns a pytree with {"q", "scale"}
+    records in place of quantized leaves."""
+    def quant(path, x):
+        name = getattr(path[-1], "key", None) if path else None
+        if name not in weight_names:
+            return x
         if not hasattr(x, "dtype") or not jnp.issubdtype(x.dtype,
                                                          jnp.floating):
             return x
@@ -47,7 +54,7 @@ def quantize_weights(params: Any, min_size: int = 256) -> Any:
         scale = jnp.where(scale == 0, 1.0, scale)
         q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
         return {"q": q, "scale": scale.astype(jnp.float32)}
-    return jax.tree_util.tree_map(quant, params)
+    return jax.tree_util.tree_map_with_path(quant, params)
 
 
 def dequantize_weights(qtree: Any, dtype=jnp.float32) -> Any:

@@ -131,6 +131,31 @@ class FactorizedBlock(nn.Module):
                                  name="mlp")(y).astype(x.dtype))
 
 
+def tubelet_embed(m: nn.Module, clips):
+    """Shared stem: tubelet Conv3D + factorized positional embeddings.
+
+    Creates its params ("tubelet", "pos_spatial", "pos_temporal") in
+    the CALLER's scope — VideoViT, VideoMoE and the pipeline's embed
+    twin all share this code and stay checkpoint-compatible. `m` needs
+    dim/patch/tubelet_t/compute_dtype attributes.
+    """
+    b, t, h, w, c = clips.shape
+    assert t % m.tubelet_t == 0 and h % m.patch == 0 \
+        and w % m.patch == 0, (clips.shape, m.tubelet_t, m.patch)
+    x = clips.astype(m.compute_dtype)
+    x = nn.Conv(m.dim, kernel_size=(m.tubelet_t, m.patch, m.patch),
+                strides=(m.tubelet_t, m.patch, m.patch),
+                padding="VALID", dtype=m.compute_dtype,
+                param_dtype=jnp.float32, name="tubelet")(x)
+    tt, hh, ww = x.shape[1:4]
+    x = x.reshape(b, tt, hh * ww, m.dim).astype(jnp.float32)
+    pos_s = m.param("pos_spatial", nn.initializers.normal(0.02),
+                    (hh * ww, m.dim))
+    pos_t = m.param("pos_temporal", nn.initializers.normal(0.02),
+                    (tt, m.dim))
+    return x + pos_s[None, None] + pos_t[None, :, None]
+
+
 class VideoViT(nn.Module):
     """Factorized space-time ViT: [B, T, H, W, C] clips → logits.
 
@@ -154,22 +179,7 @@ class VideoViT(nn.Module):
 
     @nn.compact
     def __call__(self, clips):
-        b, t, h, w, c = clips.shape
-        assert t % self.tubelet_t == 0 and h % self.patch == 0 \
-            and w % self.patch == 0, (clips.shape, self.tubelet_t, self.patch)
-        x = clips.astype(self.compute_dtype)
-        x = nn.Conv(self.dim,
-                    kernel_size=(self.tubelet_t, self.patch, self.patch),
-                    strides=(self.tubelet_t, self.patch, self.patch),
-                    padding="VALID", dtype=self.compute_dtype,
-                    param_dtype=jnp.float32, name="tubelet")(x)
-        tt, hh, ww = x.shape[1:4]
-        x = x.reshape(b, tt, hh * ww, self.dim).astype(jnp.float32)
-        pos_s = self.param("pos_spatial", nn.initializers.normal(0.02),
-                           (hh * ww, self.dim))
-        pos_t = self.param("pos_temporal", nn.initializers.normal(0.02),
-                           (tt, self.dim))
-        x = x + pos_s[None, None] + pos_t[None, :, None]
+        x = tubelet_embed(self, clips)
         if self.act_sharding is not None:
             x = self.act_sharding(x)
         block = FactorizedBlock

@@ -49,24 +49,21 @@ from ..models.video_vit import FactorizedBlock, VideoViT
 def make_pp_mesh(n_devices: int | None = None, pp: int | None = None,
                  axes: Tuple[str, str] = ("dp", "pp")) -> Mesh:
     """("dp", "pp") mesh: pp defaults to the largest divisor <= sqrt(n)
-    (same factoring policy as make_mesh)."""
+    (delegates to make_mesh's factoring)."""
+    from .sharding import make_mesh
+    if pp is None:
+        return make_mesh(n_devices, axes=axes)
     devices = jax.devices()
     n = n_devices or len(devices)
-    if pp is None:
-        import math
-        pp = 1
-        for cand in range(int(math.isqrt(n)), 0, -1):
-            if n % cand == 0:
-                pp = cand
-                break
     assert n % pp == 0, (n, pp)
     return Mesh(np.asarray(devices[:n]).reshape(n // pp, pp), axes)
 
 
 class _Embed(nn.Module):
     """Tubelet + positional embedding (VideoViT.__call__ up to the
-    blocks); param names (tubelet, pos_spatial, pos_temporal) match the
-    full model's so the outer subtree slots in unchanged."""
+    blocks); shares models.video_vit.tubelet_embed, so the param names
+    (tubelet, pos_spatial, pos_temporal) match the full model's and the
+    outer subtree slots in unchanged."""
     dim: int
     patch: int
     tubelet_t: int
@@ -74,20 +71,8 @@ class _Embed(nn.Module):
 
     @nn.compact
     def __call__(self, clips):
-        b = clips.shape[0]
-        x = clips.astype(self.compute_dtype)
-        x = nn.Conv(self.dim, kernel_size=(self.tubelet_t, self.patch,
-                                           self.patch),
-                    strides=(self.tubelet_t, self.patch, self.patch),
-                    padding="VALID", dtype=self.compute_dtype,
-                    param_dtype=jnp.float32, name="tubelet")(x)
-        tt, hh, ww = x.shape[1:4]
-        x = x.reshape(b, tt, hh * ww, self.dim).astype(jnp.float32)
-        pos_s = self.param("pos_spatial", nn.initializers.normal(0.02),
-                           (hh * ww, self.dim))
-        pos_t = self.param("pos_temporal", nn.initializers.normal(0.02),
-                           (tt, self.dim))
-        return x + pos_s[None, None] + pos_t[None, :, None]
+        from ..models.video_vit import tubelet_embed
+        return tubelet_embed(self, clips)
 
 
 class _Head(nn.Module):

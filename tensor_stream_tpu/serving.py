@@ -105,8 +105,12 @@ class StreamInferencer:
 
     def _drain(self, item):
         t_dispatch, outputs, indices = item
+        t0 = time.perf_counter()
         outputs = jax.block_until_ready(outputs)
-        self._lat_ms.append((time.perf_counter() - t_dispatch) * 1e3)
+        # Residual device wait AFTER the overlapped host work — the
+        # serving-relevant number (dispatch-to-now would fold the next
+        # batch's decode into "device latency").
+        self._lat_ms.append((time.perf_counter() - t0) * 1e3)
         self._batches += 1
         # Stateless models emit one row per FRAME; stateful temporal
         # models (KV-cache step) emit one row per STREAM per tick.
@@ -133,8 +137,10 @@ class StreamInferencer:
     # ------------------------------------------------------------- stats
 
     def stats(self) -> dict:
-        """Continuous counters: batches, per-stream frames, device-call
-        latency percentiles (ms), aggregate fps since first dispatch."""
+        """Continuous counters: batches, per-stream frames, result-wait
+        latency percentiles (ms — the residual device wait after the
+        overlapped host work; ~0 when host-bound), aggregate fps since
+        first dispatch."""
         lat = np.asarray(self._lat_ms, np.float64)
         total = int(sum(self._frames))
         dt = (time.perf_counter() - self._t0) if self._t0 else 0.0

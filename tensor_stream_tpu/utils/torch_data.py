@@ -38,8 +38,11 @@ class TorchFrameDataset(tud.IterableDataset):
 
     def __iter__(self):
         import torch.utils.data as tud
+        # get_worker_info() is non-None ONLY inside a DataLoader worker
+        # process — any num_workers >= 1 means we were forked, which
+        # would duplicate the native decode runtime and JAX state.
         info = tud.get_worker_info()
-        if info is not None and info.num_workers > 1:
+        if info is not None:
             raise RuntimeError(
                 "TorchFrameDataset requires num_workers=0: decode "
                 "parallelism lives in the native workers; forked "
