@@ -48,7 +48,8 @@ class StreamInferencer:
 
     def __init__(self, stream_urls: Sequence[str], infer_fn: Callable,
                  per_stream: int = 8, loader: Optional[Any] = None,
-                 carry: Any = None, **loader_kwargs):
+                 carry: Any = None, on_end: str = "stop",
+                 **loader_kwargs):
         """`infer_fn(batch) -> outputs` must keep the leading batch
         axis (any pytree of arrays with that axis works). Pass a
         prebuilt Multi/PooledStreamLoader via `loader`, or let the
@@ -61,11 +62,23 @@ class StreamInferencer:
         axis is the STREAM axis (n_streams rows, one temporal state per
         stream) — set per_stream to the model's step size (tubelet_t
         for stream_step) so each tick advances every stream one step.
-        Dispatch stays async: the carry chains device-side."""
+        Dispatch stays async: the carry chains device-side.
+
+        `on_end`: "stop" (default) ends service when ANY stream ends;
+        "drop" evicts exhausted streams (and their carry rows) and
+        keeps serving the survivors — the batch shrinks, so the model
+        must accept smaller batches (a jit refires per size; a
+        batch-polymorphic exported artifact always fits)."""
+        if on_end not in ("stop", "drop"):
+            raise ValueError(f"on_end must be 'stop' or 'drop': {on_end}")
+        if on_end == "drop" and loader is not None:
+            raise ValueError("on_end='drop' needs engine-owned loaders "
+                             "(omit the loader argument)")
         self.infer_fn = infer_fn
         self.carry = carry
         self._stateful = carry is not None
         self.per_stream = per_stream
+        self.on_end = on_end
         self._own_loader = loader is None
         self.loader = loader if loader is not None else MultiStreamLoader(
             stream_urls, per_stream=per_stream, **loader_kwargs)
@@ -74,6 +87,10 @@ class StreamInferencer:
         self._batches = 0
         self._lat_ms = []
         self._t0 = None
+        # on_end="drop": alive (stream_id, loader) pairs, sid-sorted —
+        # position in this list == row in the stateful carry.
+        self._alive = list(enumerate(self.loader.loaders)) \
+            if on_end == "drop" else None
 
     # -------------------------------------------------------------- core
 
@@ -87,7 +104,8 @@ class StreamInferencer:
         it = iter(self.loader)
         while max_batches is None or fetched < max_batches:
             try:
-                batch, indices = next(it)
+                batch, indices = (self._next_dropping()
+                                  if self.on_end == "drop" else next(it))
             except StopIteration:
                 break
             fetched += 1
@@ -102,6 +120,39 @@ class StreamInferencer:
             pending = nxt
         if pending is not None:
             yield from self._drain(pending)
+
+    def _next_dropping(self):
+        """One tick's batch from the alive streams; exhausted streams
+        are evicted (their carry row too, BEFORE the tick's dispatch,
+        so batch rows and carry rows always agree). StopIteration when
+        none survive."""
+        import jax.numpy as jnp
+        parts, indices = [], {}
+        evicted = 0
+        for row, (sid, ld) in enumerate(list(self._alive)):
+            try:
+                tensors, idx = next(ld)
+            except StopIteration:
+                self._evict(row - evicted, sid, ld)
+                evicted += 1
+                continue
+            parts.append(tensors)
+            indices[sid] = idx
+        if not parts:
+            raise StopIteration
+        return jnp.concatenate(parts, axis=0), indices
+
+    def _evict(self, row, sid, loader):
+        """Removes a finished stream: loader closed, carry row sliced
+        out (stateful engines), alive list updated."""
+        self._alive = [(s, l) for s, l in self._alive if s != sid]
+        loader.close()
+        if self._stateful and self.carry is not None:
+            import jax.numpy as jnp
+
+            def drop_row(x):
+                return jnp.concatenate([x[:row], x[row + 1:]], axis=0)
+            self.carry = jax.tree_util.tree_map(drop_row, self.carry)
 
     def _drain(self, item):
         t_dispatch, outputs, indices = item

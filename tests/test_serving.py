@@ -170,3 +170,64 @@ def test_stateful_temporal_serving_matches_independent_streams():
                         err_msg=f"stream {r.stream} step {t}")
     finally:
         loader.close()
+
+
+@needs_fixture
+def test_on_end_drop_keeps_serving_survivors():
+    """Streams of different lengths with on_end='drop': when the short
+    stream ends it is evicted (loader closed, stats frozen) and the
+    long stream keeps serving to ITS end — total frames per stream
+    equal each file's full length."""
+    import os
+    bbb = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "bbb_720x480_RGB24_250.h264")
+    if not os.path.exists(bbb):
+        pytest.skip("local fixture absent")
+    kw = dict(width=32, height=32, pixel_format=FourCC.RGB24,
+              planes_pos=Planes.MERGED, host_resize=True)
+    with StreamInferencer([BUNNY, bbb], lambda x: x, per_stream=5,
+                          on_end="drop", **kw) as eng:
+        results = list(eng.stream())
+        stats = eng.stats()
+    # bunny.mp4 has 241 frames, the bbb fixture 250 — every frame of
+    # BOTH streams was served despite the early bunny exhaustion.
+    assert stats["frames"] == {0: 241, 1: 250}
+    # bunny: 49 ticks (48 full + 1 partial), bbb: 50 — the final tick
+    # served the survivor alone.
+    assert results[-1].stream == 1
+    n0 = sum(1 for r in results if r.stream == 0)
+    n1 = sum(1 for r in results if r.stream == 1)
+    assert (n0, n1) == (49, 50)
+
+
+@needs_fixture
+def test_on_end_drop_evicts_carry_rows():
+    """Stateful drop mode: the carry's stream row is sliced out when
+    its stream dies, so batch rows and carry rows stay aligned."""
+    import os
+    bbb = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "bbb_720x480_RGB24_250.h264")
+    if not os.path.exists(bbb):
+        pytest.skip("local fixture absent")
+
+    def infer(carry, batch):
+        # Per-stream-row outputs: one row per carry row. Uses the carry
+        # so a batch/carry row mismatch would throw a shape error.
+        return carry + 1.0, carry[:, None]
+
+    kw = dict(width=32, height=32, pixel_format=FourCC.RGB24,
+              planes_pos=Planes.MERGED, host_resize=True)
+    carry0 = jnp.zeros((2,), jnp.float32)
+    with StreamInferencer([BUNNY, bbb], infer, per_stream=5,
+                          on_end="drop", carry=carry0, **kw) as eng:
+        results = list(eng.stream())
+        final = np.asarray(eng.carry)
+    # Every stream evicted by exhaustion: the carry ends empty.
+    assert final.shape == (0,)
+    # The survivor's final tick ran with a 1-row carry that had kept
+    # counting: output = pre-increment carry = tick index - 1 = 49.
+    last = results[-1]
+    assert last.stream == 1
+    assert np.asarray(last.outputs).shape == (1, 1)
+    assert float(np.asarray(last.outputs)[0, 0]) == 49.0
+    assert {r.stream for r in results} == {0, 1}
