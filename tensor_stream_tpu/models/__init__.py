@@ -9,3 +9,5 @@ from .moe import (VideoMoE, MoEMLP, make_moe_train_step,  # noqa: F401
 from .quantize import (quantize_weights, dequantize_weights,  # noqa: F401
                        quantized_bytes, quantization_error)
 from .streaming import init_stream_cache, stream_step  # noqa: F401
+from .video_vae import (VideoVAE, vae_loss,  # noqa: F401
+                        make_vae_train_step)
