@@ -1,0 +1,173 @@
+"""Latent video diffusion — DiT over Video-VAE latents, TPU-native.
+
+The generation-side capstone of the model zoo: clips from the loaders
+encode into the causal Video-VAE's latent space, a diffusion
+transformer (DiT) learns to denoise those latents, and DDIM sampling
+decodes new latents back through the VAE. The transformer REUSES the
+factorized space-time blocks (video_vit.FactorizedBlock — spatial then
+temporal attention, bf16 MXU matmuls), so all the parallelism
+machinery (tp specs, remat) applies unchanged; conditioning is
+in-context: the sinusoidal timestep embedding is projected and added
+to every token (the simple DiT variant — adaLN-zero is a drop-in
+refinement).
+
+Scheduler: DDPM cosine ᾱ schedule (Nichol & Dhariwal), ε-prediction
+MSE training, deterministic DDIM sampling under `lax.scan` (static
+step count, jit-friendly). All schedule tensors are precomputed
+numpy — nothing data-dependent inside jit.
+"""
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .video_vit import FactorizedBlock
+
+
+# --------------------------------------------------------------- schedule
+
+def cosine_alpha_bar(timesteps: int, s: float = 0.008) -> np.ndarray:
+    """ᾱ_t for t in [0, timesteps], cosine schedule; ᾱ_0 = 1."""
+    t = np.linspace(0, 1, timesteps + 1)
+    f = np.cos((t + s) / (1 + s) * np.pi / 2) ** 2
+    return (f / f[0]).astype(np.float32)
+
+
+class DiffusionSchedule:
+    """Precomputed DDPM/DDIM quantities (host numpy; indexable in jit)."""
+
+    def __init__(self, timesteps: int = 1000):
+        self.timesteps = timesteps
+        # Clip away the exact 0 at t=T (cos^2(pi/2)): x0-from-eps divides
+        # by sqrt(abar) — the standard beta<=0.999-style guard.
+        self.alpha_bar = jnp.asarray(
+            np.clip(cosine_alpha_bar(timesteps), 1e-5, 1.0))  # [T+1]
+
+    def q_sample(self, x0, t, noise):
+        """Forward process: x_t = sqrt(ᾱ_t) x0 + sqrt(1-ᾱ_t) ε.
+        t: [B] int in [1, timesteps]."""
+        ab = self.alpha_bar[t][:, None, None, None, None]
+        return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * noise
+
+    def x0_from_eps(self, xt, t, eps):
+        ab = self.alpha_bar[t][:, None, None, None, None]
+        return (xt - jnp.sqrt(1.0 - ab) * eps) / jnp.sqrt(ab)
+
+    def ddim_step(self, xt, t, t_prev, eps):
+        """Deterministic DDIM x_t → x_{t_prev} given predicted ε."""
+        x0 = self.x0_from_eps(xt, t, eps)
+        ab_prev = self.alpha_bar[t_prev][:, None, None, None, None]
+        return jnp.sqrt(ab_prev) * x0 + jnp.sqrt(1.0 - ab_prev) * eps
+
+
+# ------------------------------------------------------------------ model
+
+def timestep_embedding(t, dim: int, max_period: float = 10_000.0):
+    """Sinusoidal embedding of integer timesteps, [B] → [B, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(-np.log(max_period) * jnp.arange(half) / half)
+    args = t[:, None].astype(jnp.float32) * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class VideoDiT(nn.Module):
+    """ε-predictor over [B, T', h', w', Cz] latents.
+
+    Tokens = per-latent-pixel linear embed (latents are already 4-8x
+    compressed; patch=1 keeps N small); factorized space-time blocks;
+    the timestep embedding is added to every token (in-context
+    conditioning); linear head back to Cz channels, zero-init so the
+    initial prediction is 0 (training starts stable)."""
+    depth: int = 4
+    dim: int = 192
+    num_heads: int = 3
+    hidden_mult: int = 4
+    compute_dtype: Any = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, z, t):
+        b, tt, hh, ww, cz = z.shape
+        x = nn.Dense(self.dim, dtype=self.compute_dtype,
+                     param_dtype=jnp.float32, name="embed")(
+                         z.astype(self.compute_dtype))
+        x = x.reshape(b, tt, hh * ww, self.dim).astype(jnp.float32)
+        pos_s = self.param("pos_spatial", nn.initializers.normal(0.02),
+                           (hh * ww, self.dim))
+        pos_t = self.param("pos_temporal", nn.initializers.normal(0.02),
+                           (tt, self.dim))
+        temb = timestep_embedding(t, self.dim)
+        temb = nn.Dense(self.dim, dtype=jnp.float32, name="time_mlp1")(temb)
+        temb = nn.Dense(self.dim, dtype=jnp.float32,
+                        name="time_mlp2")(nn.silu(temb))
+        x = (x + pos_s[None, None] + pos_t[None, :, None]
+             + temb[:, None, None])
+        block = FactorizedBlock
+        if self.remat:
+            block = nn.remat(block)
+        for i in range(self.depth):
+            x = block(num_heads=self.num_heads,
+                      hidden_mult=self.hidden_mult,
+                      compute_dtype=self.compute_dtype,
+                      name=f"block{i}")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
+        eps = nn.Dense(cz, dtype=jnp.float32,
+                       kernel_init=nn.initializers.zeros,
+                       name="head")(x)
+        return eps.reshape(b, tt, hh, ww, cz)
+
+
+# --------------------------------------------------------------- training
+
+def make_diffusion_train_step(mesh, model: VideoDiT,
+                              schedule: DiffusionSchedule, tx):
+    """(shard_params, step) — dp-sharded ε-prediction MSE training on
+    latents. step(params, opt, latents, rng) -> (params, opt, loss)."""
+    data_s = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+
+    def shard_params(params):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, latents, rng):
+        latents = jax.lax.with_sharding_constraint(latents, data_s)
+        b = latents.shape[0]
+        rt, rn = jax.random.split(rng)
+        t = jax.random.randint(rt, (b,), 1, schedule.timesteps + 1)
+        noise = jax.random.normal(rn, latents.shape)
+        xt = schedule.q_sample(latents, t, noise)
+
+        def loss_fn(p):
+            eps = model.apply(p, xt, t)
+            return jnp.mean((eps - noise) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return shard_params, step
+
+
+def ddim_sample(model: VideoDiT, params, schedule: DiffusionSchedule,
+                rng, shape, n_steps: int = 50):
+    """Deterministic DDIM sampling: noise → latents, `n_steps` evenly
+    spaced through the schedule, one compiled scan."""
+    ts = np.linspace(schedule.timesteps, 0, n_steps + 1).round()
+    ts = jnp.asarray(ts.astype(np.int32))          # [n_steps+1], desc to 0
+    x = jax.random.normal(rng, shape)
+
+    def body(x, i):
+        t = jnp.full((shape[0],), ts[i], jnp.int32)
+        t_prev = jnp.full((shape[0],), ts[i + 1], jnp.int32)
+        eps = model.apply(params, x, t)
+        return schedule.ddim_step(x, t, t_prev, eps), None
+
+    x, _ = jax.lax.scan(body, x, jnp.arange(n_steps))
+    return x
