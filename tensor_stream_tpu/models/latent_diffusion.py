@@ -26,7 +26,7 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .video_vit import FactorizedBlock
+from .video_vit import FactorizedBlock, tubelet_embed
 
 
 # --------------------------------------------------------------- schedule
@@ -43,10 +43,15 @@ class DiffusionSchedule:
 
     def __init__(self, timesteps: int = 1000):
         self.timesteps = timesteps
-        # Clip away the exact 0 at t=T (cos^2(pi/2)): x0-from-eps divides
-        # by sqrt(abar) — the standard beta<=0.999-style guard.
+        # Nichol & Dhariwal's guard: clip the per-step BETAS at 0.999
+        # (not abar itself) — abar stays strictly decreasing all the
+        # way to t=T instead of flattening, and never reaches the exact
+        # 0 that would blow up x0-from-eps.
+        ab = cosine_alpha_bar(timesteps).astype(np.float64)
+        betas = np.clip(1.0 - ab[1:] / ab[:-1], 0.0, 0.999)
         self.alpha_bar = jnp.asarray(
-            np.clip(cosine_alpha_bar(timesteps), 1e-5, 1.0))  # [T+1]
+            np.concatenate([[1.0], np.cumprod(1.0 - betas)])
+            .astype(np.float32))                              # [T+1]
 
     def q_sample(self, x0, t, noise):
         """Forward process: x_t = sqrt(ᾱ_t) x0 + sqrt(1-ᾱ_t) ε.
@@ -78,35 +83,36 @@ def timestep_embedding(t, dim: int, max_period: float = 10_000.0):
 class VideoDiT(nn.Module):
     """ε-predictor over [B, T', h', w', Cz] latents.
 
-    Tokens = per-latent-pixel linear embed (latents are already 4-8x
-    compressed; patch=1 keeps N small); factorized space-time blocks;
-    the timestep embedding is added to every token (in-context
-    conditioning); linear head back to Cz channels, zero-init so the
-    initial prediction is 0 (training starts stable)."""
+    Tokens come from the SHARED tubelet stem (video_vit.tubelet_embed,
+    default tubelet_t=patch=1: a per-latent-pixel linear embed —
+    latents are already 4-8x compressed, so N stays small); factorized
+    space-time blocks; the timestep embedding is added to every token
+    (in-context conditioning); linear head back to Cz channels,
+    zero-init so the initial prediction is 0 (training starts stable)."""
     depth: int = 4
     dim: int = 192
     num_heads: int = 3
     hidden_mult: int = 4
+    patch: int = 1
+    tubelet_t: int = 1
     compute_dtype: Any = jnp.bfloat16
     remat: bool = False
 
     @nn.compact
     def __call__(self, z, t):
-        b, tt, hh, ww, cz = z.shape
-        x = nn.Dense(self.dim, dtype=self.compute_dtype,
-                     param_dtype=jnp.float32, name="embed")(
-                         z.astype(self.compute_dtype))
-        x = x.reshape(b, tt, hh * ww, self.dim).astype(jnp.float32)
-        pos_s = self.param("pos_spatial", nn.initializers.normal(0.02),
-                           (hh * ww, self.dim))
-        pos_t = self.param("pos_temporal", nn.initializers.normal(0.02),
-                           (tt, self.dim))
+        # The linear head writes one latent pixel per token; patchified
+        # stems would need an unpatchify head.
+        assert self.patch == 1 and self.tubelet_t == 1, \
+            (self.patch, self.tubelet_t)
+        b, tt_in, hh_in, ww_in, cz = z.shape
+        x = tubelet_embed(self, z)        # [B, T', N, D], pos included
         temb = timestep_embedding(t, self.dim)
         temb = nn.Dense(self.dim, dtype=jnp.float32, name="time_mlp1")(temb)
         temb = nn.Dense(self.dim, dtype=jnp.float32,
                         name="time_mlp2")(nn.silu(temb))
-        x = (x + pos_s[None, None] + pos_t[None, :, None]
-             + temb[:, None, None])
+        x = x + temb[:, None, None]
+        tt = tt_in // self.tubelet_t
+        hh, ww = hh_in // self.patch, ww_in // self.patch
         block = FactorizedBlock
         if self.remat:
             block = nn.remat(block)

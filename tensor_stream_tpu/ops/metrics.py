@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@partial(jax.jit, static_argnames=("max_val", "axes"))
 def psnr(a, b, max_val=1.0, axes=(-3, -2, -1)):
     """Peak signal-to-noise ratio in dB over `axes` (default: one
     value per leading batch/time element). Identical inputs → +inf."""

@@ -58,11 +58,15 @@ class StreamInferencer:
 
         STATEFUL models (e.g. the streaming KV-cache VideoViT): pass
         the initial state as `carry`; infer_fn then has the signature
-        `infer_fn(carry, batch) -> (carry, outputs)`. The carry's batch
-        axis is the STREAM axis (n_streams rows, one temporal state per
-        stream) — set per_stream to the model's step size (tubelet_t
-        for stream_step) so each tick advances every stream one step.
-        Dispatch stays async: the carry chains device-side.
+        `infer_fn(carry, batch) -> (carry, outputs)` and the engine
+        hands it batch = [n_streams, per_stream, ...] (STACKED per
+        stream — stream_step consumes it directly; set per_stream to
+        the model's step size, e.g. tubelet_t). The carry's leading
+        axis is the same stream axis. Ticks where a stream delivers
+        fewer than per_stream frames (its tail) end that stream: the
+        partial chunk is discarded, because a fixed-step temporal
+        model cannot consume it. Dispatch stays async: the carry
+        chains device-side.
 
         `on_end`: "stop" (default) ends service when ANY stream ends;
         "drop" evicts exhausted streams (and their carry rows) and
@@ -101,11 +105,12 @@ class StreamInferencer:
         pending = None  # (dispatch_t, outputs, indices)
         fetched = 0
         self._t0 = self._t0 or time.perf_counter()
-        it = iter(self.loader)
+        it = None if self.on_end == "drop" else iter(self.loader)
         while max_batches is None or fetched < max_batches:
             try:
                 batch, indices = (self._next_dropping()
-                                  if self.on_end == "drop" else next(it))
+                                  if self.on_end == "drop"
+                                  else self._next_stop(it))
             except StopIteration:
                 break
             fetched += 1
@@ -121,17 +126,34 @@ class StreamInferencer:
         if pending is not None:
             yield from self._drain(pending)
 
+    def _next_stop(self, it):
+        """Stop mode: the MultiStreamLoader's flat batch; for stateful
+        models re-stack to [n_streams, per_stream, ...], ending service
+        at the first ragged tick (a partial tail chunk)."""
+        import jax.numpy as jnp
+        batch, indices = next(it)
+        if not self._stateful:
+            return batch, indices
+        if any(len(v) != self.per_stream for v in indices.values()):
+            raise StopIteration  # fixed-step temporal model: tail ends it
+        return (batch.reshape((len(indices), self.per_stream)
+                              + batch.shape[1:]), indices)
+
     def _next_dropping(self):
         """One tick's batch from the alive streams; exhausted streams
         are evicted (their carry row too, BEFORE the tick's dispatch,
-        so batch rows and carry rows always agree). StopIteration when
-        none survive."""
+        so batch rows and carry rows always agree). Stateful models
+        additionally treat a partial (ragged) chunk as the stream's
+        end — their step size is fixed. StopIteration when none
+        survive."""
         import jax.numpy as jnp
         parts, indices = [], {}
         evicted = 0
         for row, (sid, ld) in enumerate(list(self._alive)):
             try:
                 tensors, idx = next(ld)
+                if self._stateful and len(idx) != self.per_stream:
+                    raise StopIteration  # discard the partial tail
             except StopIteration:
                 self._evict(row - evicted, sid, ld)
                 evicted += 1
@@ -140,6 +162,8 @@ class StreamInferencer:
             indices[sid] = idx
         if not parts:
             raise StopIteration
+        if self._stateful:
+            return jnp.stack(parts, axis=0), indices
         return jnp.concatenate(parts, axis=0), indices
 
     def _evict(self, row, sid, loader):

@@ -140,14 +140,12 @@ def test_stateful_temporal_serving_matches_independent_streams():
                planes_pos=Planes.MERGED, host_resize=True,
                normalization=True)
 
-    def make_infer(n_streams):
-        def infer(cache, batch):
-            frames = batch.reshape((n_streams, TUB) + batch.shape[1:])
-            return stream_step(model, params, cache, frames)
-        return jax.jit(infer)
+    # Stateful engines hand infer_fn [n_streams, per_stream, ...]
+    # directly — stream_step consumes it with no reshape.
+    infer = jax.jit(partial(stream_step, model, params))
 
     cache = init_stream_cache(model, params, batch=2, max_steps=STEPS)
-    with StreamInferencer([BUNNY, BUNNY], make_infer(2), per_stream=TUB,
+    with StreamInferencer([BUNNY, BUNNY], infer, per_stream=TUB,
                           carry=cache, **skw) as eng:
         results = list(eng.stream(max_batches=STEPS))
     assert [r.stream for r in results] == [0, 1] * STEPS
