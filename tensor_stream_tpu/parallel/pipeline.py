@@ -113,15 +113,19 @@ def _split_module(model: VideoViT):
 
 def init_pp_params(rng, model: VideoViT, clip_shape, n_stages: int):
     """(outer_params, stage_params): outer = embed+head leaves; stage =
-    per-block params stacked on a leading S axis (model.depth must be
-    divisible by n_stages; each stage then scans depth//S blocks —
-    currently restricted to depth == n_stages, one block per stage)."""
-    assert model.depth == n_stages, (
-        "pipeline stages currently map 1:1 to blocks "
-        f"(depth={model.depth}, stages={n_stages})")
+    per-block params stacked on leading [S, L] axes (S = pipeline
+    stages sharded P("pp"), L = depth // S blocks applied sequentially
+    inside each stage). model.depth must be divisible by n_stages;
+    blocks are assigned contiguously (stage s runs blocks
+    [s*L, (s+1)*L))."""
+    assert model.depth % n_stages == 0, (
+        f"depth={model.depth} not divisible by stages={n_stages}")
     full = model.init(rng, jnp.zeros(clip_shape, jnp.float32))["params"]
     blocks = [full.pop(f"block{i}") for i in range(model.depth)]
+    per_stage = model.depth // n_stages
     stage = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    stage = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_stages, per_stage) + x.shape[1:]), stage)
     return {"params": full}, {"params": stage}
 
 
@@ -142,10 +146,16 @@ def _pp_forward(mesh: Mesh, block, n_stages: int, n_micro: int):
         mb = b // M
         micro = tokens.reshape((M, mb) + tokens.shape[1:])
         stage = jax.lax.axis_index("pp")
+        # Local shard [1, L, ...] -> this stage's L block-param stack.
         params = jax.tree_util.tree_map(lambda p: p[0], stage_params)
 
         def apply_block(x):
-            return block.apply({"params": params}, x)
+            # The stage's L blocks run sequentially (scanned: one
+            # compiled block body regardless of L).
+            def body(h, blk):
+                return block.apply({"params": blk}, h), None
+            h, _ = jax.lax.scan(body, x, params)
+            return h
 
         def tick(carry, t):
             state, out = carry

@@ -82,8 +82,8 @@ def test_pp_grads_match_sequential():
                         jax.tree_util.tree_leaves(g_seq[name])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
-    for i in range(model.depth):  # stage i == block i
-        a_i = jax.tree_util.tree_map(lambda p: p[i], g_stage)
+    for i in range(model.depth):  # stage i, block 0 == block i (L=1)
+        a_i = jax.tree_util.tree_map(lambda p: p[i, 0], g_stage)
         for a, b in zip(jax.tree_util.tree_leaves(a_i),
                         jax.tree_util.tree_leaves(g_seq[f"block{i}"])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -125,3 +125,28 @@ def test_pp_train_step_descends():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+@needs_mesh
+def test_pp_multiple_blocks_per_stage():
+    """depth=8 on pp=4 (2 blocks per stage, scanned inside the stage):
+    forward parity with the sequential model and a descending train
+    step."""
+    mesh = make_pp_mesh(8, pp=4)
+    model = tiny(depth=8)
+    full = model.init(jax.random.PRNGKey(0), jnp.zeros(CLIP, jnp.float32))
+    outer, stage = init_pp_params(jax.random.PRNGKey(0), model, CLIP, 4)
+    k = stage["params"]["attn_s"]["query"]["kernel"]
+    assert k.shape[:2] == (4, 2)       # [stages, blocks-per-stage, ...]
+    clips = jax.random.uniform(jax.random.PRNGKey(1), CLIP)
+    want = np.asarray(jax.jit(model.apply)(full, clips))
+    got = np.asarray(pp_apply(mesh, model, outer, stage, clips, n_micro=2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    tx = optax.adam(3e-3)
+    shard_fn, step = make_pp_train_step(mesh, model, tx, n_micro=2)
+    outer, stage = shard_fn(outer, stage)
+    opt = tx.init((outer, stage))
+    mask = np.array([True, False] * 4)
+    outer, stage, opt, loss, acc = step(outer, stage, opt, clips, mask)
+    assert np.isfinite(float(loss))
