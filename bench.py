@@ -45,6 +45,49 @@ import os
 import time
 
 
+def _ensure_live_backend(
+        probe_seconds=float(os.environ.get("TS_BENCH_PROBE_S", "90"))):
+    """The axon TPU tunnel is intermittently dead: jax.devices() (or the
+    first dispatch) can hang for minutes, which would lose the round's
+    bench artifact entirely. Probe the default backend with a trivial
+    op under a watchdog; on timeout, re-exec the bench on the CPU
+    backend and mark the result. Runs BEFORE anyone imports jax."""
+    import subprocess
+    import sys
+    if os.environ.get("TS_BENCH_BACKEND_CHECKED"):
+        return os.environ.get("TS_BENCH_FALLBACK", "")
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        os.environ["TS_BENCH_BACKEND_CHECKED"] = "1"
+        return ""  # already CPU (or explicitly configured): no probe
+    code = ("import jax, jax.numpy as jnp; "
+            "(jnp.ones((8,8))*2).block_until_ready(); print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=probe_seconds, capture_output=True)
+        alive = r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        alive = False
+    env = dict(os.environ, TS_BENCH_BACKEND_CHECKED="1")
+    if alive:
+        os.environ["TS_BENCH_BACKEND_CHECKED"] = "1"
+        return ""
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["TS_BENCH_FALLBACK"] = "tpu_tunnel_dead_cpu_fallback"
+    if not sys.argv or sys.argv[0] in ("-c", "-m", ""):
+        # Not a plain script invocation: can't re-exec faithfully; the
+        # env is primed for any subprocess the caller spawns instead.
+        os.environ.update({k: env[k] for k in
+                           ("JAX_PLATFORMS", "TS_BENCH_FALLBACK",
+                            "TS_BENCH_BACKEND_CHECKED")})
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        return env["TS_BENCH_FALLBACK"]
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+_FALLBACK = _ensure_live_backend()
+
+
 VIDEO = os.environ.get(
     "TS_BENCH_VIDEO",
     "/root/reference/tests/resources/billiard_1920x1080_420_100.h264")
@@ -487,6 +530,9 @@ def main():
         "stages": stages,
         "scaling": bench_scaling(lib),
     }
+    if _FALLBACK or os.environ.get("TS_BENCH_FALLBACK"):
+        result["backend_fallback"] = (_FALLBACK or
+                                      os.environ["TS_BENCH_FALLBACK"])
     print(json.dumps(result))
     return result
 
