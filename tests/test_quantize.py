@@ -85,3 +85,40 @@ def test_quantized_export_roundtrip(tmp_path):
     reloaded = load_inference(path)
     np.testing.assert_array_equal(np.asarray(reloaded(clips)),
                                   np.asarray(jax.jit(serve)(clips)))
+
+
+def test_quantized_streaming_kv_cache_serves():
+    """Composition: int8 weight-only quantization + the causal
+    streaming KV-cache path — dequantize inside the jitted step, per-
+    step argmax matches the f32 streaming model."""
+    from functools import partial
+
+    from tensor_stream_tpu.models.streaming import (init_stream_cache,
+                                                    stream_step)
+    from tensor_stream_tpu.models.video_vit import VideoViT, init_vit
+
+    B, T, HW, TUB = 2, 8, 32, 2
+    model = VideoViT(num_classes=3, depth=2, dim=32, num_heads=2,
+                     patch=8, tubelet_t=TUB, compute_dtype=jnp.float32,
+                     causal=True)
+    params = init_vit(jax.random.PRNGKey(0), model, (B, T, HW, HW, 3))
+    qtree = quantize_weights(params)
+
+    def qstep(cache, frames):
+        return stream_step(model, dequantize_weights(qtree), cache,
+                           frames)
+
+    clips = jax.random.uniform(jax.random.PRNGKey(1), (B, T, HW, HW, 3))
+    steps = T // TUB
+    c_f32 = init_stream_cache(model, params, batch=B, max_steps=steps)
+    c_int8 = init_stream_cache(model, params, batch=B, max_steps=steps)
+    f32_step = jax.jit(partial(stream_step, model, params))
+    int8_step = jax.jit(qstep)
+    for t in range(steps):
+        frames = clips[:, t * TUB:(t + 1) * TUB]
+        c_f32, want = f32_step(c_f32, frames)
+        c_int8, got = int8_step(c_int8, frames)
+        got, want = np.asarray(got), np.asarray(want)
+        assert (got.argmax(-1) == want.argmax(-1)).all(), t
+        rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+        assert rel < 0.08, (t, rel)
