@@ -229,3 +229,35 @@ def test_on_end_drop_evicts_carry_rows():
     assert np.asarray(last.outputs).shape == (1, 1)
     assert float(np.asarray(last.outputs)[0, 0]) == 49.0
     assert {r.stream for r in results} == {0, 1}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@needs_fixture
+def test_multichip_serving_via_sharded_loader():
+    """Multi-chip serving: StreamInferencer over a ShardedStreamLoader —
+    each stream's frames live on their own chip, one pjit'd model call
+    services the global dp-sharded batch, per-stream demux matches the
+    single-device engine byte-for-byte."""
+    from tensor_stream_tpu import ShardedStreamLoader
+
+    @jax.jit
+    def model(batch):
+        return batch.astype(jnp.float32).mean(axis=(1, 2, 3))
+
+    urls = [BUNNY] * 4
+    sharded = ShardedStreamLoader(urls, per_stream=2, **KW)
+    with StreamInferencer(urls, model, per_stream=2,
+                          loader=sharded) as eng:
+        got = list(eng.stream(max_batches=2))
+    with StreamInferencer(urls, model, per_stream=2, **KW) as eng:
+        want = list(eng.stream(max_batches=2))
+    assert [(r.stream, r.frames) for r in got] == \
+           [(r.stream, r.frames) for r in want]
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a.outputs),
+                                      np.asarray(b.outputs))
+    # The sharded batch really was distributed: each stream's shard
+    # lives on its own device.
+    with ShardedStreamLoader(urls, per_stream=2, **KW) as ld:
+        batch, _ = next(iter(ld))
+        assert len(batch.sharding.device_set) == 4
