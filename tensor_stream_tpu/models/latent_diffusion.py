@@ -80,6 +80,49 @@ def timestep_embedding(t, dim: int, max_period: float = 10_000.0):
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
+class DiTBlock(nn.Module):
+    """Factorized space-time block with adaLN-zero conditioning (the
+    DiT recipe): each sublayer's LayerNorm is non-affine and modulated
+    by a (shift, scale, gate) triple regressed from the conditioning
+    vector, all zero-init — at initialization every block is exactly
+    the identity, so depth costs nothing at the start of training."""
+    num_heads: int
+    hidden_mult: int = 4
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, c):
+        d = x.shape[-1]
+        mods = nn.Dense(9 * d, kernel_init=nn.initializers.zeros,
+                        dtype=jnp.float32, name="adaLN")(nn.silu(c))
+        m = jnp.split(mods, 9, axis=-1)     # each [B, D]
+
+        def mod(h, shift, scale):
+            return h * (1 + scale[:, None, None]) + shift[:, None, None]
+
+        ln = partial(nn.LayerNorm, dtype=jnp.float32, use_bias=False,
+                     use_scale=False)
+        from .video_vit import MHA
+        mha = partial(MHA, num_heads=self.num_heads,
+                      compute_dtype=self.compute_dtype)
+        # Spatial attention.
+        y = mod(ln(name="ln_s")(x), m[0], m[1]).astype(self.compute_dtype)
+        x = x + m[2][:, None, None] * mha(name="attn_s")(y).astype(x.dtype)
+        # Temporal attention.
+        y = mod(ln(name="ln_t")(x), m[3], m[4]).astype(self.compute_dtype)
+        y = jnp.swapaxes(y, 1, 2)
+        y = mha(name="attn_t")(y)
+        x = x + m[5][:, None, None] * jnp.swapaxes(y, 1, 2).astype(x.dtype)
+        # MLP.
+        y = mod(ln(name="ln_m")(x), m[6], m[7]).astype(self.compute_dtype)
+        h = nn.Dense(self.hidden_mult * d, dtype=self.compute_dtype,
+                     param_dtype=jnp.float32, name="fc1")(y)
+        h = nn.gelu(h)
+        y = nn.Dense(d, dtype=self.compute_dtype,
+                     param_dtype=jnp.float32, name="fc2")(h)
+        return x + m[8][:, None, None] * y.astype(x.dtype)
+
+
 class VideoDiT(nn.Module):
     """ε-predictor over [B, T', h', w', Cz] latents.
 
@@ -97,6 +140,10 @@ class VideoDiT(nn.Module):
     tubelet_t: int = 1
     compute_dtype: Any = jnp.bfloat16
     remat: bool = False
+    # "adaln" (default, the DiT recipe: zero-init shift/scale/gate per
+    # sublayer — every block starts as the identity) or "in_context"
+    # (timestep embedding added to the tokens; plain FactorizedBlocks).
+    conditioning: str = "adaln"
 
     @nn.compact
     def __call__(self, z, t):
@@ -104,23 +151,31 @@ class VideoDiT(nn.Module):
         # stems would need an unpatchify head.
         assert self.patch == 1 and self.tubelet_t == 1, \
             (self.patch, self.tubelet_t)
+        assert self.conditioning in ("adaln", "in_context")
         b, tt_in, hh_in, ww_in, cz = z.shape
         x = tubelet_embed(self, z)        # [B, T', N, D], pos included
         temb = timestep_embedding(t, self.dim)
         temb = nn.Dense(self.dim, dtype=jnp.float32, name="time_mlp1")(temb)
         temb = nn.Dense(self.dim, dtype=jnp.float32,
                         name="time_mlp2")(nn.silu(temb))
-        x = x + temb[:, None, None]
         tt = tt_in // self.tubelet_t
         hh, ww = hh_in // self.patch, ww_in // self.patch
-        block = FactorizedBlock
-        if self.remat:
-            block = nn.remat(block)
-        for i in range(self.depth):
-            x = block(num_heads=self.num_heads,
-                      hidden_mult=self.hidden_mult,
-                      compute_dtype=self.compute_dtype,
-                      name=f"block{i}")(x)
+        if self.conditioning == "adaln":
+            block = nn.remat(DiTBlock) if self.remat else DiTBlock
+            for i in range(self.depth):
+                x = block(num_heads=self.num_heads,
+                          hidden_mult=self.hidden_mult,
+                          compute_dtype=self.compute_dtype,
+                          name=f"block{i}")(x, temb)
+        else:
+            x = x + temb[:, None, None]
+            block = nn.remat(FactorizedBlock) if self.remat \
+                else FactorizedBlock
+            for i in range(self.depth):
+                x = block(num_heads=self.num_heads,
+                          hidden_mult=self.hidden_mult,
+                          compute_dtype=self.compute_dtype,
+                          name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
         eps = nn.Dense(cz, dtype=jnp.float32,
                        kernel_init=nn.initializers.zeros,

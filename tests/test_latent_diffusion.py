@@ -73,9 +73,13 @@ def test_dit_shapes_and_zero_init_head():
 
 
 def test_timestep_conditioning_matters():
-    """After one gradient nudge the head is nonzero; different t must
-    produce different eps (the conditioning path is alive)."""
-    model = tiny_dit()
+    """In-context variant: after one gradient nudge the head is
+    nonzero; different t must produce different eps. (The adaln
+    variant needs two nudges — its modulation kernels sit behind the
+    zero head at init — and is covered by the training test below.)"""
+    model = VideoDiT(depth=2, dim=32, num_heads=2,
+                     compute_dtype=jnp.float32,
+                     conditioning="in_context")
     z = jax.random.normal(jax.random.PRNGKey(0), LAT)
     t = jnp.array([5, 50])
     params = model.init(jax.random.PRNGKey(1), z, t)
@@ -121,3 +125,55 @@ def test_diffusion_trains_on_vae_latents():
     recon = vae.apply(vparams, z, method=VideoVAE.decode)
     assert recon.shape == clips.shape
     assert np.isfinite(np.asarray(recon)).all()
+
+
+def test_adaln_blocks_are_identity_at_init():
+    """adaLN-zero: with zero-init modulation, every block is exactly
+    the identity at init — the token stream after all blocks equals the
+    embedded tokens, and logits are exactly 0 (zero head)."""
+    model = VideoDiT(depth=3, dim=32, num_heads=2,
+                     compute_dtype=jnp.float32, conditioning="adaln")
+    z = jax.random.normal(jax.random.PRNGKey(0), LAT)
+    t = jnp.array([5, 50])
+    params = model.init(jax.random.PRNGKey(1), z, t)
+    eps = jax.jit(model.apply)(params, z, t)
+    np.testing.assert_array_equal(np.asarray(eps), 0.0)
+
+
+def test_adaln_trains_and_conditions():
+    """The adaLN variant descends and the timestep modulates output."""
+    import optax
+    model = VideoDiT(depth=2, dim=32, num_heads=2,
+                     compute_dtype=jnp.float32, conditioning="adaln")
+    sched = DiffusionSchedule(100)
+    z = jax.random.normal(jax.random.PRNGKey(0), LAT)
+    params = model.init(jax.random.PRNGKey(1), z,
+                        jnp.zeros((LAT[0],), jnp.int32))
+    tx = optax.adam(2e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, rng):
+        rt, rn = jax.random.split(rng)
+        t = jax.random.randint(rt, (LAT[0],), 1, 101)
+        noise = jax.random.normal(rn, LAT)
+        xt = sched.q_sample(z, t, noise)
+
+        def loss_fn(p):
+            return jnp.mean((model.apply(p, xt, t) - noise) ** 2)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, updates), opt, loss
+
+    losses = []
+    for i in range(10):
+        params, opt, loss = step(params, opt,
+                                 jax.random.fold_in(jax.random.PRNGKey(2),
+                                                    i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # Conditioning path alive: different t, different eps.
+    e1 = np.asarray(model.apply(params, z, jnp.array([1, 1])))
+    e2 = np.asarray(model.apply(params, z, jnp.array([99, 99])))
+    assert not np.allclose(e1, e2)
