@@ -12,4 +12,5 @@ from .streaming import init_stream_cache, stream_step  # noqa: F401
 from .video_vae import (VideoVAE, vae_loss,  # noqa: F401
                         make_vae_train_step)
 from .latent_diffusion import (VideoDiT, DiffusionSchedule,  # noqa: F401
-                               make_diffusion_train_step, ddim_sample)
+                               make_diffusion_train_step, ddim_sample,
+                               make_conditional_diffusion_train_step)

@@ -144,9 +144,13 @@ class VideoDiT(nn.Module):
     # sublayer — every block starts as the identity) or "in_context"
     # (timestep embedding added to the tokens; plain FactorizedBlocks).
     conditioning: str = "adaln"
+    # > 0: class-conditional generation. Label num_classes is the
+    # NULL (unconditional) class — train with label dropout, sample
+    # with classifier-free guidance (cfg_eps / guidance_scale).
+    num_classes: int = 0
 
     @nn.compact
-    def __call__(self, z, t):
+    def __call__(self, z, t, y=None):
         # The linear head writes one latent pixel per token; patchified
         # stems would need an unpatchify head.
         assert self.patch == 1 and self.tubelet_t == 1, \
@@ -158,6 +162,12 @@ class VideoDiT(nn.Module):
         temb = nn.Dense(self.dim, dtype=jnp.float32, name="time_mlp1")(temb)
         temb = nn.Dense(self.dim, dtype=jnp.float32,
                         name="time_mlp2")(nn.silu(temb))
+        if self.num_classes:
+            assert y is not None, "class-conditional model needs labels"
+            # Index num_classes = the learned NULL embedding.
+            yemb = nn.Embed(self.num_classes + 1, self.dim,
+                            param_dtype=jnp.float32, name="label_embed")(y)
+            temb = temb + yemb
         tt = tt_in // self.tubelet_t
         hh, ww = hh_in // self.patch, ww_in // self.patch
         if self.conditioning == "adaln":
@@ -216,19 +226,72 @@ def make_diffusion_train_step(mesh, model: VideoDiT,
     return shard_params, step
 
 
+def make_conditional_diffusion_train_step(mesh, model: VideoDiT,
+                                          schedule: DiffusionSchedule, tx,
+                                          label_dropout: float = 0.1):
+    """Class-conditional twin of make_diffusion_train_step: labels ride
+    along, and `label_dropout` of them are replaced by the NULL class
+    per step — the classifier-free-guidance training recipe (Ho &
+    Salimans). step(params, opt, latents, labels, rng)."""
+    assert model.num_classes > 0
+    data_s = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+    null = model.num_classes
+
+    def shard_params(params):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, latents, labels, rng):
+        latents = jax.lax.with_sharding_constraint(latents, data_s)
+        b = latents.shape[0]
+        rt, rn, rd = jax.random.split(rng, 3)
+        t = jax.random.randint(rt, (b,), 1, schedule.timesteps + 1)
+        noise = jax.random.normal(rn, latents.shape)
+        xt = schedule.q_sample(latents, t, noise)
+        drop = jax.random.uniform(rd, (b,)) < label_dropout
+        y = jnp.where(drop, null, labels)
+
+        def loss_fn(p):
+            eps = model.apply(p, xt, t, y)
+            return jnp.mean((eps - noise) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return shard_params, step
+
+
 def ddim_sample(model: VideoDiT, params, schedule: DiffusionSchedule,
-                rng, shape, n_steps: int = 50):
+                rng, shape, n_steps: int = 50, y=None,
+                guidance_scale: float = 0.0):
     """Deterministic DDIM sampling: noise → latents, `n_steps` evenly
-    spaced through the schedule, one compiled scan."""
+    spaced through the schedule, one compiled scan.
+
+    Conditional models pass labels `y` [B]; guidance_scale w > 0
+    applies classifier-free guidance, eps = (1 + w)·eps(y) − w·eps(∅)
+    (two model calls per step)."""
     ts = np.linspace(schedule.timesteps, 0, n_steps + 1).round()
     ts = jnp.asarray(ts.astype(np.int32))          # [n_steps+1], desc to 0
     x = jax.random.normal(rng, shape)
+    null = jnp.full((shape[0],), model.num_classes, jnp.int32) \
+        if model.num_classes else None
+
+    def eps_fn(x, t):
+        if y is None:
+            return model.apply(params, x, t)
+        cond = model.apply(params, x, t, y)
+        if guidance_scale == 0.0:
+            return cond
+        uncond = model.apply(params, x, t, null)
+        return (1.0 + guidance_scale) * cond - guidance_scale * uncond
 
     def body(x, i):
         t = jnp.full((shape[0],), ts[i], jnp.int32)
         t_prev = jnp.full((shape[0],), ts[i + 1], jnp.int32)
-        eps = model.apply(params, x, t)
-        return schedule.ddim_step(x, t, t_prev, eps), None
+        return schedule.ddim_step(x, t, t_prev, eps_fn(x, t)), None
 
     x, _ = jax.lax.scan(body, x, jnp.arange(n_steps))
     return x
