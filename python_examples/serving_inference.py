@@ -49,6 +49,41 @@ def build_demo_model():
     return forward
 
 
+def serve_temporal(args):
+    """Stateful serving: all streams share ONE batched KV cache whose
+    batch axis is the stream axis; each tick advances every stream by
+    one tubelet with O(T) attention against the cache."""
+    from functools import partial
+
+    from tensor_stream_tpu.models.streaming import (init_stream_cache,
+                                                    stream_step)
+    from tensor_stream_tpu.models import VideoViT, init_vit
+
+    TUB = 2
+    n = len(args.input)
+    model = VideoViT(num_classes=4, depth=2, dim=64, num_heads=2,
+                     patch=16, tubelet_t=TUB, causal=True)
+    params = init_vit(jax.random.PRNGKey(0), model,
+                      (n, TUB, SIZE, SIZE, 3))
+    cache = init_stream_cache(model, params, batch=n, max_steps=256)
+    eng = StreamInferencer(args.input,
+                           jax.jit(partial(stream_step, model, params)),
+                           per_stream=TUB, carry=cache,
+                           width=SIZE, height=SIZE, host_resize=True,
+                           pixel_format=FourCC.RGB24,
+                           planes_pos=Planes.MERGED, normalization=True,
+                           loop=n > 1)
+    try:
+        for r in eng.stream(max_batches=args.batches):
+            top = int(jnp.argmax(r.outputs[0]))
+            print(f"stream {r.stream} t={r.frames[0]//TUB}: class {top}")
+    finally:
+        stats = eng.stats()
+        eng.close()
+    print(f"temporal served {stats['total_frames']} frames "
+          f"({stats['batches']} ticks, {stats['fps']:.0f} fps)")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("-i", "--input", nargs="+", default=[])
@@ -59,7 +94,16 @@ def main():
                     help="write the demo model artifact and exit")
     ap.add_argument("--per-stream", type=int, default=4)
     ap.add_argument("--batches", type=int, default=20)
+    ap.add_argument("--temporal", action="store_true",
+                    help="serve a CAUSAL VideoViT with a sliding-ring "
+                         "temporal KV cache: one batched cache row per "
+                         "stream, per-step logits with temporal context "
+                         "(random weights — swap in trained params)")
     args = ap.parse_args()
+
+    if args.temporal:
+        serve_temporal(args)
+        return
 
     if args.export:
         export_inference(build_demo_model(),
