@@ -46,12 +46,14 @@ import time
 
 
 def _ensure_live_backend(
-        probe_seconds=float(os.environ.get("TS_BENCH_PROBE_S", "90"))):
+        probe_seconds=float(os.environ.get("TS_BENCH_PROBE_S", "240"))):
     """The axon TPU tunnel is intermittently dead: jax.devices() (or the
     first dispatch) can hang for minutes, which would lose the round's
     bench artifact entirely. Probe the default backend with a trivial
     op under a watchdog; on timeout, re-exec the bench on the CPU
-    backend and mark the result. Runs BEFORE anyone imports jax."""
+    backend and mark the result. Runs BEFORE anyone imports jax.
+    240s default: the tunnel is sometimes merely slow (~minutes for
+    the first op) — prefer a slow chip number over a CPU fallback."""
     import subprocess
     import sys
     if os.environ.get("TS_BENCH_BACKEND_CHECKED"):
