@@ -61,14 +61,32 @@ def _ensure_live_backend(
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         os.environ["TS_BENCH_BACKEND_CHECKED"] = "1"
         return ""  # already CPU (or explicitly configured): no probe
-    code = ("import jax, jax.numpy as jnp; "
-            "(jnp.ones((8,8))*2).block_until_ready(); print('ok')")
+    # The probe must look like the bench: the tunnel sometimes flickers
+    # in a state where small ops land but real transfers stall — a
+    # trivial-op probe green-lights a bench that hangs on its first
+    # batch. Three rounds of a bench-sized host->device transfer plus a
+    # dispatch; if THIS can't finish inside the window, the chip bench
+    # would be garbage anyway and the CPU number is the better artifact.
+    code = ("import jax, jax.numpy as jnp, numpy as np\n"
+            "buf = np.ones(128 * 224 * 336, np.uint8)  # one NV12 batch\n"
+            "for _ in range(3):\n"
+            "    d = jax.device_put(buf)\n"
+            "    (d.astype(jnp.float32).sum()).block_until_ready()\n"
+            "print('ok')")
+    def _trace(msg):
+        if os.environ.get("TS_BENCH_TRACE"):
+            with open(os.environ["TS_BENCH_TRACE"], "a") as f:
+                f.write(msg + "\n")
+    import time as _t
+    _t0 = _t.time()
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            timeout=probe_seconds, capture_output=True)
         alive = r.returncode == 0 and b"ok" in r.stdout
+        _trace(f"probe rc={r.returncode} dt={_t.time()-_t0:.1f} alive={alive}")
     except subprocess.TimeoutExpired:
         alive = False
+        _trace(f"probe TIMEOUT dt={_t.time()-_t0:.1f}")
     env = dict(os.environ, TS_BENCH_BACKEND_CHECKED="1")
     if alive:
         os.environ["TS_BENCH_BACKEND_CHECKED"] = "1"
@@ -76,15 +94,66 @@ def _ensure_live_backend(
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["TS_BENCH_FALLBACK"] = "tpu_tunnel_dead_cpu_fallback"
-    if not sys.argv or sys.argv[0] in ("-c", "-m", ""):
-        # Not a plain script invocation: can't re-exec faithfully; the
-        # env is primed for any subprocess the caller spawns instead.
-        os.environ.update({k: env[k] for k in
-                           ("JAX_PLATFORMS", "TS_BENCH_FALLBACK",
-                            "TS_BENCH_BACKEND_CHECKED")})
-        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-        return env["TS_BENCH_FALLBACK"]
-    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    if sys.argv and os.path.basename(sys.argv[0]) == "bench.py":
+        # bench.py IS the process: restart it clean on the CPU backend.
+        # (execve replaces the whole process, so it is safe even though
+        # the axon sitecustomize imports jax at interpreter startup —
+        # which also means an in-process JAX_PLATFORMS override can
+        # never dodge the startup-claimed plugin.)
+        _trace("execve -> cpu")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    # Imported by some other script (or jax already loaded): never
+    # re-exec the host process — prime the env for it/subprocesses and
+    # report; if jax already claimed the dead backend we can't save it.
+    os.environ.update({k: env[k] for k in
+                       ("JAX_PLATFORMS", "TS_BENCH_FALLBACK",
+                        "TS_BENCH_BACKEND_CHECKED")})
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    return env["TS_BENCH_FALLBACK"]
+
+
+def _supervised_run():
+    """When the TPU probe passes, the bench can STILL stall later (the
+    tunnel flickers into a state where small ops land but the first
+    big remote compile/transfer hangs). Guarantee an artifact: the
+    parent runs the real bench in a child with a deadline
+    (TS_BENCH_TPU_TIMEOUT_S, default 1800 s); on timeout/failure it
+    reruns on the CPU backend with the fallback marker. Returns True
+    in the PARENT (result already printed), False in children."""
+    import subprocess
+    import sys
+    if os.environ.get("TS_BENCH_CHILD"):
+        return False
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False  # CPU already: no supervision needed
+    deadline = float(os.environ.get("TS_BENCH_TPU_TIMEOUT_S", "1800"))
+    env = dict(os.environ, TS_BENCH_CHILD="1")
+    argv = [sys.executable] + sys.argv
+    import time as _t
+    print(f"[bench-supervisor] tpu child, deadline {deadline}s",
+          file=sys.stderr, flush=True)
+    _t0 = _t.time()
+    try:
+        r = subprocess.run(argv, env=env, timeout=deadline,
+                           capture_output=True, text=True)
+        if r.returncode == 0 and r.stdout.strip():
+            sys.stdout.write(r.stdout)
+            sys.stderr.write(r.stderr[-2000:])
+            return True
+        reason = f"tpu_bench_failed_rc{r.returncode}_cpu_fallback"
+    except subprocess.TimeoutExpired:
+        reason = "tpu_bench_hung_cpu_fallback"
+    print(f"[bench-supervisor] {reason} after {_t.time()-_t0:.0f}s; "
+          "rerunning on CPU", file=sys.stderr, flush=True)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["TS_BENCH_FALLBACK"] = reason
+    env["TS_BENCH_BACKEND_CHECKED"] = "1"
+    r = subprocess.run(argv, env=env, timeout=deadline,
+                       capture_output=True, text=True)
+    sys.stdout.write(r.stdout)
+    sys.stderr.write(r.stderr[-2000:])
+    return True
 
 
 _FALLBACK = _ensure_live_backend()
@@ -540,4 +609,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if not _supervised_run():
+        main()

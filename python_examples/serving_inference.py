@@ -59,7 +59,7 @@ def serve_temporal(args):
                                                     stream_step)
     from tensor_stream_tpu.models import VideoViT, init_vit
 
-    TUB = 2
+    TUB = args.per_stream       # one tick = one tubelet per stream
     n = len(args.input)
     model = VideoViT(num_classes=4, depth=2, dim=64, num_heads=2,
                      patch=16, tubelet_t=TUB, causal=True)
@@ -102,6 +102,8 @@ def main():
     args = ap.parse_args()
 
     if args.temporal:
+        if not args.input:
+            ap.error("need -i streams")
         serve_temporal(args)
         return
 

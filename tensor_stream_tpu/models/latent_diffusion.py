@@ -4,12 +4,13 @@ The generation-side capstone of the model zoo: clips from the loaders
 encode into the causal Video-VAE's latent space, a diffusion
 transformer (DiT) learns to denoise those latents, and DDIM sampling
 decodes new latents back through the VAE. The transformer REUSES the
-factorized space-time blocks (video_vit.FactorizedBlock — spatial then
-temporal attention, bf16 MXU matmuls), so all the parallelism
-machinery (tp specs, remat) applies unchanged; conditioning is
-in-context: the sinusoidal timestep embedding is projected and added
-to every token (the simple DiT variant — adaLN-zero is a drop-in
-refinement).
+factorized space-time attention layout (spatial then temporal per
+block, bf16 MXU matmuls), so all the parallelism machinery (tp specs,
+remat) applies unchanged. Conditioning is adaLN-zero by default (the
+DiT recipe: per-sublayer shift/scale/gate regressed from the timestep
+embedding, zero-init — every block starts as the identity);
+conditioning="in_context" keeps the plain FactorizedBlock variant
+with the embedding added to the tokens.
 
 Scheduler: DDPM cosine ᾱ schedule (Nichol & Dhariwal), ε-prediction
 MSE training, deterministic DDIM sampling under `lax.scan` (static
@@ -26,7 +27,7 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .video_vit import FactorizedBlock, tubelet_embed
+from .video_vit import MHA, FactorizedBlock, tubelet_embed
 
 
 # --------------------------------------------------------------- schedule
@@ -102,7 +103,6 @@ class DiTBlock(nn.Module):
 
         ln = partial(nn.LayerNorm, dtype=jnp.float32, use_bias=False,
                      use_scale=False)
-        from .video_vit import MHA
         mha = partial(MHA, num_heads=self.num_heads,
                       compute_dtype=self.compute_dtype)
         # Spatial attention.
@@ -128,10 +128,10 @@ class VideoDiT(nn.Module):
 
     Tokens come from the SHARED tubelet stem (video_vit.tubelet_embed,
     default tubelet_t=patch=1: a per-latent-pixel linear embed —
-    latents are already 4-8x compressed, so N stays small); factorized
-    space-time blocks; the timestep embedding is added to every token
-    (in-context conditioning); linear head back to Cz channels,
-    zero-init so the initial prediction is 0 (training starts stable)."""
+    latents are already 4-8x compressed, so N stays small); adaLN-zero
+    DiTBlocks by default (in-context FactorizedBlocks via
+    conditioning=); linear head back to Cz channels, zero-init so the
+    initial prediction is 0 (training starts stable)."""
     depth: int = 4
     dim: int = 192
     num_heads: int = 3
@@ -195,45 +195,11 @@ class VideoDiT(nn.Module):
 
 # --------------------------------------------------------------- training
 
-def make_diffusion_train_step(mesh, model: VideoDiT,
-                              schedule: DiffusionSchedule, tx):
-    """(shard_params, step) — dp-sharded ε-prediction MSE training on
-    latents. step(params, opt, latents, rng) -> (params, opt, loss)."""
-    data_s = NamedSharding(mesh, P("dp"))
-    repl = NamedSharding(mesh, P())
-
-    def shard_params(params):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, repl), params)
-
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, latents, rng):
-        latents = jax.lax.with_sharding_constraint(latents, data_s)
-        b = latents.shape[0]
-        rt, rn = jax.random.split(rng)
-        t = jax.random.randint(rt, (b,), 1, schedule.timesteps + 1)
-        noise = jax.random.normal(rn, latents.shape)
-        xt = schedule.q_sample(latents, t, noise)
-
-        def loss_fn(p):
-            eps = model.apply(p, xt, t)
-            return jnp.mean((eps - noise) ** 2)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    return shard_params, step
-
-
-def make_conditional_diffusion_train_step(mesh, model: VideoDiT,
-                                          schedule: DiffusionSchedule, tx,
-                                          label_dropout: float = 0.1):
-    """Class-conditional twin of make_diffusion_train_step: labels ride
-    along, and `label_dropout` of them are replaced by the NULL class
-    per step — the classifier-free-guidance training recipe (Ho &
-    Salimans). step(params, opt, latents, labels, rng)."""
-    assert model.num_classes > 0
+def _make_train_step(mesh, model: VideoDiT, schedule: DiffusionSchedule,
+                     tx, conditional: bool, label_dropout: float):
+    """Shared dp-sharded eps-MSE training step; the conditional flavor
+    adds labels with NULL-class dropout (the classifier-free-guidance
+    training recipe, Ho & Salimans)."""
     data_s = NamedSharding(mesh, P("dp"))
     repl = NamedSharding(mesh, P())
     null = model.num_classes
@@ -242,26 +208,56 @@ def make_conditional_diffusion_train_step(mesh, model: VideoDiT,
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, repl), params)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, latents, labels, rng):
+    def body(params, opt_state, latents, labels, rng):
         latents = jax.lax.with_sharding_constraint(latents, data_s)
         b = latents.shape[0]
         rt, rn, rd = jax.random.split(rng, 3)
         t = jax.random.randint(rt, (b,), 1, schedule.timesteps + 1)
         noise = jax.random.normal(rn, latents.shape)
         xt = schedule.q_sample(latents, t, noise)
-        drop = jax.random.uniform(rd, (b,)) < label_dropout
-        y = jnp.where(drop, null, labels)
+        if conditional:
+            drop = jax.random.uniform(rd, (b,)) < label_dropout
+            y = (jnp.where(drop, null, labels),)
+        else:
+            y = ()
 
         def loss_fn(p):
-            eps = model.apply(p, xt, t, y)
+            eps = model.apply(p, xt, t, *y)
             return jnp.mean((eps - noise) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    if conditional:
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, latents, labels, rng):
+            return body(params, opt_state, latents, labels, rng)
+    else:
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, latents, rng):
+            return body(params, opt_state, latents, None, rng)
+
     return shard_params, step
+
+
+def make_diffusion_train_step(mesh, model: VideoDiT,
+                              schedule: DiffusionSchedule, tx):
+    """(shard_params, step) — dp-sharded ε-prediction MSE training on
+    latents. step(params, opt, latents, rng) -> (params, opt, loss)."""
+    return _make_train_step(mesh, model, schedule, tx,
+                            conditional=False, label_dropout=0.0)
+
+
+def make_conditional_diffusion_train_step(mesh, model: VideoDiT,
+                                          schedule: DiffusionSchedule, tx,
+                                          label_dropout: float = 0.1):
+    """Class-conditional flavor: step(params, opt, latents, labels,
+    rng); `label_dropout` of the labels become the NULL class per step
+    so the model also learns the unconditional prediction CFG needs."""
+    assert model.num_classes > 0
+    return _make_train_step(mesh, model, schedule, tx,
+                            conditional=True, label_dropout=label_dropout)
 
 
 def ddim_sample(model: VideoDiT, params, schedule: DiffusionSchedule,
