@@ -52,10 +52,19 @@ class MHA(nn.Module):
     Input [..., S, D]; leading axes are batch. Logits/softmax in f32,
     everything else in `compute_dtype`. `causal=True` masks future
     positions (used by the temporal pathway for streaming inference).
+
+    `use_flash=True` routes the core through the Pallas flash-attention
+    kernel (ops/flash_attention.py): the [S, S] logits never reach HBM
+    and the backward recomputes tile-by-tile — same numerics contract
+    (f32 logits/softmax, compute-dtype P@V), asserted equal in
+    tests/test_flash_attention.py. Worth it once S is hundreds of
+    tokens; the default materialized path is fine for short factorized
+    sequences.
     """
     num_heads: int
     compute_dtype: Any = jnp.bfloat16
     causal: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -68,14 +77,23 @@ class MHA(nn.Module):
         k = dense(features=(self.num_heads, head_dim), name="key")(x)
         v = dense(features=(self.num_heads, head_dim), name="value")(x)
         scale = head_dim ** -0.5
-        logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        if self.causal:
-            s = x.shape[-2]
-            mask = jnp.tril(jnp.ones((s, s), bool))
-            logits = jnp.where(mask, logits, -jnp.inf)
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.compute_dtype)
-        o = jnp.einsum("...hqk,...khd->...qhd", probs, v)
+        if self.use_flash:
+            from ..ops.flash_attention import flash_attention
+            lead, s = x.shape[:-2], x.shape[-2]
+            def bhsd(t):   # [..., S, H, dh] -> [prod(lead), H, S, dh]
+                return t.reshape((-1, s) + t.shape[-2:]).transpose(0, 2, 1, 3)
+            o = flash_attention(bhsd(q), bhsd(k), bhsd(v),
+                                causal=self.causal, sm_scale=scale)
+            o = o.transpose(0, 2, 1, 3).reshape(
+                lead + (s, self.num_heads, head_dim))
+        else:
+            logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            if self.causal:
+                mask = jnp.tril(jnp.ones((x.shape[-2],) * 2, bool))
+                logits = jnp.where(mask, logits, -jnp.inf)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.compute_dtype)
+            o = jnp.einsum("...hqk,...khd->...qhd", probs, v)
         return dense(features=d_model, axis=(-2, -1), name="out")(o)
 
 
@@ -108,6 +126,7 @@ class FactorizedBlock(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     act_sharding: Optional[Callable] = None
     causal: bool = False
+    use_flash: bool = False
 
     def _pin(self, x):
         return self.act_sharding(x) if self.act_sharding is not None else x
@@ -117,7 +136,8 @@ class FactorizedBlock(nn.Module):
         ln = partial(nn.LayerNorm, dtype=jnp.float32,
                      param_dtype=jnp.float32)
         mha = partial(MHA, num_heads=self.num_heads,
-                      compute_dtype=self.compute_dtype)
+                      compute_dtype=self.compute_dtype,
+                      use_flash=self.use_flash)
         # Spatial: tokens within a frame attend; (B, T) are batch axes.
         y = ln(name="ln_s")(x).astype(self.compute_dtype)
         x = self._pin(x + mha(name="attn_s")(y).astype(x.dtype))
@@ -176,6 +196,8 @@ class VideoViT(nn.Module):
     # [B, T', classes] (pooled over tokens only) — the batch-mode twin
     # of streaming inference (models/streaming.py).
     causal: bool = False
+    # use_flash=True: Pallas flash-attention core (long token axes).
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, clips):
@@ -189,6 +211,7 @@ class VideoViT(nn.Module):
             x = block(num_heads=self.num_heads, hidden_mult=self.hidden_mult,
                       compute_dtype=self.compute_dtype,
                       act_sharding=self.act_sharding, causal=self.causal,
+                      use_flash=self.use_flash,
                       name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
         if self.causal:

@@ -1,0 +1,315 @@
+"""Flash attention for TPU — a Pallas/Mosaic kernel with online softmax.
+
+The model families (VideoViT / VideoDiT / VideoMoE, models/video_vit.py)
+attend with a materialized [.., S, S] logits tensor: exact, fine for the
+factorized short sequences they default to, but O(S²) HBM traffic the
+moment clips get long (a 32-frame 448² clip is S = 6272 spatial tokens —
+157 MB of f32 logits per head). This module keeps attention in VMEM:
+Q tiles stay resident while K/V tiles stream through once, a running
+(m, l) softmax makes the tiling exact, and the [S, S] matrix never
+exists in HBM. The reference framework has no transformer layer at all
+(its model example is a per-frame CNN, reference: python_examples/
+fast_neural_style/transformer_net.py) — this is part of the TPU-native
+model/serving stack built on top of the same loaders.
+
+Design notes (the kernel playbook, not a port of any implementation):
+  * grid = (batch, heads, q_tiles, kv_tiles); kv is the innermost
+    "arbitrary" (sequential) dimension — it is the online-softmax
+    reduction; batch/head/q tiles are "parallel" (megacore-splittable).
+  * running stats m (row max) and l (row sum) live in VMEM scratch,
+    lane-replicated to (block_q, 128) so every store is a full native
+    tile; the f32 accumulator is (block_q, head_dim).
+  * the accumulator stays UNNORMALIZED across kv tiles (one alpha
+    rescale per tile); the single division by l happens at the last kv
+    tile, fused with the output cast.
+  * causal masking skips whole above-diagonal kv tiles at the grid
+    level (no matmul issued) and masks elementwise only in the one
+    straddling tile; fully-padded kv tiles are skipped the same way.
+  * logits/stats accumulate in f32 (preferred_element_type); the P@V
+    matmul runs in the input dtype (bf16 feeds the MXU at full rate).
+  * masked logits get -0.7*f32max, not -inf: exp(-inf - (-inf)) is NaN
+    for rows that a mask empties.
+
+The backward pass is memory-efficient without a second kernel: a
+custom_vjp recomputes P one kv tile at a time from the saved (o, l, m)
+residuals inside a lax.scan — peak memory O(S·block_k) instead of
+O(S²), every step two MXU matmuls (XLA pipelines the scan). Gradients
+are exact (same tiling identity as the forward), asserted against the
+materialized reference in tests/test_flash_attention.py.
+
+On non-TPU backends the kernel runs in Pallas interpret mode (tests run
+on the CPU mesh); `impl="xla"` forces the materialized path.
+"""
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
+            m_scr, l_scr, acc_scr, *, sm_scale, causal,
+            q_len, kv_len, block_q, block_k, save_residuals):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # Whole-tile skips: above the causal diagonal (first kv row of this
+    # tile > last q row of this q tile) or entirely inside kv padding.
+    run = ki * block_k < kv_len
+    if causal:
+        run = jnp.logical_and(run, ki * block_k <= (qi + 1) * block_q - 1)
+
+    @pl.when(run)
+    def _tile():
+        q = q_ref[0, 0]                       # [block_q, d]
+        k = k_ref[0, 0]                       # [block_k, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [block_q, block_k]
+        s *= sm_scale
+
+        # Elementwise masks: kv padding always; causal only in the one
+        # tile the diagonal straddles (cheap test: is the top-right
+        # corner of the tile above the diagonal?).
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        mask = col < kv_len
+        if causal:
+            row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                   + qi * block_q)
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, _MASK_VALUE)
+
+        m_prev = m_scr[...]                           # [block_q, 128]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)    # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)          # lane-replicated
+        alpha = jnp.exp(m_prev - m_next)
+        # s - m_next: m_next is lane-replicated, tile it across the kv
+        # lanes of the logits block (block_k is a multiple of 128).
+        reps = block_k // _LANES
+        m_tiled = m_next if reps == 1 else jnp.tile(m_next, (1, reps))
+        p = jnp.exp(s - m_tiled)                      # [block_q, block_k]
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+
+        v = v_ref[0, 0]                               # [block_k, d]
+        o_curr = jax.lax.dot(p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha[:, :acc_scr.shape[-1]] + o_curr
+
+    @pl.when(ki == nk - 1)
+    def _store():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        d = acc_scr.shape[-1]
+        o_ref[0, 0] = (acc_scr[...] * l_inv[:, :d]).astype(o_ref.dtype)
+        if save_residuals:
+            l_ref[0, 0] = l
+            m_ref[0, 0] = m_scr[...]
+
+
+def _flash_fwd_pallas(q, k, v, causal, sm_scale, block_q, block_k,
+                      q_len, kv_len, save_residuals, interpret):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    grid = (b, h, sq // block_q, sk // block_k)
+    kernel = functools.partial(
+        _kernel, sm_scale=sm_scale, causal=causal, q_len=q_len,
+        kv_len=kv_len, block_q=block_q, block_k=block_k,
+        save_residuals=save_residuals)
+    out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+                 jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
+                 jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
+        pl.BlockSpec((1, 1, block_q, _LANES),
+                     lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
+        pl.BlockSpec((1, 1, block_q, _LANES),
+                     lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
+    ]
+    o, l, m = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, h_, q_, k_: (b_, h_, k_, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, h_, q_, k_: (b_, h_, k_, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),   # running max
+            pltpu.VMEM((block_q, _LANES), jnp.float32),   # running sum
+            pltpu.VMEM((block_q, d), jnp.float32),        # unnormalized o
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(q, k, v)
+    return o, l[..., 0], m[..., 0]
+
+
+def _pad_axis(x, axis, to):
+    pad = to - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _reference(q, k, v, causal, sm_scale):
+    """Materialized-logits attention, identical numerics contract
+    (f32 logits/softmax, input-dtype P@V) — the `impl="xla"` path and
+    the oracle the kernel is asserted against."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * sm_scale
+    if causal:
+        sq, sk = q.shape[2], k.shape[2]
+        mask = jnp.tril(jnp.ones((sq, sk), bool), k=sk - sq)
+        s = jnp.where(mask, s, _MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, causal, sm_scale, block_q, block_k, interpret):
+    o, _, _ = _fwd_padded(q, k, v, causal, sm_scale, block_q, block_k,
+                          interpret)
+    return o
+
+
+def _fwd_padded(q, k, v, causal, sm_scale, block_q, block_k, interpret):
+    """Pad sequences to tile multiples, run the kernel, slice back.
+    Returns (o, l, m) with l/m at the PADDED q length (the backward
+    scan re-pads its tensors to match)."""
+    sq, sk = q.shape[2], k.shape[2]
+    sq_pad = _cdiv(sq, block_q) * block_q
+    sk_pad = _cdiv(sk, block_k) * block_k
+    qp = _pad_axis(q, 2, sq_pad)
+    kp = _pad_axis(k, 2, sk_pad)
+    vp = _pad_axis(v, 2, sk_pad)
+    o, l, m = _flash_fwd_pallas(qp, kp, vp, causal, sm_scale, block_q,
+                                block_k, sq, sk, True, interpret)
+    return o[:, :, :sq], l, m
+
+
+def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k, interpret):
+    o, l, m = _fwd_padded(q, k, v, causal, sm_scale, block_q, block_k,
+                          interpret)
+    return o, (q, k, v, o, l, m)
+
+
+def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
+    """Tile-recomputing backward: for each kv tile, rebuild P from the
+    saved softmax stats, then
+        dv_j = P^T @ dO        dP = dO @ V_j^T
+        dS = P * (dP - delta)  (delta = rowsum(dO * O))
+        dq += dS @ K_j * scale dk_j = dS^T @ Q * scale
+    One lax.scan step per kv tile: O(S·block_k) live memory."""
+    q, k, v, o, l, m = res
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    sk_pad = _cdiv(sk, block_k) * block_k
+    nk = sk_pad // block_k
+
+    qf = q.astype(jnp.float32)
+    dof = do.astype(jnp.float32)
+    delta = jnp.sum(dof * o.astype(jnp.float32), axis=-1)   # [b,h,sq]
+    l_q = l[:, :, :sq]
+    m_q = m[:, :, :sq]
+    l_inv = jnp.where(l_q == 0.0, 1.0, 1.0 / l_q)
+
+    # kv tensors reshaped to per-tile blocks for the scan.
+    kb = _pad_axis(k, 2, sk_pad).astype(jnp.float32).reshape(
+        b, h, nk, block_k, d).transpose(2, 0, 1, 3, 4)
+    vb = _pad_axis(v, 2, sk_pad).astype(jnp.float32).reshape(
+        b, h, nk, block_k, d).transpose(2, 0, 1, 3, 4)
+
+    row = jnp.arange(sq, dtype=jnp.int32)
+
+    def step(dq_acc, xs):
+        j, kj, vj = xs
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, kj,
+                       preferred_element_type=jnp.float32) * sm_scale
+        col = j * block_k + jnp.arange(block_k, dtype=jnp.int32)
+        mask = col[None, :] < sk
+        if causal:
+            mask = jnp.logical_and(mask, col[None, :] <= row[:, None])
+        s = jnp.where(mask[None, None], s, _MASK_VALUE)
+        p = jnp.exp(s - m_q[..., None]) * l_inv[..., None]
+        dv_j = jnp.einsum("bhqk,bhqd->bhkd", p, dof,
+                          preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vj,
+                        preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[..., None]) * sm_scale
+        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, kj,
+                                     preferred_element_type=jnp.float32)
+        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, qf,
+                          preferred_element_type=jnp.float32)
+        return dq_acc, (dk_j, dv_j)
+
+    dq0 = jnp.zeros((b, h, sq, d), jnp.float32)
+    dq, (dk_b, dv_b) = jax.lax.scan(
+        step, dq0, (jnp.arange(nk, dtype=jnp.int32), kb, vb))
+    dk = dk_b.transpose(1, 2, 0, 3, 4).reshape(b, h, sk_pad, d)[:, :, :sk]
+    dv = dv_b.transpose(1, 2, 0, 3, 4).reshape(b, h, sk_pad, d)[:, :, :sk]
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, *, causal: bool = False,
+                    sm_scale: Optional[float] = None,
+                    block_q: int = 128, block_k: int = 128,
+                    impl: str = "auto"):
+    """Tiled attention: softmax(Q K^T / sqrt(d)) V without materializing
+    the [S, S] logits. Shapes [batch, heads, seq, head_dim]; kv seq may
+    differ from q seq (cross-attention) unless `causal=True` (which
+    requires equal lengths). Differentiable (tile-recomputing VJP).
+
+    impl: "auto" → Pallas kernel (interpret mode off-TPU), "pallas"
+    forces the kernel, "xla" the materialized reference path.
+    """
+    if q.ndim != 4 or k.shape[:2] != q.shape[:2] or v.shape != k.shape:
+        raise ValueError(f"bad attention shapes {q.shape} {k.shape} "
+                         f"{v.shape}")
+    if sm_scale is None:
+        sm_scale = float(q.shape[-1]) ** -0.5
+    if causal and q.shape[2] != k.shape[2]:
+        raise ValueError("causal=True requires equal q/kv lengths")
+    if impl == "xla":
+        return _reference(q, k, v, causal, sm_scale)
+    if impl not in ("auto", "pallas"):
+        raise ValueError(f"unknown impl {impl!r}")
+    interpret = jax.devices()[0].platform != "tpu"
+    # Clamp tiles to the padded sequence (short sequences -> one tile,
+    # still lane-aligned).
+    block_q = min(block_q, _cdiv(q.shape[2], _LANES) * _LANES)
+    block_k = min(block_k, _cdiv(k.shape[2], _LANES) * _LANES)
+    if block_q % _LANES or block_k % _LANES:
+        raise ValueError("block sizes must be multiples of 128")
+    return _flash(q, k, v, causal, float(sm_scale), int(block_q),
+                  int(block_k), interpret)
