@@ -65,6 +65,9 @@ class MHA(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     causal: bool = False
     use_flash: bool = False
+    # "auto" = kernel on TPU, materialized path elsewhere; tests force
+    # "pallas" to exercise the kernel (interpret mode) on the CPU mesh.
+    flash_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -83,7 +86,8 @@ class MHA(nn.Module):
             def bhsd(t):   # [..., S, H, dh] -> [prod(lead), H, S, dh]
                 return t.reshape((-1, s) + t.shape[-2:]).transpose(0, 2, 1, 3)
             o = flash_attention(bhsd(q), bhsd(k), bhsd(v),
-                                causal=self.causal, sm_scale=scale)
+                                causal=self.causal, sm_scale=scale,
+                                impl=self.flash_impl)
             o = o.transpose(0, 2, 1, 3).reshape(
                 lead + (s, self.num_heads, head_dim))
         else:
@@ -127,6 +131,7 @@ class FactorizedBlock(nn.Module):
     act_sharding: Optional[Callable] = None
     causal: bool = False
     use_flash: bool = False
+    flash_impl: str = "auto"
 
     def _pin(self, x):
         return self.act_sharding(x) if self.act_sharding is not None else x
@@ -137,7 +142,8 @@ class FactorizedBlock(nn.Module):
                      param_dtype=jnp.float32)
         mha = partial(MHA, num_heads=self.num_heads,
                       compute_dtype=self.compute_dtype,
-                      use_flash=self.use_flash)
+                      use_flash=self.use_flash,
+                      flash_impl=self.flash_impl)
         # Spatial: tokens within a frame attend; (B, T) are batch axes.
         y = ln(name="ln_s")(x).astype(self.compute_dtype)
         x = self._pin(x + mha(name="attn_s")(y).astype(x.dtype))
@@ -198,6 +204,7 @@ class VideoViT(nn.Module):
     causal: bool = False
     # use_flash=True: Pallas flash-attention core (long token axes).
     use_flash: bool = False
+    flash_impl: str = "auto"
 
     @nn.compact
     def __call__(self, clips):
@@ -211,7 +218,7 @@ class VideoViT(nn.Module):
             x = block(num_heads=self.num_heads, hidden_mult=self.hidden_mult,
                       compute_dtype=self.compute_dtype,
                       act_sharding=self.act_sharding, causal=self.causal,
-                      use_flash=self.use_flash,
+                      use_flash=self.use_flash, flash_impl=self.flash_impl,
                       name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
         if self.causal:

@@ -80,9 +80,13 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
     def _tile():
         q = q_ref[0, 0]                       # [block_q, d]
         k = k_ref[0, 0]                       # [block_k, d]
+        # Explicit DEFAULT precision: the kernel must be insensitive to a
+        # global jax_default_matmul_precision='highest' (Mosaic rejects
+        # fp32-precision matmuls on bf16 operands).
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # [block_q, block_k]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)      # [block_q, block_k]
         s *= sm_scale
 
         # Elementwise masks: kv padding always; causal only in the one
@@ -94,7 +98,9 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
             row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                    + qi * block_q)
             mask = jnp.logical_and(mask, col <= row)
-        s = jnp.where(mask, s, _MASK_VALUE)
+        # jnp.float32(...): a bare Python float weak-types to f64 under
+        # jax.enable_x64 and Mosaic cannot lower the f64->f32 truncf.
+        s = jnp.where(mask, s, jnp.float32(_MASK_VALUE))
 
         m_prev = m_scr[...]                           # [block_q, 128]
         l_prev = l_scr[...]
@@ -111,15 +117,17 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
 
         v = v_ref[0, 0]                               # [block_k, d]
         o_curr = jax.lax.dot(p.astype(v.dtype), v,
-                             preferred_element_type=jnp.float32)
-        acc_scr[...] = acc_scr[...] * alpha[:, :acc_scr.shape[-1]] + o_curr
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
+        # alpha is lane-replicated: one lane broadcasts over ANY head_dim
+        # (a [:, :d] slice breaks the moment d > 128 lanes).
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
 
     @pl.when(ki == nk - 1)
     def _store():
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        d = acc_scr.shape[-1]
-        o_ref[0, 0] = (acc_scr[...] * l_inv[:, :d]).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_scr[...] * l_inv[:, :1]).astype(o_ref.dtype)
         if save_residuals:
             l_ref[0, 0] = l
             m_ref[0, 0] = m_scr[...]
@@ -188,7 +196,7 @@ def _reference(q, k, v, causal, sm_scale):
     if causal:
         sq, sk = q.shape[2], k.shape[2]
         mask = jnp.tril(jnp.ones((sq, sk), bool), k=sk - sq)
-        s = jnp.where(mask, s, _MASK_VALUE)
+        s = jnp.where(mask, s, jnp.float32(_MASK_VALUE))
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
@@ -257,7 +265,7 @@ def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
         mask = col[None, :] < sk
         if causal:
             mask = jnp.logical_and(mask, col[None, :] <= row[:, None])
-        s = jnp.where(mask[None, None], s, _MASK_VALUE)
+        s = jnp.where(mask[None, None], s, jnp.float32(_MASK_VALUE))
         p = jnp.exp(s - m_q[..., None]) * l_inv[..., None]
         dv_j = jnp.einsum("bhqk,bhqd->bhkd", p, dof,
                           preferred_element_type=jnp.float32)
@@ -290,8 +298,10 @@ def flash_attention(q, k, v, *, causal: bool = False,
     differ from q seq (cross-attention) unless `causal=True` (which
     requires equal lengths). Differentiable (tile-recomputing VJP).
 
-    impl: "auto" → Pallas kernel (interpret mode off-TPU), "pallas"
-    forces the kernel, "xla" the materialized reference path.
+    impl: "auto" → Pallas kernel on TPU, materialized path elsewhere
+    (interpret mode serializes the grid — a silent perf cliff, reserved
+    for the explicit impl="pallas" the tests use); "pallas" forces the
+    kernel (interpret mode off-TPU), "xla" the materialized path.
     """
     if q.ndim != 4 or k.shape[:2] != q.shape[:2] or v.shape != k.shape:
         raise ValueError(f"bad attention shapes {q.shape} {k.shape} "
@@ -300,11 +310,19 @@ def flash_attention(q, k, v, *, causal: bool = False,
         sm_scale = float(q.shape[-1]) ** -0.5
     if causal and q.shape[2] != k.shape[2]:
         raise ValueError("causal=True requires equal q/kv lengths")
-    if impl == "xla":
+    on_tpu = jax.devices()[0].platform == "tpu"
+    # x64 mode: gridded pallas_call index maps fail Mosaic legalization
+    # on current toolchains (verified: even a trivial 2-block grid dies
+    # with "failed to legalize func.return" while ungridded kernels
+    # compile) — route compiled TPU calls to the materialized path;
+    # interpret mode (off-TPU) is unaffected and keeps the kernel
+    # testable under x64.
+    x64 = bool(jax.config.jax_enable_x64)
+    if impl == "xla" or (impl == "auto" and not on_tpu) or (on_tpu and x64):
         return _reference(q, k, v, causal, sm_scale)
     if impl not in ("auto", "pallas"):
         raise ValueError(f"unknown impl {impl!r}")
-    interpret = jax.devices()[0].platform != "tpu"
+    interpret = not on_tpu
     # Clamp tiles to the padded sequence (short sequences -> one tile,
     # still lane-aligned).
     block_q = min(block_q, _cdiv(q.shape[2], _LANES) * _LANES)

@@ -25,7 +25,12 @@ SUITES = ["tests/test_vpp.py", "tests/test_pallas.py",
           # schedule laws); the 8-device mesh tests self-skip on 1 chip.
           "tests/test_streaming.py", "tests/test_video_vae.py",
           "tests/test_latent_diffusion.py", "tests/test_quantize.py",
-          "tests/test_metrics.py"]
+          "tests/test_metrics.py",
+          # The flash-attention kernel (compiled Mosaic on the chip:
+          # fwd/bwd vs the materialized oracle, bf16, cross-attention,
+          # ragged lengths) and the model that mounts it.
+          "tests/test_flash_attention.py", "tests/test_video_vit.py",
+          "tests/test_moe.py", "tests/test_parallel.py"]
 
 
 def next_round_tag():
