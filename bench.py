@@ -377,15 +377,19 @@ def bench_segment_parallel(lib, seconds, workers=0):
     return frames / elapsed
 
 
-def bench_clip_sampling(lib, seconds, workers=0):
+def bench_clip_sampling(lib, seconds, workers=0, mode="segment"):
     """Shuffled random-access clip sampling (csrc/clip_reader.cpp):
-    batches of 8 random 8-frame clips from the multi-GOP fixture,
+    epochs of 8-frame clips from the multi-GOP fixture in batches of 8,
     resized to 224x224 in the workers — the video-model training input
-    path. Reports returned-frames/sec plus the sampling efficiency
-    (returned / decoded incl. IDR warm-up; bounded below by
-    clip_len / (clip_len + GOP) for uniform random starts). Same
-    fixture caveat as the segment stage: compare against
-    segment_serial_fps, not decode_fps."""
+    path. The epoch order is exactly ClipLoader._epoch_order's:
+    mode="segment" (the recommended training config: segments permuted,
+    clips shuffled within, each GOP decoded ~once via the native
+    ride-chains) or mode="uniform" (full permutation — pays IDR warm-up
+    per random clip; kept for comparability with earlier rounds).
+    Reports returned-frames/sec plus the sampling efficiency
+    (returned / decoded incl. warm-up). Same fixture caveat as the
+    segment stage: compare against segment_serial_fps, not
+    decode_fps."""
     import numpy as np
 
     workers = workers or min(4, os.cpu_count() or 1)
@@ -394,16 +398,37 @@ def bench_clip_sampling(lib, seconds, workers=0):
     if not p:
         return 0.0, 0.0
     total = lib.ts_clip_total_frames(p)
+    nseg = lib.ts_clip_segments(p)
+    firsts = np.empty(nseg, np.int64)
+    lib.ts_clip_segment_table(
+        p, firsts.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), nseg)
     clip_len, clips = 8, 8
     starts_all = np.arange(0, total - clip_len + 1, clip_len, dtype=np.int64)
-    rng = np.random.default_rng(0)
+
+    def epoch_order(epoch):  # = data._ClipLoaderBase._epoch_order
+        rng = np.random.default_rng(epoch)
+        if mode == "uniform":
+            return rng.permutation(starts_all)
+        keys = np.searchsorted(firsts, starts_all, side="right") - 1
+        uniq, inv = np.unique(keys, return_inverse=True)
+        rank = rng.permutation(len(uniq))[inv]
+        return starts_all[np.argsort(rank, kind="stable")]
+
     ys = np.empty(clips * clip_len * 224 * 224, np.uint8)
     uvs = np.empty(clips * clip_len * 112 * 224, np.uint8)
-    frames = 0
+    frames, epoch, cur = 0, 0, 0
+    order = epoch_order(0)
     t0 = time.perf_counter()
-    while time.perf_counter() - t0 < seconds:
-        batch = np.ascontiguousarray(
-            rng.choice(starts_all, size=clips, replace=False))
+    # Run WHOLE epochs (finish the current epoch once time expires):
+    # efficiency is a steady-state per-epoch property; a partial epoch
+    # over- or under-weights its cold seeks depending where it stops.
+    while time.perf_counter() - t0 < seconds or cur > 0:
+        if cur + clips > len(order):
+            epoch, cur = epoch + 1, 0
+            order = epoch_order(epoch)
+            continue
+        batch = np.ascontiguousarray(order[cur:cur + clips])
+        cur += clips
         arr = batch.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
         if lib.ts_clip_get_batch(p, arr, clips, clip_len, 1,
                                  ys.ctypes.data, uvs.ctypes.data) != 0:
@@ -589,9 +614,12 @@ def main():
             1),
         **bench_fast_read_latency(lib),
     }
-    clip_fps, clip_eff = bench_clip_sampling(lib, half)
+    clip_fps, clip_eff = bench_clip_sampling(lib, half, mode="segment")
     stages["clip_sampling_fps"] = round(clip_fps, 1)
     stages["clip_sampling_efficiency"] = round(clip_eff, 3)
+    uni_fps, uni_eff = bench_clip_sampling(lib, half / 2, mode="uniform")
+    stages["clip_uniform_fps"] = round(uni_fps, 1)
+    stages["clip_uniform_efficiency"] = round(uni_eff, 3)
     stages["serving_fps"] = round(bench_serving(half), 1)
     result = {
         "metric": "1080p_decode_to_224px_rgb_planar_f32_fps_per_chip",

@@ -556,6 +556,15 @@ long long ts_clip_total_frames(void* p) {
 int ts_clip_segments(void* p) {
   return static_cast<ts::ClipReader*>(p)->segments();
 }
+// First display frame of each entry point, ascending; writes
+// min(cap, segments) values and returns segments. Samplers use this to
+// group a shuffled epoch by segment (decode each GOP ~once per epoch).
+int ts_clip_segment_table(void* p, long long* out, int cap) {
+  auto* r = static_cast<ts::ClipReader*>(p);
+  const int n = r->segments();
+  for (int i = 0; i < n && i < cap; i++) out[i] = r->segmentFirstFrame(i);
+  return n;
+}
 long long ts_clip_frames_decoded(void* p) {
   return static_cast<ts::ClipReader*>(p)->framesDecoded();
 }

@@ -209,7 +209,32 @@ int ClipReader::GetClipBatch(const int64_t* starts, int n_clips, int clip_len,
       tasks.push_back(order[k]);
   }
   const int n_tasks = static_cast<int>(tasks.size());
-  const int nw = std::min(params_.workers, n_tasks);
+  // Group consecutive tasks into RIDE CHAINS — runs where each next
+  // clip is reachable by decoding forward from the previous clip's end
+  // (its entry keyframe is at-or-before the rider's position, exactly
+  // decodeClip's no-seek condition). One chain = one unit of work, so
+  // with multiple workers the clips of a GOP stay on ONE decoder and
+  // each chain's frames decode exactly once; without grouping the
+  // dynamic task counter splits a GOP's clips across workers, each
+  // paying keyframe warm-up for frames a sibling already decoded.
+  std::vector<int> chain_begin;  // indices into `tasks`; ends implicit
+  chain_begin.reserve(n_tasks);
+  for (int t = 0; t < n_tasks; t++) {
+    if (t == 0) {
+      chain_begin.push_back(0);
+      continue;
+    }
+    const int64_t prev_end =
+        starts[tasks[t - 1]] + static_cast<int64_t>(clip_len - 1) * stride + 1;
+    const int64_t s = starts[tasks[t]];
+    auto it = std::upper_bound(
+        segments_.begin(), segments_.end(), s,
+        [](int64_t v, const SegmentChunk& c) { return v < c.first_frame; });
+    const int64_t entry = (it - 1)->first_frame;
+    if (!(prev_end <= s && prev_end >= entry)) chain_begin.push_back(t);
+  }
+  const int n_chains = static_cast<int>(chain_begin.size());
+  const int nw = std::min(params_.workers, n_chains);
   while (static_cast<int>(pool_.size()) < nw)
     pool_.emplace_back(new Worker());
   std::atomic<int> next{0};
@@ -229,18 +254,22 @@ int ClipReader::GetClipBatch(const int64_t* starts, int n_clips, int clip_len,
       w.open = true;
     }
     while (!error.load(std::memory_order_relaxed)) {
-      const int t = next.fetch_add(1);
-      if (t >= n_tasks) break;
-      const int i = tasks[t];
-      int rc = decodeClip(w, starts[i], clip_len, stride,
-                          out_y + static_cast<size_t>(i) * clip_y,
-                          out_uv + static_cast<size_t>(i) * (clip_y / 2));
-      if (rc != TS_OK) {
-        w.next_frame = -1;
-        int expected = 0;
-        error.compare_exchange_strong(expected, rc ? rc : TS_ERROR);
-        break;
+      const int c = next.fetch_add(1);
+      if (c >= n_chains) break;
+      const int end = c + 1 < n_chains ? chain_begin[c + 1] : n_tasks;
+      for (int t = chain_begin[c]; t < end; t++) {
+        const int i = tasks[t];
+        int rc = decodeClip(w, starts[i], clip_len, stride,
+                            out_y + static_cast<size_t>(i) * clip_y,
+                            out_uv + static_cast<size_t>(i) * (clip_y / 2));
+        if (rc != TS_OK) {
+          w.next_frame = -1;
+          int expected = 0;
+          error.compare_exchange_strong(expected, rc ? rc : TS_ERROR);
+          break;
+        }
       }
+      if (error.load(std::memory_order_relaxed)) break;
     }
   };
   if (nw == 1) {

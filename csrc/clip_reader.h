@@ -80,6 +80,11 @@ class ClipReader {
   // Number of cold-decoder entry points (worst-case warm-up per clip is
   // the gap between consecutive ones).
   int segments() const { return static_cast<int>(segments_.size()); }
+  // First display frame of entry point i (ascending) — exported so
+  // samplers can group a shuffled epoch by segment (permute segments,
+  // then clips within a segment): batches then decode each GOP ~once
+  // instead of paying keyframe warm-up per random clip.
+  int64_t segmentFirstFrame(int i) const { return segments_[i].first_frame; }
   // Total frames decoded across all clips so far (warm-up included) —
   // the sampling-efficiency observable: decoded/returned ratio.
   int64_t framesDecoded() const { return frames_decoded_.load(); }

@@ -118,6 +118,8 @@ def load():
         sig("ts_clip_out_height", c_int, [c_void_p])
         sig("ts_clip_total_frames", ctypes.c_longlong, [c_void_p])
         sig("ts_clip_segments", c_int, [c_void_p])
+        sig("ts_clip_segment_table", c_int,
+            [c_void_p, ctypes.POINTER(ctypes.c_longlong), c_int])
         sig("ts_clip_frames_decoded", ctypes.c_longlong, [c_void_p])
         sig("ts_clip_release_decoders", None, [c_void_p])
         sig("ts_clip_destroy", None, [c_void_p])

@@ -443,7 +443,22 @@ class _ClipLoaderBase:
                 "the stream's standard explicitly)")
         self.clip_len = int(clip_len)
         self.frame_stride = max(1, int(frame_stride))
-        self.shuffle = bool(shuffle)
+        # shuffle: False = sequential epochs; True/"uniform" = full
+        # permutation; "segment" = permute keyframe segments, clips in
+        # stream order within each — same determinism/resume contract,
+        # but batches decode each GOP ~once instead of paying keyframe
+        # warm-up per random clip (~1.5x decode throughput on typical
+        # GOP-25 streams; see `frames_decoded`). The trade is shuffling
+        # at GOP granularity (one GOP's clips stay adjacent, in order),
+        # the standard chunk-shuffle used by video input pipelines.
+        if shuffle not in (True, False, 0, 1, "uniform", "segment"):
+            raise ValueError(
+                f"shuffle must be True/False/'uniform'/'segment': "
+                f"{shuffle!r}")
+        self.shuffle_mode = ("segment" if shuffle == "segment"
+                             else "uniform" if shuffle else None)
+        self.shuffle = self.shuffle_mode is not None
+        self._seg_keys = None  # lazy per-start segment ids (segment mode)
         self.seed = int(seed)
         self.prefetch = max(1, int(prefetch))
         if host_resize:
@@ -576,11 +591,42 @@ class _ClipLoaderBase:
 
     # ------------------------------------------------------------- sampling
 
+    def _segment_table(self, handle):
+        """First display frame of every cold-decoder entry point of one
+        native reader, ascending int64."""
+        n = self._lib.ts_clip_segments(handle)
+        buf = np.empty(max(n, 1), np.int64)
+        self._lib.ts_clip_segment_table(
+            handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            n)
+        return buf[:n]
+
+    def _segment_keys(self):
+        """Segment-group id of each element of self.starts (single-
+        source loaders; ClipDataset overrides with (file, segment)
+        groups)."""
+        if self._seg_keys is None:
+            firsts = self._segment_table(self._handle)
+            self._seg_keys = np.searchsorted(firsts, self.starts,
+                                             side="right") - 1
+        return self._seg_keys
+
     def _epoch_order(self, epoch):
-        if not self.shuffle:
+        if self.shuffle_mode is None:
             return self.starts
         rng = np.random.default_rng(self.seed + epoch)
-        return rng.permutation(self.starts)
+        if self.shuffle_mode == "uniform":
+            return rng.permutation(self.starts)
+        # "segment": permute the segments; clips stay in stream order
+        # WITHIN each segment — the shuffled unit is the GOP, and
+        # ascending within-GOP order means a segment run split across
+        # batch boundaries still rides forward (a shuffled-within order
+        # back-seeks and re-warms at every such split: measured 0.79 vs
+        # 0.83 sampling efficiency on the GOP-25 bench fixture).
+        keys = self._segment_keys()
+        uniq, inv = np.unique(keys, return_inverse=True)
+        rank = rng.permutation(len(uniq))[inv]
+        return self.starts[np.argsort(rank, kind="stable")]
 
     def _epoch_done(self):
         """Fill-thread epoch boundary: when the cursor cannot produce
@@ -775,8 +821,13 @@ class ClipLoader(_ClipLoaderBase):
             train_step(params, clips)
 
     One iteration pass = one epoch over every clip start (`clip_step`
-    apart; default non-overlapping). Each epoch reshuffles with
-    ``seed + epoch``, so runs are deterministic and resumable:
+    apart; default non-overlapping). ``shuffle="segment"`` keeps each
+    GOP's clips adjacent within the epoch (segments permuted, stream
+    order within) so batches decode each GOP ~once — ~1.5x the decode
+    throughput of the full permutation on typical GOP-25 streams; use
+    it for training unless clip-level i.i.d. order matters. Each epoch
+    reshuffles with ``seed + epoch``, so runs are deterministic and
+    resumable:
     ``ClipLoader(..., epoch=e, start_clip=k)`` continues where
     ``state()`` left off. Decode overlaps device compute through a fill
     thread + rotating staging buffers (GIL-free native batch call).
@@ -969,6 +1020,21 @@ class ClipDataset(_ClipLoaderBase):
         """Total frames decoded across all files (warm-up included)."""
         return sum(self._lib.ts_clip_frames_decoded(h)
                    for h in self._handles)
+
+    def _segment_keys(self):
+        """shuffle='segment' group ids for the GLOBAL clip index: the
+        unit is (file, segment), so a segment epoch also visits files in
+        a permuted order while keeping each GOP's clips adjacent."""
+        if self._seg_keys is None:
+            keys, base = [], 0
+            for fi, h in enumerate(self._handles):
+                firsts = self._segment_table(h)
+                local = self._start_of[self._file_of == fi]
+                keys.append(base + np.searchsorted(firsts, local,
+                                                   side="right") - 1)
+                base += len(firsts)
+            self._seg_keys = np.concatenate(keys)
+        return self._seg_keys
 
     def state(self):
         epoch, cursor = self._consumed

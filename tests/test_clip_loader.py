@@ -295,6 +295,101 @@ def test_clip_loader_resume_state():
     assert rest2 == rest
 
 
+def test_segment_shuffle_epoch_order():
+    """shuffle='segment': every start appears exactly once per epoch,
+    starts of one GOP stay adjacent (segments permuted, clips shuffled
+    within), the order is deterministic per (seed, epoch) and differs
+    across epochs."""
+    from tensor_stream_tpu import ClipLoader
+
+    with ClipLoader(GOP10, clip_len=4, batch=5, shuffle="segment",
+                    seed=11, workers=1, prefetch=1) as loader:
+        order = loader._epoch_order(0)
+        assert sorted(order) == sorted(loader.starts)
+        # Segment-contiguity: mapping each start to its GOP (entry
+        # points every 25 frames in this fixture), the sequence of GOP
+        # ids is a run-length grouping — each GOP appears in exactly
+        # one contiguous run.
+        gops = [int(s) // 25 for s in order]
+        runs = [g for i, g in enumerate(gops) if i == 0 or g != gops[i - 1]]
+        assert len(runs) == len(set(runs)) == 10
+        assert runs != sorted(runs)  # segments really are permuted
+        # Within a segment, clips stay in stream order (ascending): a
+        # run split across batch boundaries still rides forward.
+        for g in runs:
+            within = [int(s) for s, gg in zip(order, gops) if gg == g]
+            assert within == sorted(within) and len(within) >= 2
+        assert np.array_equal(order, loader._epoch_order(0))
+        assert not np.array_equal(order, loader._epoch_order(1))
+        assert sorted(loader._epoch_order(1)) == sorted(loader.starts)
+
+
+def test_segment_shuffle_bit_exact_and_fewer_decodes():
+    """A segment-shuffled epoch returns bit-identical clips to the
+    serial decode while decoding measurably fewer warm-up frames than a
+    uniform shuffle of the same starts (each GOP decodes ~once)."""
+    import jax
+
+    from tensor_stream_tpu import ClipLoader
+
+    gs, sy, suv = serial_frames(GOP10, 250)
+    decoded = {}
+    for mode in ("segment", True):
+        seen = []
+        with ClipLoader(GOP10, clip_len=4, batch=5, shuffle=mode, seed=2,
+                        workers=2, prefetch=1) as loader:
+            for clips, starts in loader:
+                jax.block_until_ready(clips)
+                seen.extend(int(s) for s in starts)
+            decoded[mode] = loader.frames_decoded
+        assert len(seen) == len(set(seen)) == 60
+    assert decoded["segment"] < decoded[True]
+    # Raw-byte bit-exactness of a segment-grouped batch through the
+    # native reader (multi-worker, ride-chain path).
+    with ClipLoader(GOP10, clip_len=4, batch=5, shuffle="segment",
+                    seed=2, workers=1, prefetch=1) as loader:
+        starts = [int(s) for s in loader._epoch_order(0)[:8]]
+    r = clip_batch(GOP10, starts, 4, workers=3)
+    assert_clips_match_serial(r, sy, suv, starts, 4, 1)
+
+
+def test_ride_chain_grouping_workers_invariant():
+    """Chained scheduling: a segment-grouped batch decodes the SAME
+    total frame count with 1 or 3 workers — multi-worker runs no longer
+    split one GOP's clips across decoders (each would re-warm from the
+    keyframe)."""
+    starts = [0, 4, 8, 12, 50, 54, 58, 62, 100, 104, 108, 112]
+    r1 = clip_batch(GOP10, starts, 4, workers=1)
+    r3 = clip_batch(GOP10, starts, 4, workers=3)
+    assert r1["rc"] == 0 and r3["rc"] == 0
+    assert r1["decoded"] == r3["decoded"]
+    assert np.array_equal(r1["y"], r3["y"])
+    assert np.array_equal(r1["uv"], r3["uv"])
+
+
+def test_clip_dataset_segment_shuffle_groups_by_file_and_gop():
+    """ClipDataset(shuffle='segment'): the shuffled unit is (file,
+    segment) — one epoch still visits every clip of every file exactly
+    once, with each GOP's clips adjacent."""
+    from tensor_stream_tpu import ClipDataset
+
+    with ClipDataset([GOP10, GOP10], clip_len=4, batch=6,
+                     shuffle="segment", seed=5, workers=1,
+                     prefetch=1) as ds:
+        order = ds._epoch_order(0)
+        assert sorted(order) == list(range(len(ds.starts)))
+        keys = ds._segment_keys()[order]
+        runs = [k for i, k in enumerate(keys)
+                if i == 0 or k != keys[i - 1]]
+        assert len(runs) == len(set(runs)) == 20  # 10 GOPs x 2 files
+
+
+def test_shuffle_arg_validated():
+    from tensor_stream_tpu import ClipLoader
+    with pytest.raises(ValueError, match="shuffle"):
+        ClipLoader(GOP10, clip_len=4, shuffle="gop")
+
+
 def test_clip_loader_rejects_oversized_span():
     from tensor_stream_tpu import ClipLoader
     with pytest.raises(ValueError, match="span"):
