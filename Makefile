@@ -2,7 +2,7 @@
 # build/run/wheel; same spirit, TPU image).
 NAME ?= tensor-stream-tpu
 
-.PHONY: all native test test-fast bench wheel docker fixtures fuzz clean
+.PHONY: all native test test-fast bench wheel docker fixtures fuzz clean docs
 
 all: native
 
@@ -25,6 +25,12 @@ bench: native
 # (committed per-round evidence of hardware bit-exactness).
 tpu-parity: native
 	python tools/tpu_parity.py $(ROUND)
+
+# Generated API reference -> docs/api/ (the reference's Doxyfile
+# capability; no doxygen/sphinx in this image, so tools/gendocs.py
+# introspects the live package + scans the native headers).
+docs: native
+	python tools/gendocs.py
 
 wheel: native
 	python setup.py sdist bdist_wheel

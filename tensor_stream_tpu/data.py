@@ -1476,7 +1476,12 @@ class PooledStreamLoader:
 
     def __init__(self, stream_urls, per_stream=8, workers=0,
                  host_resize=False, loop=False, buffer_size=None,
-                 device_index=0, fast_decode=False, **frame_kwargs):
+                 device_index=0, fast_decode=False, post_fn=None,
+                 **frame_kwargs):
+        """`post_fn` (traceable, [global_batch, ...] in / any pytree
+        out) fuses into the single batched VPP dispatch — the converted
+        frames never round-trip: one tick, one device program
+        (serving's pipeline="fused" rides this)."""
         from . import _native
         self._lib = _native.load()
         self.params = FrameParameters(**frame_kwargs)
@@ -1552,7 +1557,7 @@ class PooledStreamLoader:
         else:
             cfg = self.params.to_config(self._w, self._h)
         self._vpp = build_vpp_batched_flat(cfg, self.global_batch,
-                                           device_index)
+                                           device_index, post_fn=post_fn)
 
     def __iter__(self):
         return self

@@ -186,7 +186,8 @@ def build_vpp(cfg: VPPConfig, device_index: int = 0):
 
 
 @lru_cache(maxsize=64)
-def build_vpp_batched_flat(cfg: VPPConfig, batch: int, device_index: int = 0):
+def build_vpp_batched_flat(cfg: VPPConfig, batch: int, device_index: int = 0,
+                           post_fn=None):
     """Jitted batched VPP over ONE flat NV12 staging buffer.
 
     Takes a single (batch*H*W*3/2,) uint8 array laid out as all Y planes
@@ -194,6 +195,12 @@ def build_vpp_batched_flat(cfg: VPPConfig, batch: int, device_index: int = 0):
     contiguous host->HBM transfer per batch instead of two — the
     transfer is the throughput wall on the consumer side, so the staging
     buffer is written once by the native ring drain and shipped whole.
+
+    `post_fn` (optional, traceable, [batch, ...] in / any pytree out)
+    runs INSIDE the same jitted program after the conversion — serving
+    fuses its model here so one tick is one device dispatch and XLA
+    fuses normalize/convert into the model's first ops
+    (serving.StreamInferencer(pipeline="fused")).
     """
     _compile_cache.ensure_compile_cache()
     device = jax.devices()[device_index]
@@ -204,7 +211,8 @@ def build_vpp_batched_flat(cfg: VPPConfig, batch: int, device_index: int = 0):
     def flat_fn(flat):
         ys = flat[:y_size].reshape(batch, h, w)
         uvs = flat[y_size:].reshape(batch, h // 2, w)
-        return jax.vmap(fn)(ys, uvs)
+        out = jax.vmap(fn)(ys, uvs)
+        return post_fn(out) if post_fn is not None else out
 
     # NOTE: donating `flat` was tried and reverted — the outputs never
     # match the staging buffer's shape/dtype (u8 planes in, f32 or

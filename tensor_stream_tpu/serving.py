@@ -49,7 +49,7 @@ class StreamInferencer:
     def __init__(self, stream_urls: Sequence[str], infer_fn: Callable,
                  per_stream: int = 8, loader: Optional[Any] = None,
                  carry: Any = None, on_end: str = "stop",
-                 **loader_kwargs):
+                 pipeline: str = "per-stream", **loader_kwargs):
         """`infer_fn(batch) -> outputs` must keep the leading batch
         axis (any pytree of arrays with that axis works). Pass a
         prebuilt Multi/PooledStreamLoader via `loader`, or let the
@@ -72,20 +72,57 @@ class StreamInferencer:
         "drop" evicts exhausted streams (and their carry rows) and
         keeps serving the survivors — the batch shrinks, so the model
         must accept smaller batches (a jit refires per size; a
-        batch-polymorphic exported artifact always fits)."""
+        batch-polymorphic exported artifact always fits).
+
+        `pipeline` picks the many-stream decode/dispatch topology:
+          "per-stream" (default): one MultiStreamLoader — a native
+            producer thread + device dispatch per stream per tick;
+            supports on_end="drop" and stateful carry.
+          "pooled": one PooledStreamLoader — N streams share a bounded
+            native worker pool and ONE flat staging buffer; one
+            transfer + one VPP dispatch per tick.
+          "fused": pooled, AND infer_fn traced INTO the loader's VPP
+            program — one device dispatch per tick total, XLA fusing
+            convert/normalize into the model's first ops. The fastest
+            serving config; requires a stateless traceable infer_fn.
+        Pooled/fused engines own their loader (pass no `loader`) and
+        end service when any stream drains (on_end="stop")."""
         if on_end not in ("stop", "drop"):
             raise ValueError(f"on_end must be 'stop' or 'drop': {on_end}")
         if on_end == "drop" and loader is not None:
             raise ValueError("on_end='drop' needs engine-owned loaders "
                              "(omit the loader argument)")
+        if pipeline not in ("per-stream", "pooled", "fused"):
+            raise ValueError("pipeline must be 'per-stream', 'pooled' "
+                             f"or 'fused': {pipeline!r}")
+        if pipeline != "per-stream":
+            if loader is not None or carry is not None or on_end != "stop":
+                raise ValueError(
+                    f"pipeline={pipeline!r} builds its own pooled "
+                    "loader and is stateless: omit loader/carry and "
+                    "keep on_end='stop'")
+        self.pipeline = pipeline
         self.infer_fn = infer_fn
         self.carry = carry
         self._stateful = carry is not None
         self.per_stream = per_stream
         self.on_end = on_end
         self._own_loader = loader is None
-        self.loader = loader if loader is not None else MultiStreamLoader(
-            stream_urls, per_stream=per_stream, **loader_kwargs)
+        if loader is not None:
+            self.loader = loader
+        elif pipeline == "per-stream":
+            self.loader = MultiStreamLoader(
+                stream_urls, per_stream=per_stream, **loader_kwargs)
+        else:
+            from .data import PooledStreamLoader
+            self.loader = PooledStreamLoader(
+                stream_urls, per_stream=per_stream,
+                post_fn=infer_fn if pipeline == "fused" else None,
+                **loader_kwargs)
+            if pipeline == "fused":
+                # The loader's single dispatch already produced the
+                # model outputs; the engine's infer step is identity.
+                self.infer_fn = lambda outputs: outputs
         self._n_streams = len(stream_urls)
         self._frames = [0] * self._n_streams
         self._batches = 0

@@ -106,6 +106,37 @@ def test_serving_from_exported_artifact(tmp_path):
 
 
 @needs_fixture
+@pytest.mark.parametrize("pipeline", ["pooled", "fused"])
+def test_pooled_and_fused_match_per_stream(pipeline):
+    """pipeline='pooled'/'fused' serve the same outputs bound to the
+    same frame clocks as the default per-stream engine — fused runs the
+    model INSIDE the loader's single VPP dispatch."""
+    def brightness(batch):
+        return batch.astype(jnp.float32).mean(axis=(1, 2, 3))
+
+    def collect(**kw):
+        with StreamInferencer([BUNNY, BUNNY], brightness, per_stream=3,
+                              **KW, **kw) as eng:
+            return [(r.stream, list(r.frames),
+                     np.asarray(jax.block_until_ready(r.outputs)))
+                    for r in eng.stream(max_batches=3)]
+
+    want = collect()
+    got = collect(pipeline=pipeline)
+    assert [(s, f) for s, f, _ in got] == [(s, f) for s, f, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_arg_validated():
+    with pytest.raises(ValueError, match="pipeline"):
+        StreamInferencer([BUNNY], lambda x: x, pipeline="sharded")
+    with pytest.raises(ValueError, match="stateless"):
+        StreamInferencer([BUNNY], lambda c, x: (c, x), pipeline="fused",
+                         carry=jnp.zeros((1,)), **KW)
+
+
+@needs_fixture
 def test_run_callback_and_exhaustion():
     """run() drives to stream exhaustion cleanly when the file ends."""
     seen = []
