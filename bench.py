@@ -569,7 +569,7 @@ def _vit_train_flops(B, t_tok, s_tok, dim, depth, mult, patch, tub):
     return 3 * (depth * per_block + embed)
 
 
-def bench_vit_train(steps=8):
+def bench_vit_train(steps=16):
     """Model-layer training throughput on the chip: a ViT-B-class
     VideoViT (dim 768, depth 12, factorized space-time attention, bf16
     compute / f32 params+optimizer — the production config) over

@@ -73,6 +73,11 @@ def main():
                         default=max(2, (os.cpu_count() or 2) // 2))
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--uniform-shuffle", action="store_true",
+                        help="full clip permutation per epoch instead "
+                             "of the default GOP-grouped segment "
+                             "shuffle (slower decode, clip-level "
+                             "i.i.d. order)")
     parser.add_argument("--model", choices=("cnn", "vit"), default="cnn",
                         help="cnn = small 3D CNN; vit = factorized "
                              "space-time VideoViT (bf16 MXU matmuls, "
@@ -128,7 +133,12 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss, acc
 
     kw = dict(clip_len=args.clip_len, batch=args.batch,
-              frame_stride=args.frame_stride, shuffle=True, seed=args.seed,
+              frame_stride=args.frame_stride,
+              # segment shuffle: GOP-grouped epochs decode each GOP
+              # ~once (~1.5x input throughput vs the full permutation;
+              # pass --uniform-shuffle for clip-level i.i.d. order).
+              shuffle="uniform" if args.uniform_shuffle else "segment",
+              seed=args.seed,
               workers=args.workers, host_resize=True,
               width=args.size, height=args.size,
               resize_type=ResizeType.BILINEAR, pixel_format=FourCC.RGB24,
