@@ -38,10 +38,14 @@ def _depthwise(img, window):
     """Depthwise 2D convolution of [N, H, W, C] with [kh, kw]."""
     c = img.shape[-1]
     kern = jnp.tile(window[:, :, None, None], (1, 1, 1, c))
+    # HIGHEST: quality metrics must be f32-accurate — at DEFAULT
+    # precision the TPU runs this conv as bf16 MXU passes, and the
+    # E[x²]−E[x]² variances downstream amplify the rounding (the 11x11
+    # windows are tiny; speed is irrelevant here).
     return jax.lax.conv_general_dilated(
         img, kern, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c)
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("max_val",))

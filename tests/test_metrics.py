@@ -11,14 +11,16 @@ from tensor_stream_tpu.ops.metrics import psnr, ssim
 def test_psnr_closed_form():
     a = jnp.zeros((1, 16, 16, 3))
     b = jnp.full((1, 16, 16, 3), 0.1)
-    # mse = 0.01 → psnr = 10*log10(1/0.01) = 20 dB.
-    np.testing.assert_allclose(np.asarray(psnr(a, b)), [20.0], rtol=1e-5)
+    # mse = 0.01 → psnr = 10*log10(1/0.01) = 20 dB. rtol 5e-5: the TPU's
+    # tree-reduced f32 mean lands ~1.2e-5 rel off the sequential sum
+    # (20.000237 dB) — reduction order, not a defect.
+    np.testing.assert_allclose(np.asarray(psnr(a, b)), [20.0], rtol=5e-5)
     # u8 scale: same image halved error → +6.02 dB per halving.
     a8 = jnp.zeros((1, 16, 16, 3))
     np.testing.assert_allclose(
         float(psnr(a8, jnp.full_like(a8, 16.0), max_val=255.0)[0])
         - float(psnr(a8, jnp.full_like(a8, 32.0), max_val=255.0)[0]),
-        20 * np.log10(2), rtol=1e-5)
+        20 * np.log10(2), rtol=5e-5)
 
 
 def test_psnr_identical_is_inf_and_batch_shape():

@@ -38,10 +38,14 @@ def test_single_expert_equals_dense_mlp():
                  compute_dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 16))
     params = moe.init(jax.random.PRNGKey(0), x)
-    got = np.asarray(moe.apply(params, x)[0])
-    p = params["params"]
-    want = np.asarray(
-        nn.gelu(x @ p["w1"][0] + p["b1"][0]) @ p["w2"][0] + p["b2"][0])
+    # HIGHEST pins every matmul to true f32 so the law checks exactly on
+    # the TPU backend too (at DEFAULT the dispatch-einsum path and the
+    # plain-matmul oracle round differently through bf16 MXU passes).
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(moe.apply(params, x)[0])
+        p = params["params"]
+        want = np.asarray(
+            nn.gelu(x @ p["w1"][0] + p["b1"][0]) @ p["w2"][0] + p["b2"][0])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
