@@ -637,6 +637,49 @@ def bench_vit_train(steps=16):
     }
 
 
+def bench_flash_attention(iters=30, seq=2048, heads=8, d=64):
+    """Flash-attention kernel vs the materialized XLA path, fwd+bwd at
+    a long sequence ([1, 8, 2048, 64] bf16, causal) — the regime the
+    kernel exists for (the [S, S] logits never reach HBM; the VJP
+    recomputes tile-by-tile). Reports both times and the speedup; the
+    numerics equality is tests/test_flash_attention.py's job. Synced
+    via chain-dependent device_get (see bench_vit_train)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensor_stream_tpu.ops.flash_attention import flash_attention
+
+    rng = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(jax.random.fold_in(rng, i),
+                                 (1, heads, seq, d), jnp.bfloat16)
+               for i in range(3))
+
+    def timed(impl):
+        @jax.jit
+        def loss(q, k, v):
+            o = flash_attention(q, k, v, causal=True, impl=impl)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        out = g(q, k, v)
+        float(jax.device_get(jnp.sum(out[0].astype(jnp.float32))))
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(iters):
+            out = g(out[0], k, v)  # chain through dq
+        acc = jnp.sum(out[0].astype(jnp.float32))
+        float(jax.device_get(acc))
+        return (time.perf_counter() - t0) / iters
+
+    t_flash = timed("pallas")
+    t_xla = timed("xla")
+    return {
+        "flash_fwdbwd_ms_s2048": round(1e3 * t_flash, 3),
+        "xla_attn_fwdbwd_ms_s2048": round(1e3 * t_xla, 3),
+        "flash_speedup_s2048": round(t_xla / t_flash, 3),
+    }
+
+
 def bench_scaling(lib):
     """Decode thread-count sweep — the proof that the decode wall scales
     with host cores. Skipped (with reason) when the host cannot show
@@ -781,6 +824,12 @@ def main():
         stages.update(bench_vit_train())
     except Exception as e:  # never lose the artifact to the model stage
         stages["vit_train_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        import jax
+        if jax.devices()[0].platform == "tpu":  # kernel path is TPU-only
+            stages.update(bench_flash_attention())
+    except Exception as e:
+        stages["flash_error"] = f"{type(e).__name__}: {e}"[:200]
     link = {
         "transfer_gbps": stages["transfer_gbps"],
         "dispatch_floor_ms": round(probe_link(), 3),
