@@ -43,21 +43,30 @@ def test_batch_causal_is_causal():
 
 def test_stream_matches_batch_causal_f32():
     """Feeding the clip tubelet-by-tubelet reproduces the batch causal
-    forward's per-step logits (f32: tight)."""
-    model = causal_vit()
-    params = init_vit(jax.random.PRNGKey(0), model, (B, T, H, W, 3))
-    clips = jax.random.uniform(jax.random.PRNGKey(1), (B, T, H, W, 3))
-    want = np.asarray(jax.jit(model.apply)(params, clips))  # [B, T', C]
+    forward's per-step logits (f32: tight).
 
-    cache = init_stream_cache(model, params, batch=B, max_steps=STEPS)
-    step = jax.jit(partial(stream_step, model, params))
-    for t in range(STEPS):
-        frames = clips[:, t * TUB:(t + 1) * TUB]
-        cache, logits = step(cache, frames)
-        np.testing.assert_allclose(np.asarray(logits), want[:, t],
-                                   rtol=2e-5, atol=2e-6,
-                                   err_msg=f"step {t}")
-    assert int(cache["t"]) == STEPS
+    Pinned to matmul precision "highest" so f32 is f32-accurate on the
+    MXU too: batch and streaming are *different programs* (full-sequence
+    attention vs cached incremental), so at DEFAULT precision each side
+    carries its own ~1e-3 bf16-pass envelope on TPU and a tight
+    comparison is meaningless. At "highest" the residual is pure f32
+    reduction-order noise on every backend. (bf16 production numerics
+    are covered by the companion test below.)"""
+    with jax.default_matmul_precision("highest"):
+        model = causal_vit()
+        params = init_vit(jax.random.PRNGKey(0), model, (B, T, H, W, 3))
+        clips = jax.random.uniform(jax.random.PRNGKey(1), (B, T, H, W, 3))
+        want = np.asarray(jax.jit(model.apply)(params, clips))  # [B, T', C]
+
+        cache = init_stream_cache(model, params, batch=B, max_steps=STEPS)
+        step = jax.jit(partial(stream_step, model, params))
+        for t in range(STEPS):
+            frames = clips[:, t * TUB:(t + 1) * TUB]
+            cache, logits = step(cache, frames)
+            np.testing.assert_allclose(np.asarray(logits), want[:, t],
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=f"step {t}")
+        assert int(cache["t"]) == STEPS
 
 
 def test_stream_matches_batch_causal_bf16():
