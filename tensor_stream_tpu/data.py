@@ -1477,11 +1477,18 @@ class PooledStreamLoader:
     def __init__(self, stream_urls, per_stream=8, workers=0,
                  host_resize=False, loop=False, buffer_size=None,
                  device_index=0, fast_decode=False, post_fn=None,
-                 **frame_kwargs):
+                 prefetch=2, **frame_kwargs):
         """`post_fn` (traceable, [global_batch, ...] in / any pytree
         out) fuses into the single batched VPP dispatch — the converted
         frames never round-trip: one tick, one device program
-        (serving's pipeline="fused" rides this)."""
+        (serving's pipeline="fused" rides this).
+
+        `prefetch` bounds how many ticks a background drain thread runs
+        ahead of the consumer: the fill (blocking per-stream batch gets
+        + native host resize into staging) overlaps the consumer's
+        device_put + dispatch of earlier ticks, exactly like
+        FrameLoader's drain — without it every tick serializes
+        decode-wait, resize, transfer and dispatch on one thread."""
         from . import _native
         self._lib = _native.load()
         self.params = FrameParameters(**frame_kwargs)
@@ -1518,9 +1525,19 @@ class PooledStreamLoader:
         self.n_streams = len(self.handles)
         self.global_batch = self.n_streams * self.per_stream
         size = self.global_batch * self._w * self._h * 3 // 2
-        self._staging = [np.empty(size, np.uint8) for _ in range(2)]
-        self._inflight = [None, None]
-        self._slot = 0
+        self.prefetch = max(1, int(prefetch))
+        # Rotating staging pool + fill thread (started at the end of
+        # __init__, once the VPP program exists): same lifecycle as
+        # FrameLoader's — one buffer per in-flight tick plus one being
+        # filled, recycle blocks on the tick's compute because
+        # jax.device_put may alias the numpy bytes on the CPU backend.
+        self._pool_bufs = queue.Queue()
+        for _ in range(self.prefetch + 2):
+            self._pool_bufs.put(np.empty(size, np.uint8))
+        self._filled = queue.Queue(maxsize=self.prefetch)
+        self._pending = collections.deque()  # (buf, tensors) in flight
+        self._stop = threading.Event()
+        self._thread = None
         if self._lib.ts_pool_start(self.pool) != 0:
             raise RuntimeError("StreamPool start failed")
         if self.params.color_standard is ColorStandard.AUTO:
@@ -1558,63 +1575,101 @@ class PooledStreamLoader:
             cfg = self.params.to_config(self._w, self._h)
         self._vpp = build_vpp_batched_flat(cfg, self.global_batch,
                                            device_index, post_fn=post_fn)
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    def _drain(self):
+        """Fill thread: blocking per-stream batch gets (+ native host
+        resize) into a staging buffer from the rotating pool, pushed to
+        the bounded `_filled` queue. The ctypes calls release the GIL,
+        so this overlaps the consumer's device_put/dispatch. Terminal
+        states latch via sentinels: None = a stream drained (ticks must
+        stay rectangular), _RENEGOTIATED = mid-stream geometry switch
+        on the fixed-geometry path."""
+        lib = self._lib
+        y_frame = self._w * self._h
+        y_total = self.global_batch * y_frame
+        first = ctypes.c_int(0)
+        while not self._stop.is_set():
+            buf = self._pool_bufs.get()
+            if buf is None or self._stop.is_set():
+                break
+            indices = {}
+            sentinel = False
+            for k, handle in enumerate(self.handles):
+                y_off = k * self.per_stream * y_frame
+                uv_off = y_total + k * self.per_stream * y_frame // 2
+                if self.host_resize:
+                    got = lib.ts_pipeline_get_batch_resized(
+                        handle, b"pool", self.per_stream, self._w, self._h,
+                        self._algo, buf.ctypes.data + y_off,
+                        buf.ctypes.data + uv_off, ctypes.byref(first))
+                else:
+                    got = lib.ts_pipeline_get_batch(
+                        handle, b"pool", self.per_stream,
+                        buf.ctypes.data + y_off,
+                        buf.ctypes.data + uv_off, ctypes.byref(first))
+                if got == _native.TS_RENEGOTIATE:
+                    self._filled.put(_RENEGOTIATED)
+                    return
+                if got < self.per_stream:
+                    self._filled.put(None)  # a stream drained
+                    sentinel = True
+                    break
+                indices[k] = list(range(first.value, first.value + got))
+            if sentinel:
+                break
+            self._filled.put((buf, indices))
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        import ctypes
-
         import jax
         if self.pool is None:
             raise StopIteration
-        slot = self._slot
-        if self._inflight[slot] is not None:
-            jax.block_until_ready(self._inflight[slot])  # staging reuse safety
-            self._inflight[slot] = None
-        staging = self._staging[slot]
-        y_frame = self._w * self._h
-        y_total = self.global_batch * y_frame
-        first = ctypes.c_int(0)
-        indices = {}
-        for k, handle in enumerate(self.handles):
-            y_off = k * self.per_stream * y_frame
-            uv_off = y_total + k * self.per_stream * y_frame // 2
-            if self.host_resize:
-                got = self._lib.ts_pipeline_get_batch_resized(
-                    handle, b"pool", self.per_stream, self._w, self._h,
-                    self._algo, staging.ctypes.data + y_off,
-                    staging.ctypes.data + uv_off, ctypes.byref(first))
-            else:
-                got = self._lib.ts_pipeline_get_batch(
-                    handle, b"pool", self.per_stream,
-                    staging.ctypes.data + y_off,
-                    staging.ctypes.data + uv_off, ctypes.byref(first))
-            if got == _native.TS_RENEGOTIATE:
-                raise RuntimeError(
-                    f"stream {k} changed resolution mid-stream; use "
-                    "PooledStreamLoader(host_resize=True) to ride through "
-                    "switches, or restart the pool for the new geometry")
-            if got < self.per_stream:
-                raise StopIteration  # a stream drained; shards must match
-            indices[k] = list(range(first.value, first.value + got))
+        item = self._filled.get()
+        if item is None:
+            self._filled.put(item)  # latch: repeated next() keeps raising
+            raise StopIteration
+        if item is _RENEGOTIATED:
+            self._filled.put(item)  # latch
+            raise RuntimeError(
+                "a stream changed resolution mid-stream; use "
+                "PooledStreamLoader(host_resize=True) to ride through "
+                "switches, or restart the pool for the new geometry")
+        buf, indices = item
         device = jax.devices()[self.device_index]
-        flat = jax.device_put(staging, device)
-        tensors = self._vpp(flat)
-        self._inflight[slot] = tensors
-        self._slot = (slot + 1) % 2
+        flat = jax.device_put(buf, device)
+        tensors = self._vpp(flat)  # async dispatch
+        self._pending.append((buf, tensors))
+        if len(self._pending) > self.prefetch:
+            old_buf, old_t = self._pending.popleft()
+            jax.block_until_ready(old_t)  # staging reuse safety
+            self._pool_bufs.put(old_buf)
         return tensors, indices
 
     def close(self):
-        import jax
-        for t in self._inflight:
-            if t is not None:
-                jax.block_until_ready(t)
-        self._inflight = [None, None]
-        if self.pool is not None:
-            self._lib.ts_pool_stop(self.pool)
-            self._lib.ts_pool_destroy(self.pool)
-            self.pool = None
+        if self.pool is None:
+            return
+        self._stop.set()
+        while self._pending:
+            self._pool_bufs.put(self._pending.popleft()[0])
+        try:  # unblock a drain waiting for a staging buffer
+            self._pool_bufs.put_nowait(None)
+        except queue.Full:
+            pass
+        # Stop (not yet destroy) the native pool: wakes a drain parked
+        # inside a blocking get, which then observes _stop and exits.
+        self._lib.ts_pool_stop(self.pool)
+        try:  # unblock a drain parked on the bounded _filled queue
+            self._filled.get_nowait()
+        except queue.Empty:
+            pass
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self._lib.ts_pool_destroy(self.pool)
+        self.pool = None
 
     def __enter__(self):
         return self

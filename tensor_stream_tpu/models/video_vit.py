@@ -179,7 +179,11 @@ def tubelet_embed(m: nn.Module, clips):
                     (hh * ww, m.dim))
     pos_t = m.param("pos_temporal", nn.initializers.normal(0.02),
                     (tt, m.dim))
-    return x + pos_s[None, None] + pos_t[None, :, None]
+    x = x + pos_s[None, None] + pos_t[None, :, None]
+    # Residual-stream dtype: f32 by default (tight streaming/KV parity);
+    # bf16 halves activation HBM traffic — the training-throughput
+    # config (LayerNorms still compute in f32 either way).
+    return x.astype(getattr(m, "residual_dtype", jnp.float32))
 
 
 class VideoViT(nn.Module):
@@ -205,6 +209,10 @@ class VideoViT(nn.Module):
     # use_flash=True: Pallas flash-attention core (long token axes).
     use_flash: bool = False
     flash_impl: str = "auto"
+    # Residual-stream dtype. f32 (default) maximizes streaming/batch
+    # parity; bf16 halves activation HBM traffic for training
+    # throughput (LayerNorm/softmax still accumulate in f32).
+    residual_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, clips):

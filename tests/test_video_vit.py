@@ -47,6 +47,24 @@ def test_forward_shape_and_dtype():
                for p in jax.tree_util.tree_leaves(params))
 
 
+def test_bf16_residual_stream_matches_f32_residual():
+    """residual_dtype=bf16 (the training-throughput config: half the
+    activation HBM traffic) shares the f32-residual model's params and
+    agrees with it to bf16 tolerance — same argmax, finite, and it
+    really is a different program (outputs not bit-identical)."""
+    kw = dict(compute_dtype=jnp.bfloat16)
+    f32res = tiny(**kw)
+    bf16res = tiny(residual_dtype=jnp.bfloat16, **kw)
+    params = init_vit(jax.random.PRNGKey(0), f32res, CLIP)
+    clips = jax.random.uniform(jax.random.PRNGKey(1), CLIP)
+    a = np.asarray(jax.jit(f32res.apply)(params, clips))
+    b = np.asarray(jax.jit(bf16res.apply)(params, clips))
+    assert b.dtype == np.float32 and np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
+    assert (a.argmax(-1) == b.argmax(-1)).all()
+    assert not np.array_equal(a, b)
+
+
 def test_temporal_attention_sees_order():
     """A reversed clip must produce different logits than the forward
     clip (the temporal pathway carries order; a pure spatial model
