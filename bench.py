@@ -451,7 +451,10 @@ def bench_serving(seconds, n_streams=2, per_stream=8,
     pool + flat staging buffer and the model traces INTO the VPP
     program — ONE device dispatch per tick (the per-stream engine pays
     2 dispatches + a concat per stream per tick, which is pure dispatch
-    overhead on a remote-tunnel chip)."""
+    overhead on a remote-tunnel chip). inflight=2 keeps two ticks'
+    results in flight so each result wait's RTT overlaps the next
+    tick's decode+transfer — the throughput-serving config;
+    latency-first deployments keep the default inflight=1."""
     import jax.numpy as jnp
 
     from tensor_stream_tpu.enums import FourCC, Planes
@@ -465,7 +468,7 @@ def bench_serving(seconds, n_streams=2, per_stream=8,
         pipeline=pipeline, width=224, height=224, host_resize=True,
         pixel_format=FourCC.RGB24, planes_pos=Planes.MERGED, loop=True)
     try:
-        it = eng.stream()
+        it = eng.stream(inflight=2 if pipeline == "fused" else 1)
         for _ in range(n_streams):   # drain batch 1 fully: pay all
             next(it)                 # compiles before the timed window
         t0 = time.perf_counter()

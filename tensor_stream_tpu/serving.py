@@ -135,11 +135,21 @@ class StreamInferencer:
 
     # -------------------------------------------------------------- core
 
-    def stream(self, max_batches: Optional[int] = None):
+    def stream(self, max_batches: Optional[int] = None,
+               inflight: int = 1):
         """Generator of StreamResult — one per stream per batch, in
-        stream order. Double-buffered: the model call for batch k+1 is
-        enqueued before batch k's results are awaited."""
-        pending = None  # (dispatch_t, outputs, indices)
+        stream order. Pipelined: up to `inflight` model calls stay
+        enqueued before the oldest batch's results are awaited.
+        inflight=1 is classic double buffering (results lag dispatch by
+        one tick); deeper values hide more device/link round-trip
+        latency at the cost of result lag — on a remote-attached chip
+        where each result wait pays a full RTT, inflight=2 keeps the
+        host decode loop running during that wait. The pooled loader's
+        own `prefetch` bounds how far decode can run ahead regardless."""
+        from collections import deque
+        if inflight < 1:
+            raise ValueError(f"inflight must be >= 1: {inflight}")
+        pending = deque()  # (dispatch_t, outputs, indices), oldest first
         fetched = 0
         self._t0 = self._t0 or time.perf_counter()
         it = None if self.on_end == "drop" else iter(self.loader)
@@ -156,12 +166,11 @@ class StreamInferencer:
                 self.carry, out = self.infer_fn(self.carry, batch)
             else:
                 out = self.infer_fn(batch)
-            nxt = (t_dispatch, out, indices)
-            if pending is not None:
-                yield from self._drain(pending)
-            pending = nxt
-        if pending is not None:
-            yield from self._drain(pending)
+            pending.append((t_dispatch, out, indices))
+            if len(pending) > inflight:
+                yield from self._drain(pending.popleft())
+        while pending:
+            yield from self._drain(pending.popleft())
 
     def _next_stop(self, it):
         """Stop mode: the MultiStreamLoader's flat batch; for stateful
@@ -241,9 +250,9 @@ class StreamInferencer:
             yield StreamResult(stream, frames, sl)
 
     def run(self, callback: Callable[[StreamResult], None],
-            max_batches: Optional[int] = None):
+            max_batches: Optional[int] = None, inflight: int = 1):
         """Drives stream() to completion, invoking callback per result."""
-        for r in self.stream(max_batches):
+        for r in self.stream(max_batches, inflight=inflight):
             callback(r)
 
     # ------------------------------------------------------------- stats

@@ -128,6 +128,36 @@ def test_pooled_and_fused_match_per_stream(pipeline):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+@needs_fixture
+@pytest.mark.parametrize("pipeline", ["per-stream", "fused"])
+def test_inflight_depth_preserves_results(pipeline):
+    """stream(inflight=3) pipelines three ticks deep but yields the
+    same (stream, frames, outputs) sequence as the default
+    double-buffered depth, including the final-drain tail."""
+    def brightness(batch):
+        return batch.astype(jnp.float32).mean(axis=(1, 2, 3))
+
+    def collect(inflight):
+        with StreamInferencer([BUNNY, BUNNY], brightness, per_stream=3,
+                              pipeline=pipeline, **KW) as eng:
+            return [(r.stream, list(r.frames),
+                     np.asarray(jax.block_until_ready(r.outputs)))
+                    for r in eng.stream(max_batches=4, inflight=inflight)]
+
+    want = collect(1)
+    got = collect(3)
+    assert [(s, f) for s, f, _ in got] == [(s, f) for s, f, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+@needs_fixture
+def test_inflight_validated():
+    with StreamInferencer([BUNNY], lambda x: x, **KW) as eng:
+        with pytest.raises(ValueError, match="inflight"):
+            list(eng.stream(inflight=0))
+
+
 def test_pipeline_arg_validated():
     with pytest.raises(ValueError, match="pipeline"):
         StreamInferencer([BUNNY], lambda x: x, pipeline="sharded")
@@ -151,7 +181,10 @@ def test_stateful_temporal_serving_matches_independent_streams():
     """The streaming KV-cache VideoViT behind StreamInferencer: two
     streams share one batched cache (stream axis = cache batch axis);
     each stream's per-step logits equal an independent single-stream
-    stream_step run over the same frames."""
+    stream_step run over the same frames. Matmul precision pinned to
+    highest: the parity here is between two groupings of the SAME f32
+    math, and the TPU's default bf16-pass matmuls make batch=2 vs
+    batch=1 runs drift ~2e-3 (same pin as test_streaming)."""
     from functools import partial
 
     import jax.numpy as jnp
@@ -164,41 +197,45 @@ def test_stateful_temporal_serving_matches_independent_streams():
     model = VideoViT(num_classes=3, depth=2, dim=32, num_heads=2,
                      patch=8, tubelet_t=TUB, compute_dtype=jnp.float32,
                      causal=True)
-    params = init_vit(jax.random.PRNGKey(0), model,
-                      (2, TUB, SIZE, SIZE, 3))
+    with jax.default_matmul_precision("highest"):
+        params = init_vit(jax.random.PRNGKey(0), model,
+                          (2, TUB, SIZE, SIZE, 3))
 
-    skw = dict(width=SIZE, height=SIZE, pixel_format=FourCC.RGB24,
-               planes_pos=Planes.MERGED, host_resize=True,
-               normalization=True)
+        skw = dict(width=SIZE, height=SIZE, pixel_format=FourCC.RGB24,
+                   planes_pos=Planes.MERGED, host_resize=True,
+                   normalization=True)
 
-    # Stateful engines hand infer_fn [n_streams, per_stream, ...]
-    # directly — stream_step consumes it with no reshape.
-    infer = jax.jit(partial(stream_step, model, params))
+        # Stateful engines hand infer_fn [n_streams, per_stream, ...]
+        # directly — stream_step consumes it with no reshape.
+        infer = jax.jit(partial(stream_step, model, params))
 
-    cache = init_stream_cache(model, params, batch=2, max_steps=STEPS)
-    with StreamInferencer([BUNNY, BUNNY], infer, per_stream=TUB,
-                          carry=cache, **skw) as eng:
-        results = list(eng.stream(max_batches=STEPS))
-    assert [r.stream for r in results] == [0, 1] * STEPS
-    assert all(r.outputs.shape == (1, 3) for r in results)
-    assert all(len(r.frames) == TUB for r in results)
+        cache = init_stream_cache(model, params, batch=2,
+                                  max_steps=STEPS)
+        with StreamInferencer([BUNNY, BUNNY], infer, per_stream=TUB,
+                              carry=cache, **skw) as eng:
+            results = list(eng.stream(max_batches=STEPS))
+        assert [r.stream for r in results] == [0, 1] * STEPS
+        assert all(r.outputs.shape == (1, 3) for r in results)
+        assert all(len(r.frames) == TUB for r in results)
 
-    # Independent single-stream run over the same decoded frames.
-    cache1 = init_stream_cache(model, params, batch=1, max_steps=STEPS)
-    step1 = jax.jit(partial(stream_step, model, params))
-    loader = FrameLoader(BUNNY, batch=TUB, **skw)
-    try:
-        for t in range(STEPS):
-            tensors, idx = next(loader)
-            cache1, want = step1(cache1, tensors[None])
-            for r in results:
-                if r.frames == idx:
-                    np.testing.assert_allclose(
-                        np.asarray(r.outputs[0]), np.asarray(want[0]),
-                        rtol=1e-5, atol=1e-6,
-                        err_msg=f"stream {r.stream} step {t}")
-    finally:
-        loader.close()
+        # Independent single-stream run over the same decoded frames.
+        cache1 = init_stream_cache(model, params, batch=1,
+                                   max_steps=STEPS)
+        step1 = jax.jit(partial(stream_step, model, params))
+        loader = FrameLoader(BUNNY, batch=TUB, **skw)
+        try:
+            for t in range(STEPS):
+                tensors, idx = next(loader)
+                cache1, want = step1(cache1, tensors[None])
+                for r in results:
+                    if r.frames == idx:
+                        np.testing.assert_allclose(
+                            np.asarray(r.outputs[0]),
+                            np.asarray(want[0]),
+                            rtol=1e-5, atol=1e-6,
+                            err_msg=f"stream {r.stream} step {t}")
+        finally:
+            loader.close()
 
 
 @needs_fixture
