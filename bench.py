@@ -736,6 +736,24 @@ def _headline_window(loader, seconds):
     return frames / (time.perf_counter() - start)
 
 
+def _loader_window(seconds):
+    """One timed window of the HEADLINE loader config (fresh loader,
+    jit cache already warm after the headline phase) — the adjacent
+    denominator for stage-vs-headline ratios."""
+    from tensor_stream_tpu import FourCC, FrameLoader, Planes, ResizeType
+
+    loader = FrameLoader(VIDEO, batch=BATCH, prefetch=3,
+                         host_resize=True, buffer_size=32, loop=True,
+                         width=224, height=224,
+                         resize_type=ResizeType.BILINEAR,
+                         pixel_format=FourCC.RGB24,
+                         planes_pos=Planes.PLANAR, normalization=True)
+    try:
+        return _headline_window(loader, seconds)
+    finally:
+        loader.close()
+
+
 def bench_headline_and_decode(lib):
     """Headline loader fps and the decode-only wall, measured in
     INTERLEAVED windows (h, d, h, d, h, d) so both sample the same host
@@ -820,8 +838,20 @@ def main():
     uni_fps, uni_eff = bench_clip_sampling(lib, half / 2, mode="uniform")
     stages["clip_uniform_fps"] = round(uni_fps, 1)
     stages["clip_uniform_efficiency"] = round(uni_eff, 3)
-    serving_fps, serving_lat = bench_serving(half)
+    # Serving interleaved with single-stream loader windows (s, l, s,
+    # l): the serving/loader ratio of the SAME noise regime. r04's
+    # artifact recorded serving at 0.69x a best-of-4 headline taken
+    # minutes earlier in a different hypervisor-steal regime; measured
+    # adjacently the fused engine sits at the multi-stream decode wall.
+    serving_fps, serving_lat, loader_adj = 0.0, {"p50": None}, 0.0
+    for _ in range(2):
+        s_fps, s_lat = bench_serving(half / 2)
+        if s_fps > serving_fps:
+            serving_fps, serving_lat = s_fps, s_lat
+        loader_adj = max(loader_adj, _loader_window(half / 2))
     stages["serving_fps"] = round(serving_fps, 1)
+    stages["serving_vs_adjacent_loader"] = round(
+        serving_fps / max(loader_adj, 1e-9), 3)
     if serving_lat["p50"] is not None:
         stages["serving_wait_p50_ms"] = round(serving_lat["p50"], 2)
         stages["serving_wait_p95_ms"] = round(serving_lat["p95"], 2)
