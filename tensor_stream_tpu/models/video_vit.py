@@ -60,6 +60,14 @@ class MHA(nn.Module):
     tests/test_flash_attention.py. Worth it once S is hundreds of
     tokens; the default materialized path is fine for short factorized
     sequences.
+
+    `ring_axis`/`mesh` route the core through ring attention
+    (ops/ring_attention.py): the token axis stays SHARDED over the
+    named mesh axis through attention itself — K/V blocks rotate via
+    ppermute, an online-softmax accumulator merges them — instead of
+    GSPMD all-gathering the sequence. Context parallelism for token
+    axes too long for one device; asserted equal to the gathered path
+    in tests/test_ring_attention.py.
     """
     num_heads: int
     compute_dtype: Any = jnp.bfloat16
@@ -68,6 +76,12 @@ class MHA(nn.Module):
     # "auto" = kernel on TPU, materialized path elsewhere; tests force
     # "pallas" to exercise the kernel (interpret mode) on the CPU mesh.
     flash_impl: str = "auto"
+    # Ring (context-parallel) attention: the mesh axis the token axis is
+    # sharded over, the mesh itself, and the axis batch dims shard over
+    # (None when the batch is replicated w.r.t. the mesh).
+    ring_axis: Optional[str] = None
+    mesh: Any = None
+    ring_batch_axis: Optional[str] = "dp"
 
     @nn.compact
     def __call__(self, x):
@@ -80,7 +94,43 @@ class MHA(nn.Module):
         k = dense(features=(self.num_heads, head_dim), name="key")(x)
         v = dense(features=(self.num_heads, head_dim), name="value")(x)
         scale = head_dim ** -0.5
-        if self.use_flash:
+        if self.ring_axis is not None:
+            from jax.sharding import PartitionSpec
+
+            from ..ops.ring_attention import ring_attention
+            if self.mesh is None:
+                raise ValueError("ring_axis needs the mesh")
+            ring = self.mesh.shape[self.ring_axis]
+            s = x.shape[-2]
+            if s % ring:
+                raise ValueError(f"token axis {s} must divide the ring "
+                                 f"size {ring} ({self.ring_axis!r})")
+            if (self.ring_batch_axis is not None
+                    and x.shape[0] % self.mesh.shape[self.ring_batch_axis]):
+                raise ValueError(
+                    f"batch {x.shape[0]} must divide mesh axis "
+                    f"{self.ring_batch_axis!r}="
+                    f"{self.mesh.shape[self.ring_batch_axis]}")
+            # [*lead, S, H, dh] with lead[0]=batch on ring_batch_axis and
+            # S on the ring axis; all other axes replicated/local.
+            spec = [None] * (x.ndim + 1)
+            spec[0] = self.ring_batch_axis
+            spec[-3] = self.ring_axis
+            spec = PartitionSpec(*spec)
+
+            def body(qb, kb, vb):
+                def bhsd(t):   # local [*lead, s, H, dh] -> [b', H, s, dh]
+                    return t.reshape((-1,) + t.shape[-3:]).transpose(
+                        0, 2, 1, 3)
+                ob = ring_attention(bhsd(qb), bhsd(kb), bhsd(vb),
+                                    axis_name=self.ring_axis,
+                                    causal=self.causal, sm_scale=scale)
+                return ob.transpose(0, 2, 1, 3).reshape(qb.shape)
+
+            o = jax.shard_map(body, mesh=self.mesh,
+                              in_specs=(spec, spec, spec), out_specs=spec,
+                              check_vma=False)(q, k, v)
+        elif self.use_flash:
             from ..ops.flash_attention import flash_attention
             lead, s = x.shape[:-2], x.shape[-2]
             def bhsd(t):   # [..., S, H, dh] -> [prod(lead), H, S, dh]
@@ -124,6 +174,12 @@ class FactorizedBlock(nn.Module):
     sub-layer so sequence-parallel layouts survive GSPMD propagation.
     `causal=True` masks the temporal pathway (spatial stays full) —
     the batch twin of the streaming KV-cache step (models/streaming.py).
+
+    `ring_axis`/`mesh` (context parallelism): the SPATIAL attention runs
+    as ring attention over the sp-sharded token axis — K/V blocks rotate
+    via ppermute instead of GSPMD gathering the tokens. The temporal
+    pathway needs no ring: with tokens sharded on N its batch axis is
+    the sharded one, so it is communication-free by construction.
     """
     num_heads: int
     hidden_mult: int = 4
@@ -132,6 +188,9 @@ class FactorizedBlock(nn.Module):
     causal: bool = False
     use_flash: bool = False
     flash_impl: str = "auto"
+    ring_axis: Optional[str] = None
+    mesh: Any = None
+    ring_batch_axis: Optional[str] = "dp"
 
     def _pin(self, x):
         return self.act_sharding(x) if self.act_sharding is not None else x
@@ -146,7 +205,10 @@ class FactorizedBlock(nn.Module):
                       flash_impl=self.flash_impl)
         # Spatial: tokens within a frame attend; (B, T) are batch axes.
         y = ln(name="ln_s")(x).astype(self.compute_dtype)
-        x = self._pin(x + mha(name="attn_s")(y).astype(x.dtype))
+        x = self._pin(x + mha(name="attn_s", ring_axis=self.ring_axis,
+                              mesh=self.mesh,
+                              ring_batch_axis=self.ring_batch_axis,
+                              )(y).astype(x.dtype))
         # Temporal: same patch position across frames; (B, N) are batch.
         y = ln(name="ln_t")(x).astype(self.compute_dtype)
         y = jnp.swapaxes(y, 1, 2)                       # [B, N, T, D]
@@ -209,6 +271,12 @@ class VideoViT(nn.Module):
     # use_flash=True: Pallas flash-attention core (long token axes).
     use_flash: bool = False
     flash_impl: str = "auto"
+    # ring_axis + mesh: context parallelism — spatial attention rings
+    # over the sp-sharded token axis instead of gathering it (combine
+    # with act_sharding=make_act_sharding(mesh, ring_axis)).
+    ring_axis: Optional[str] = None
+    mesh: Any = None
+    ring_batch_axis: Optional[str] = "dp"
     # Residual-stream dtype. f32 (default) maximizes streaming/batch
     # parity; bf16 halves activation HBM traffic for training
     # throughput (LayerNorm/softmax still accumulate in f32).
@@ -227,6 +295,8 @@ class VideoViT(nn.Module):
                       compute_dtype=self.compute_dtype,
                       act_sharding=self.act_sharding, causal=self.causal,
                       use_flash=self.use_flash, flash_impl=self.flash_impl,
+                      ring_axis=self.ring_axis, mesh=self.mesh,
+                      ring_batch_axis=self.ring_batch_axis,
                       name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
         if self.causal:
