@@ -86,10 +86,17 @@ class DiTBlock(nn.Module):
     DiT recipe): each sublayer's LayerNorm is non-affine and modulated
     by a (shift, scale, gate) triple regressed from the conditioning
     vector, all zero-init — at initialization every block is exactly
-    the identity, so depth costs nothing at the start of training."""
+    the identity, so depth costs nothing at the start of training.
+
+    `ring_axis`/`mesh`: context parallelism for the spatial pathway
+    (ring attention over the sp-sharded token axis — ops/
+    ring_attention.py), same contract as FactorizedBlock's."""
     num_heads: int
     hidden_mult: int = 4
     compute_dtype: Any = jnp.bfloat16
+    ring_axis: Any = None
+    mesh: Any = None
+    ring_batch_axis: Any = "dp"
 
     @nn.compact
     def __call__(self, x, c):
@@ -107,7 +114,9 @@ class DiTBlock(nn.Module):
                       compute_dtype=self.compute_dtype)
         # Spatial attention.
         y = mod(ln(name="ln_s")(x), m[0], m[1]).astype(self.compute_dtype)
-        x = x + m[2][:, None, None] * mha(name="attn_s")(y).astype(x.dtype)
+        x = x + m[2][:, None, None] * mha(
+            name="attn_s", ring_axis=self.ring_axis, mesh=self.mesh,
+            ring_batch_axis=self.ring_batch_axis)(y).astype(x.dtype)
         # Temporal attention.
         y = mod(ln(name="ln_t")(x), m[3], m[4]).astype(self.compute_dtype)
         y = jnp.swapaxes(y, 1, 2)
@@ -148,6 +157,11 @@ class VideoDiT(nn.Module):
     # NULL (unconditional) class — train with label dropout, sample
     # with classifier-free guidance (cfg_eps / guidance_scale).
     num_classes: int = 0
+    # Context parallelism: spatial attention rings over the sp-sharded
+    # token axis (see video_vit.MHA / ops/ring_attention.py).
+    ring_axis: Any = None
+    mesh: Any = None
+    ring_batch_axis: Any = "dp"
 
     @nn.compact
     def __call__(self, z, t, y=None):
@@ -176,6 +190,8 @@ class VideoDiT(nn.Module):
                 x = block(num_heads=self.num_heads,
                           hidden_mult=self.hidden_mult,
                           compute_dtype=self.compute_dtype,
+                          ring_axis=self.ring_axis, mesh=self.mesh,
+                          ring_batch_axis=self.ring_batch_axis,
                           name=f"block{i}")(x, temb)
         else:
             x = x + temb[:, None, None]
@@ -185,6 +201,8 @@ class VideoDiT(nn.Module):
                 x = block(num_heads=self.num_heads,
                           hidden_mult=self.hidden_mult,
                           compute_dtype=self.compute_dtype,
+                          ring_axis=self.ring_axis, mesh=self.mesh,
+                          ring_batch_axis=self.ring_batch_axis,
                           name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
         eps = nn.Dense(cz, dtype=jnp.float32,

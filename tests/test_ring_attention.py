@@ -197,3 +197,25 @@ def test_vit_ring_forward_and_grads():
     for got, want in zip(flat_got, flat_want):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4, rtol=1e-4)
+
+
+@needs_mesh
+def test_dit_ring_parity():
+    """VideoDiT (adaLN) with ring spatial attention == the plain model
+    with the same params: the generation stack rings too."""
+    from tensor_stream_tpu.models.latent_diffusion import VideoDiT
+
+    mesh = _mesh(("dp", "sp"), (2, 4))
+    z = jnp.asarray(
+        np.random.default_rng(8).standard_normal((2, 3, 4, 4, 8)) * 0.3,
+        jnp.float32)                       # N = 16 latent pixels, sp=4
+    t = jnp.asarray([10, 500])
+    base = VideoDiT(depth=2, dim=32, num_heads=2,
+                    compute_dtype=jnp.float32)
+    params = base.init(jax.random.PRNGKey(2), z, t)
+    want = base.apply(params, z, t)
+    ringed = VideoDiT(depth=2, dim=32, num_heads=2,
+                      compute_dtype=jnp.float32,
+                      ring_axis="sp", mesh=mesh, ring_batch_axis="dp")
+    got = jax.jit(lambda p: ringed.apply(p, z, t))(params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)

@@ -30,7 +30,10 @@ SUITES = ["tests/test_vpp.py", "tests/test_pallas.py",
           # fwd/bwd vs the materialized oracle, bf16, cross-attention,
           # ragged lengths) and the model that mounts it.
           "tests/test_flash_attention.py", "tests/test_video_vit.py",
-          "tests/test_moe.py", "tests/test_parallel.py"]
+          "tests/test_moe.py", "tests/test_parallel.py",
+          # Ring attention: the single-device ring runs on the chip
+          # (the 8-device mesh proofs live on the CPU-mesh lane).
+          "tests/test_ring_attention.py"]
 
 
 def next_round_tag():
