@@ -235,47 +235,61 @@ def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
         dv_j = P^T @ dO        dP = dO @ V_j^T
         dS = P * (dP - delta)  (delta = rowsum(dO * O))
         dq += dS @ K_j * scale dk_j = dS^T @ Q * scale
-    One lax.scan step per kv tile: O(S·block_k) live memory."""
+    One lax.scan step per kv tile: O(S·block_k) live memory.
+
+    Matmul OPERANDS stay in the input dtype (bf16 inputs hit the MXU at
+    bf16 rate — an all-f32 recompute measured 3x slower for the whole
+    fwd+bwd at S=2048); softmax stats, delta and every accumulation are
+    f32 (`preferred_element_type`), the same contract as the forward
+    kernel."""
     q, k, v, o, l, m = res
     b, h, sq, d = q.shape
     sk = k.shape[2]
     sk_pad = _cdiv(sk, block_k) * block_k
     nk = sk_pad // block_k
+    dt = q.dtype
 
-    qf = q.astype(jnp.float32)
-    dof = do.astype(jnp.float32)
-    delta = jnp.sum(dof * o.astype(jnp.float32), axis=-1)   # [b,h,sq]
+    dof = do.astype(dt)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)                                 # [b,h,sq]
     l_q = l[:, :, :sq]
     m_q = m[:, :, :sq]
     l_inv = jnp.where(l_q == 0.0, 1.0, 1.0 / l_q)
 
     # kv tensors reshaped to per-tile blocks for the scan.
-    kb = _pad_axis(k, 2, sk_pad).astype(jnp.float32).reshape(
+    kb = _pad_axis(k, 2, sk_pad).reshape(
         b, h, nk, block_k, d).transpose(2, 0, 1, 3, 4)
-    vb = _pad_axis(v, 2, sk_pad).astype(jnp.float32).reshape(
+    vb = _pad_axis(v, 2, sk_pad).reshape(
         b, h, nk, block_k, d).transpose(2, 0, 1, 3, 4)
 
     row = jnp.arange(sq, dtype=jnp.int32)
+    prec = jax.lax.Precision.DEFAULT
 
     def step(dq_acc, xs):
         j, kj, vj = xs
-        s = jnp.einsum("bhqd,bhkd->bhqk", qf, kj,
-                       preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kj,
+                       preferred_element_type=jnp.float32,
+                       precision=prec) * sm_scale
         col = j * block_k + jnp.arange(block_k, dtype=jnp.int32)
         mask = col[None, :] < sk
         if causal:
             mask = jnp.logical_and(mask, col[None, :] <= row[:, None])
         s = jnp.where(mask[None, None], s, jnp.float32(_MASK_VALUE))
         p = jnp.exp(s - m_q[..., None]) * l_inv[..., None]
-        dv_j = jnp.einsum("bhqk,bhqd->bhkd", p, dof,
-                          preferred_element_type=jnp.float32)
+        pc = p.astype(dt)
+        dv_j = jnp.einsum("bhqk,bhqd->bhkd", pc, dof,
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
         dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vj,
-                        preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[..., None]) * sm_scale
+                        preferred_element_type=jnp.float32,
+                        precision=prec)
+        ds = (p * (dp - delta[..., None]) * sm_scale).astype(dt)
         dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, kj,
-                                     preferred_element_type=jnp.float32)
-        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, qf,
-                          preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec)
+        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, q,
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
         return dq_acc, (dk_j, dv_j)
 
     dq0 = jnp.zeros((b, h, sq, d), jnp.float32)
