@@ -644,24 +644,26 @@ def bench_vit_train(steps=16):
     }
 
 
-def bench_flash_attention(iters=30, seq=2048, heads=8, d=64):
+def bench_flash_attention(heads=8, d=64):
     """Flash-attention kernel vs the materialized XLA path, fwd+bwd at
-    a long sequence ([1, 8, 2048, 64] bf16, causal) — the regime the
-    kernel exists for (the [S, S] logits never reach HBM; the VJP
-    recomputes tile-by-tile). Reports both times and the speedup; the
-    numerics equality is tests/test_flash_attention.py's job. Synced
-    via chain-dependent device_get (see bench_vit_train)."""
+    long sequences ([1, 8, S, 64] bf16, causal) — the regime the kernel
+    exists for (the [S, S] logits never reach HBM; the VJP recomputes
+    tile-by-tile). S=2048 is the MXU-bound point (~2x), S=8192 the
+    HBM-bound one (the XLA path's logits working set blows HBM, ~15x).
+    Reports both times and the speedup; the numerics equality is
+    tests/test_flash_attention.py's job. Synced via chain-dependent
+    device_get (see bench_vit_train)."""
     import jax
     import jax.numpy as jnp
 
     from tensor_stream_tpu.ops.flash_attention import flash_attention
 
-    rng = jax.random.PRNGKey(0)
-    q, k, v = (jax.random.normal(jax.random.fold_in(rng, i),
-                                 (1, heads, seq, d), jnp.bfloat16)
-               for i in range(3))
+    def timed(impl, seq, iters):
+        rng = jax.random.PRNGKey(0)
+        q, k, v = (jax.random.normal(jax.random.fold_in(rng, i),
+                                     (1, heads, seq, d), jnp.bfloat16)
+                   for i in range(3))
 
-    def timed(impl):
         @jax.jit
         def loss(q, k, v):
             o = flash_attention(q, k, v, causal=True, impl=impl)
@@ -671,20 +673,19 @@ def bench_flash_attention(iters=30, seq=2048, heads=8, d=64):
         out = g(q, k, v)
         float(jax.device_get(jnp.sum(out[0].astype(jnp.float32))))
         t0 = time.perf_counter()
-        acc = None
         for _ in range(iters):
-            out = g(out[0], k, v)  # chain through dq
-        acc = jnp.sum(out[0].astype(jnp.float32))
-        float(jax.device_get(acc))
+            out = g(out[0].astype(q.dtype), k, v)  # chain through dq
+        float(jax.device_get(jnp.sum(out[0].astype(jnp.float32))))
         return (time.perf_counter() - t0) / iters
 
-    t_flash = timed("pallas")
-    t_xla = timed("xla")
-    return {
-        "flash_fwdbwd_ms_s2048": round(1e3 * t_flash, 3),
-        "xla_attn_fwdbwd_ms_s2048": round(1e3 * t_xla, 3),
-        "flash_speedup_s2048": round(t_xla / t_flash, 3),
-    }
+    out = {}
+    for seq, iters in ((2048, 30), (8192, 6)):
+        t_flash = timed("pallas", seq, iters)
+        t_xla = timed("xla", seq, iters)
+        out[f"flash_fwdbwd_ms_s{seq}"] = round(1e3 * t_flash, 3)
+        out[f"xla_attn_fwdbwd_ms_s{seq}"] = round(1e3 * t_xla, 3)
+        out[f"flash_speedup_s{seq}"] = round(t_xla / t_flash, 3)
+    return out
 
 
 def bench_scaling(lib):

@@ -37,6 +37,15 @@ rotation), so `jax.grad` produces the reverse ring — dk/dv accumulate
 hop-by-hop exactly like the forward. The scan saves O(S/n · d) per step
 per device (the rotating blocks), never the O(S²) logits.
 
+Causal note: the ring runs in SPMD lockstep, so fully-masked blocks
+(device i's steps past its own position) still occupy their ring slot —
+causal ring attention pays the full S² matmul schedule, not the
+triangle. The known fix is a striped ("zigzag") token layout that gives
+every device half-early/half-late tokens so per-step work balances;
+contiguous block layout is kept here because it is what the sp residual
+sharding (`make_act_sharding`) produces and what positional embeddings
+assume. Revisit if causal ring becomes a measured bottleneck.
+
 The reference CUDA project has no attention at all; this is the
 framework's own long-context axis (SURVEY §5.7) built TPU-first.
 """
