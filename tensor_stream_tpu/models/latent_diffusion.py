@@ -97,6 +97,7 @@ class DiTBlock(nn.Module):
     ring_axis: Any = None
     mesh: Any = None
     ring_batch_axis: Any = "dp"
+    ring_head_axis: Any = None
 
     @nn.compact
     def __call__(self, x, c):
@@ -116,7 +117,8 @@ class DiTBlock(nn.Module):
         y = mod(ln(name="ln_s")(x), m[0], m[1]).astype(self.compute_dtype)
         x = x + m[2][:, None, None] * mha(
             name="attn_s", ring_axis=self.ring_axis, mesh=self.mesh,
-            ring_batch_axis=self.ring_batch_axis)(y).astype(x.dtype)
+            ring_batch_axis=self.ring_batch_axis,
+            ring_head_axis=self.ring_head_axis)(y).astype(x.dtype)
         # Temporal attention.
         y = mod(ln(name="ln_t")(x), m[3], m[4]).astype(self.compute_dtype)
         y = jnp.swapaxes(y, 1, 2)
@@ -162,6 +164,7 @@ class VideoDiT(nn.Module):
     ring_axis: Any = None
     mesh: Any = None
     ring_batch_axis: Any = "dp"
+    ring_head_axis: Any = None
 
     @nn.compact
     def __call__(self, z, t, y=None):
@@ -192,6 +195,7 @@ class VideoDiT(nn.Module):
                           compute_dtype=self.compute_dtype,
                           ring_axis=self.ring_axis, mesh=self.mesh,
                           ring_batch_axis=self.ring_batch_axis,
+                          ring_head_axis=self.ring_head_axis,
                           name=f"block{i}")(x, temb)
         else:
             x = x + temb[:, None, None]
@@ -203,6 +207,7 @@ class VideoDiT(nn.Module):
                           compute_dtype=self.compute_dtype,
                           ring_axis=self.ring_axis, mesh=self.mesh,
                           ring_batch_axis=self.ring_batch_axis,
+                          ring_head_axis=self.ring_head_axis,
                           name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
         eps = nn.Dense(cz, dtype=jnp.float32,

@@ -82,6 +82,10 @@ class MHA(nn.Module):
     ring_axis: Optional[str] = None
     mesh: Any = None
     ring_batch_axis: Optional[str] = "dp"
+    # Megatron tp composes with the ring: name the mesh axis the head
+    # axis is sharded over (vit_param_specs' tp_axis) and each device
+    # rings over its own heads — no head gather.
+    ring_head_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -111,11 +115,18 @@ class MHA(nn.Module):
                     f"batch {x.shape[0]} must divide mesh axis "
                     f"{self.ring_batch_axis!r}="
                     f"{self.mesh.shape[self.ring_batch_axis]}")
+            if (self.ring_head_axis is not None and self.num_heads
+                    % self.mesh.shape[self.ring_head_axis]):
+                raise ValueError(
+                    f"num_heads {self.num_heads} must divide mesh axis "
+                    f"{self.ring_head_axis!r}="
+                    f"{self.mesh.shape[self.ring_head_axis]}")
             # [*lead, S, H, dh] with lead[0]=batch on ring_batch_axis and
             # S on the ring axis; all other axes replicated/local.
             spec = [None] * (x.ndim + 1)
             spec[0] = self.ring_batch_axis
             spec[-3] = self.ring_axis
+            spec[-2] = self.ring_head_axis
             spec = PartitionSpec(*spec)
 
             def body(qb, kb, vb):
@@ -191,6 +202,7 @@ class FactorizedBlock(nn.Module):
     ring_axis: Optional[str] = None
     mesh: Any = None
     ring_batch_axis: Optional[str] = "dp"
+    ring_head_axis: Optional[str] = None
 
     def _pin(self, x):
         return self.act_sharding(x) if self.act_sharding is not None else x
@@ -208,6 +220,7 @@ class FactorizedBlock(nn.Module):
         x = self._pin(x + mha(name="attn_s", ring_axis=self.ring_axis,
                               mesh=self.mesh,
                               ring_batch_axis=self.ring_batch_axis,
+                              ring_head_axis=self.ring_head_axis,
                               )(y).astype(x.dtype))
         # Temporal: same patch position across frames; (B, N) are batch.
         y = ln(name="ln_t")(x).astype(self.compute_dtype)
@@ -277,6 +290,7 @@ class VideoViT(nn.Module):
     ring_axis: Optional[str] = None
     mesh: Any = None
     ring_batch_axis: Optional[str] = "dp"
+    ring_head_axis: Optional[str] = None
     # Residual-stream dtype. f32 (default) maximizes streaming/batch
     # parity; bf16 halves activation HBM traffic for training
     # throughput (LayerNorm/softmax still accumulate in f32).
@@ -297,6 +311,7 @@ class VideoViT(nn.Module):
                       use_flash=self.use_flash, flash_impl=self.flash_impl,
                       ring_axis=self.ring_axis, mesh=self.mesh,
                       ring_batch_axis=self.ring_batch_axis,
+                      ring_head_axis=self.ring_head_axis,
                       name=f"block{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
         if self.causal:

@@ -200,6 +200,33 @@ def test_vit_ring_forward_and_grads():
 
 
 @needs_mesh
+def test_mha_ring_composes_with_tp():
+    """dp x tp x cp: Megatron head-sharded q/k/v params + the ring over
+    the token axis, heads named in the shard_map specs (ring_head_axis)
+    so each device rings over its OWN heads — same output as the
+    unsharded module."""
+    from tensor_stream_tpu.models.video_vit import MHA, vit_param_specs
+    from jax.sharding import NamedSharding
+
+    mesh = _mesh(("dp", "tp", "cp"), (2, 2, 2))
+    x = jnp.asarray(
+        np.random.default_rng(9).standard_normal((2, 3, 16, 32)) * 0.5,
+        jnp.float32)
+    base = MHA(num_heads=2, compute_dtype=jnp.float32)
+    params = base.init(jax.random.PRNGKey(3), x)
+    want = base.apply(params, x)
+    specs = vit_param_specs(params, tp_axis="tp")
+    sharded = jax.tree_util.tree_map(
+        lambda p, sp: jax.device_put(p, NamedSharding(mesh, sp)),
+        params, specs)
+    ringed = MHA(num_heads=2, compute_dtype=jnp.float32,
+                 ring_axis="cp", mesh=mesh, ring_batch_axis="dp",
+                 ring_head_axis="tp")
+    got = jax.jit(lambda p: ringed.apply(p, x))(sharded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
+
+
+@needs_mesh
 def test_dit_ring_parity():
     """VideoDiT (adaLN) with ring spatial attention == the plain model
     with the same params: the generation stack rings too."""
