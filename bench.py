@@ -644,6 +644,80 @@ def bench_vit_train(steps=16):
     }
 
 
+def bench_vit_train_joint(steps=12):
+    """Joint space-time VideoViT train step (attention="joint": all
+    T'·N = 1568 tokens attend at once) with the flash kernel vs the
+    materialized path — the kernel in a PRODUCTION train step, not a
+    micro-bench. Same token count as the factorized stage (6272/step:
+    B=4, T=16 vs B=8, T=8), so the two MFUs compare directly; the
+    analytic FLOPs include the O(S²) score matmuls (flash's backward
+    recompute is NOT counted — MFU stays the useful-work metric).
+    Reports both step times, the speedup, and flash-path MFU."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tensor_stream_tpu.models.video_vit import VideoViT
+
+    B, T, H, W = 4, 16, 224, 224
+    dim, depth, heads, patch, tub, mult = 768, 12, 12, 16, 2, 4
+    rng = jax.random.PRNGKey(0)
+    clips = jax.random.normal(rng, (B, T, H, W, 3), jnp.float32)
+    labels = jax.random.randint(rng, (B,), 0, 1000)
+    tx = optax.sgd(1e-3, momentum=0.9)
+    t_tok, s_tok = T // tub, (H // patch) * (W // patch)
+    s_joint = t_tok * s_tok                     # 1568
+    n_tok = B * s_joint
+
+    def run(use_flash):
+        model = VideoViT(num_classes=1000, depth=depth, dim=dim,
+                         num_heads=heads, patch=patch, tubelet_t=tub,
+                         hidden_mult=mult, compute_dtype=jnp.bfloat16,
+                         residual_dtype=jnp.bfloat16, attention="joint",
+                         use_flash=use_flash)
+        params = model.init(rng, clips)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt, clips, labels):
+            def loss_fn(p):
+                logits = model.apply(p, clips)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels).mean()
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, updates), opt, loss
+
+        @jax.jit
+        def digest(params):
+            return sum(jnp.sum(x.astype(jnp.float32))
+                       for x in jax.tree_util.tree_leaves(params))
+
+        params, opt, _ = step(params, opt, clips, labels)  # compile
+        float(jax.device_get(digest(params)))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, opt, _ = step(params, opt, clips, labels)
+        float(jax.device_get(digest(params)))   # chain-dependent sync
+        return (time.perf_counter() - t0) / steps
+
+    dt_flash = run(True)
+    dt_xla = run(False)
+    per_block = (8 * dim * dim + 4 * mult * dim * dim) * n_tok \
+        + 4 * n_tok * s_joint * dim
+    embed = 2 * n_tok * (patch * patch * 3 * tub) * dim
+    flops = 3 * (depth * per_block + embed)
+    peak = _PEAK_BF16.get(jax.devices()[0].device_kind)
+    return {
+        "vit_joint_step_ms": round(1e3 * dt_flash, 2),
+        "vit_joint_step_ms_noflash": round(1e3 * dt_xla, 2),
+        "vit_joint_flash_speedup": round(dt_xla / dt_flash, 3),
+        "vit_joint_tokens_per_s": round(n_tok / dt_flash, 1),
+        "vit_joint_mfu": round(flops / dt_flash / peak, 4) if peak
+        else None,
+    }
+
+
 def bench_flash_attention(heads=8, d=64):
     """Flash-attention kernel vs the materialized XLA path, fwd+bwd at
     long sequences ([1, 8, S, 64] bf16, causal) — the regime the kernel
@@ -862,6 +936,10 @@ def main():
         stages.update(bench_vit_train())
     except Exception as e:  # never lose the artifact to the model stage
         stages["vit_train_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        stages.update(bench_vit_train_joint())
+    except Exception as e:
+        stages["vit_joint_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         import jax
         if jax.devices()[0].platform == "tpu":  # kernel path is TPU-only

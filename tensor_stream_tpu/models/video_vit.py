@@ -232,6 +232,45 @@ class FactorizedBlock(nn.Module):
                                  name="mlp")(y).astype(x.dtype))
 
 
+class JointBlock(nn.Module):
+    """Pre-LN joint space-time block: attention over ALL tokens at once.
+
+    Input [B, S, D] (S = T'·N flattened). O(S²) attention instead of
+    the factorized O(N² + T²) — the regime where `use_flash=True` (the
+    Pallas kernel: 2x at S=2048, 14x at S=8192 fwd+bwd measured on the
+    chip) and `ring_axis` (context parallelism once S outgrows a chip)
+    are the production paths rather than options.
+    """
+    num_heads: int
+    hidden_mult: int = 4
+    compute_dtype: Any = jnp.bfloat16
+    act_sharding: Optional[Callable] = None
+    use_flash: bool = False
+    flash_impl: str = "auto"
+    ring_axis: Optional[str] = None
+    mesh: Any = None
+    ring_batch_axis: Optional[str] = "dp"
+    ring_head_axis: Optional[str] = None
+
+    def _pin(self, x):
+        return self.act_sharding(x) if self.act_sharding is not None else x
+
+    @nn.compact
+    def __call__(self, x):
+        ln = partial(nn.LayerNorm, dtype=jnp.float32,
+                     param_dtype=jnp.float32)
+        y = ln(name="ln_a")(x).astype(self.compute_dtype)
+        y = MHA(num_heads=self.num_heads, compute_dtype=self.compute_dtype,
+                use_flash=self.use_flash, flash_impl=self.flash_impl,
+                ring_axis=self.ring_axis, mesh=self.mesh,
+                ring_batch_axis=self.ring_batch_axis,
+                ring_head_axis=self.ring_head_axis, name="attn")(y)
+        x = self._pin(x + y.astype(x.dtype))
+        y = ln(name="ln_m")(x).astype(self.compute_dtype)
+        return self._pin(x + MLP(self.hidden_mult, self.compute_dtype,
+                                 name="mlp")(y).astype(x.dtype))
+
+
 def tubelet_embed(m: nn.Module, clips):
     """Shared stem: tubelet Conv3D + factorized positional embeddings.
 
@@ -295,27 +334,44 @@ class VideoViT(nn.Module):
     # parity; bf16 halves activation HBM traffic for training
     # throughput (LayerNorm/softmax still accumulate in f32).
     residual_dtype: Any = jnp.float32
+    # "factorized" (default: spatial then temporal per block, the ViViT
+    # recipe) or "joint" (ALL T'·N tokens attend at once — O(S²); pair
+    # with use_flash and/or ring_axis, which is what they exist for).
+    # causal=True requires factorized (per-frame ordering is undefined
+    # on the flattened axis).
+    attention: str = "factorized"
 
     @nn.compact
     def __call__(self, clips):
+        assert self.attention in ("factorized", "joint"), self.attention
         x = tubelet_embed(self, clips)
+        joint = self.attention == "joint"
+        if joint:
+            assert not self.causal, "causal needs factorized attention"
+            b, tt, n, d = x.shape
+            x = x.reshape(b, tt * n, d)
         if self.act_sharding is not None:
             x = self.act_sharding(x)
-        block = FactorizedBlock
+        block = JointBlock if joint else FactorizedBlock
         if self.remat:
             block = nn.remat(block)
-        for i in range(self.depth):
-            x = block(num_heads=self.num_heads, hidden_mult=self.hidden_mult,
+        common = dict(num_heads=self.num_heads,
+                      hidden_mult=self.hidden_mult,
                       compute_dtype=self.compute_dtype,
-                      act_sharding=self.act_sharding, causal=self.causal,
+                      act_sharding=self.act_sharding,
                       use_flash=self.use_flash, flash_impl=self.flash_impl,
                       ring_axis=self.ring_axis, mesh=self.mesh,
                       ring_batch_axis=self.ring_batch_axis,
-                      ring_head_axis=self.ring_head_axis,
-                      name=f"block{i}")(x)
+                      ring_head_axis=self.ring_head_axis)
+        if not joint:
+            common["causal"] = self.causal
+        for i in range(self.depth):
+            x = block(name=f"block{i}", **common)(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
         if self.causal:
             x = x.mean(axis=2)               # per-step pool (tokens only)
+        elif joint:
+            x = x.mean(axis=1)               # global token pool (flat)
         else:
             x = x.mean(axis=(1, 2))          # global token pool
         return nn.Dense(self.num_classes, dtype=jnp.float32,
@@ -352,10 +408,14 @@ def vit_param_specs(params, tp_axis: str = "mp"):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def make_act_sharding(mesh, seq_axis: Optional[str]):
+def make_act_sharding(mesh, seq_axis: Optional[str], joint: bool = False):
     """Residual-stream pin: [B, T, N, D] with batch on dp and (optionally)
-    the spatial-token axis on `seq_axis` (sequence parallelism)."""
-    s = NamedSharding(mesh, P("dp", None, seq_axis, None))
+    the spatial-token axis on `seq_axis` (sequence parallelism).
+    joint=True pins the flattened [B, S, D] stream of
+    VideoViT(attention="joint") instead (S = T'·N on `seq_axis`)."""
+    spec = P("dp", seq_axis, None) if joint \
+        else P("dp", None, seq_axis, None)
+    s = NamedSharding(mesh, spec)
 
     def pin(x):
         return jax.lax.with_sharding_constraint(x, s)

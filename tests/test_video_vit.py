@@ -265,3 +265,94 @@ def test_vit_train_step_on_sharded_clip_loader():
         loader.close()
     assert len(losses) >= 3
     assert np.isfinite(losses).all()
+
+
+# --------------------------------------------------- joint attention mode
+
+def test_joint_forward_shape_and_grads():
+    """attention="joint": one full-attention pathway over T'·N tokens."""
+    model = tiny(attention="joint")
+    params = init_vit(jax.random.PRNGKey(0), model, CLIP)
+    clips = jax.random.uniform(jax.random.PRNGKey(1), CLIP)
+    logits = jax.jit(model.apply)(params, clips)
+    assert logits.shape == (CLIP[0], 2)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    def loss(p):
+        return jnp.sum(model.apply(p, clips) ** 2)
+    grads = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # The joint block has ONE attention sublayer (no temporal twin).
+    names = params["params"]["block0"].keys()
+    assert "attn" in names and "attn_t" not in names
+
+
+def test_joint_attends_across_frames():
+    """Joint attention mixes frames in one hop: perturbing frame T-1
+    changes frame-0 tokens' contribution to the logits (factorized needs
+    the temporal sublayer for that; joint does it in the attention)."""
+    model = tiny(attention="joint", depth=1)
+    params = init_vit(jax.random.PRNGKey(0), model, CLIP)
+    clips = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), CLIP))
+    base = np.asarray(model.apply(params, jnp.asarray(clips)))
+    pert = clips.copy()
+    pert[:, -1] += 0.5
+    got = np.asarray(model.apply(params, jnp.asarray(pert)))
+    assert np.abs(got - base).max() > 1e-6
+
+
+def test_joint_flash_parity():
+    """use_flash through the JOINT pathway (the sequence regime the
+    kernel exists for) == the materialized path, same params."""
+    base = tiny(attention="joint")
+    flash = tiny(attention="joint", use_flash=True, flash_impl="pallas")
+    params = init_vit(jax.random.PRNGKey(0), base, CLIP)
+    clips = jax.random.uniform(jax.random.PRNGKey(1), CLIP)
+    want = base.apply(params, clips)
+    got = flash.apply(params, clips)
+    tol = 2e-3 if jax.default_backend() == "tpu" else 2e-5
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=tol, rtol=tol)
+
+
+def test_joint_rejects_causal():
+    model = tiny(attention="joint", causal=True)
+    with pytest.raises(AssertionError, match="factorized"):
+        init_vit(jax.random.PRNGKey(0), model, CLIP)
+
+
+@needs_mesh
+def test_joint_ring_parity():
+    """Joint attention + ring over the FLATTENED token axis (S = T'·N,
+    the context-parallel regime) == the unsharded joint model."""
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    base = tiny(attention="joint")
+    ringed = tiny(attention="joint",
+                  act_sharding=make_act_sharding(mesh, "sp", joint=True),
+                  ring_axis="sp", mesh=mesh, ring_batch_axis="dp")
+    params = init_vit(jax.random.PRNGKey(0), base, CLIP)
+    clips = jax.random.uniform(jax.random.PRNGKey(1), CLIP)
+    want = base.apply(params, clips)
+    got = jax.jit(lambda p: ringed.apply(p, clips))(params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_joint_remat_matches():
+    """remat=True (jax.checkpoint around each JointBlock) is
+    value-preserving, incl. through the flash custom-VJP path."""
+    base = tiny(attention="joint")
+    remat = tiny(attention="joint", remat=True)
+    params = init_vit(jax.random.PRNGKey(0), base, CLIP)
+    clips = jax.random.uniform(jax.random.PRNGKey(1), CLIP)
+
+    def loss(model):
+        return lambda p: jnp.sum(model.apply(p, clips) ** 2)
+    g_base = jax.grad(loss(base))(params)
+    g_remat = jax.grad(loss(remat))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_base),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
