@@ -759,6 +759,34 @@ def bench_flash_attention(heads=8, d=64):
         out[f"flash_fwdbwd_ms_s{seq}"] = round(1e3 * t_flash, 3)
         out[f"xla_attn_fwdbwd_ms_s{seq}"] = round(1e3 * t_xla, 3)
         out[f"flash_speedup_s{seq}"] = round(t_xla / t_flash, 3)
+
+    # Sliding-window forward at long S: tiles outside the band never
+    # issue a matmul (grid-level skip), so cost is O(S·W) not O(S²) —
+    # the long-stream serving regime (window == the ring cache's
+    # max_steps).
+    def timed_fwd(seq, window, iters):
+        rng = jax.random.PRNGKey(1)
+        q, k, v = (jax.random.normal(jax.random.fold_in(rng, i),
+                                     (1, heads, seq, d), jnp.bfloat16)
+                   for i in range(3))
+
+        @jax.jit
+        def f(q, k, v):
+            return flash_attention(q, k, v, causal=True, window=window,
+                                   impl="pallas")
+        o = f(q, k, v)
+        float(jax.device_get(jnp.sum(o.astype(jnp.float32))))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = f(o.astype(q.dtype), k, v)      # chain through q
+        float(jax.device_get(jnp.sum(o.astype(jnp.float32))))
+        return (time.perf_counter() - t0) / iters
+
+    t_full = timed_fwd(8192, None, 10)
+    t_win = timed_fwd(8192, 1024, 10)
+    out["flash_fwd_ms_s8192"] = round(1e3 * t_full, 3)
+    out["flash_fwd_ms_s8192_w1024"] = round(1e3 * t_win, 3)
+    out["flash_window_speedup_s8192_w1024"] = round(t_full / t_win, 3)
     return out
 
 

@@ -14,8 +14,12 @@ logits while `t < max_steps`. The cache is a fixed-size RING (static
 shapes — jit-friendly): step t writes slot `t % max_steps`, so beyond
 `max_steps` the attention window slides over the most recent
 `max_steps` steps (softmax is permutation-invariant over keys, so ring
-order never matters). Steps beyond the trained temporal extent clamp
-to the last positional embedding.
+order never matters) — exactly the batch model's
+`temporal_window=max_steps` sliding-window attention, so a
+windowed causal VideoViT reproduces stream_step at EVERY t, including
+past the wrap. GQA (`num_kv_heads`) carries through: the cache stores
+only the kv heads (memory / group_factor). Steps beyond the trained
+temporal extent clamp to the last positional embedding.
 
     model = VideoViT(num_classes=..., causal=True, ...)
     cache = init_stream_cache(model, params, batch=1, max_steps=64)
@@ -39,12 +43,15 @@ from .video_vit import MHA, VideoViT
 def init_stream_cache(model: VideoViT, params: Any, batch: int,
                       max_steps: int) -> Dict:
     """Fixed-size temporal KV cache: per block k/v of shape
-    [B, N, max_steps, H, dh] in the model's compute dtype, plus the
+    [B, N, max_steps, Hkv, dh] in the model's compute dtype, plus the
     step counter. N comes from the positional table (params carry it).
+    With GQA (`model.num_kv_heads < num_heads`) the cache carries only
+    the kv heads — memory shrinks by the group factor.
     """
     n_tokens = params["params"]["pos_spatial"].shape[0]
     head_dim = model.dim // model.num_heads
-    kv = lambda: jnp.zeros((batch, n_tokens, max_steps, model.num_heads,
+    kv_heads = model.num_kv_heads or model.num_heads
+    kv = lambda: jnp.zeros((batch, n_tokens, max_steps, kv_heads,
                             head_dim), model.compute_dtype)
     return {
         "t": jnp.zeros((), jnp.int32),
@@ -63,8 +70,10 @@ def _temporal_attn(p, y, cache_blk, t, compute_dtype):
     """One streaming step of causal temporal attention.
 
     y: [B, 1, N, D] (post-LN, compute dtype); cache k/v
-    [B, N, S, H, dh]. Returns (out [B, 1, N, D], new cache entry).
-    Mirrors MHA's numerics: f32 logits/softmax, compute-dtype matmuls.
+    [B, N, S, Hkv, dh] (Hkv < H is GQA: each group of H/Hkv query
+    heads shares one cached kv head). Returns (out [B, 1, N, D], new
+    cache entry). Mirrors MHA's numerics: f32 logits/softmax,
+    compute-dtype matmuls.
     """
     b, _, n, d = y.shape
     yt = y[:, 0]                                        # [B, N, D]
@@ -79,13 +88,17 @@ def _temporal_attn(p, y, cache_blk, t, compute_dtype):
     vc = jax.lax.dynamic_update_index_in_dim(cache_blk["v"], v_new, slot,
                                              axis=2)
     head_dim = q.shape[-1]
-    logits = jnp.einsum("bnhk,bnshk->bnhs", q, kc,
+    h, hk = q.shape[2], kc.shape[3]
+    g = h // hk                                         # GQA group size
+    qg = q.reshape(b, n, hk, g, head_dim)
+    logits = jnp.einsum("bnkgd,bnskd->bnkgs", qg, kc,
                         preferred_element_type=jnp.float32)
     logits = logits * (head_dim ** -0.5)
     live = jnp.arange(s) <= t        # all slots live once the ring wraps
-    logits = jnp.where(live[None, None, None, :], logits, -jnp.inf)
+    logits = jnp.where(live[None, None, None, None, :], logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
-    o = jnp.einsum("bnhs,bnshk->bnhk", probs, vc)
+    o = jnp.einsum("bnkgs,bnskd->bnkgd", probs, vc)
+    o = o.reshape(b, n, h, head_dim)
     out = (jnp.einsum("bnhk,hkd->bnd", o,
                       p["out"]["kernel"].astype(compute_dtype))
            + p["out"]["bias"].astype(compute_dtype))
@@ -115,7 +128,8 @@ def stream_step(model: VideoViT, params: Any, cache: Dict, frames):
     t_pos = jnp.minimum(t, pos_t.shape[0] - 1)          # clamp past extent
     x = x + p["pos_spatial"][None, None] + pos_t[t_pos][None, None, None]
 
-    mha_s = MHA(num_heads=model.num_heads, compute_dtype=cdt)
+    mha_s = MHA(num_heads=model.num_heads, compute_dtype=cdt,
+                num_kv_heads=model.num_kv_heads)
     new_blocks = []
     for i in range(model.depth):
         bp = p[f"block{i}"]

@@ -76,6 +76,14 @@ class MHA(nn.Module):
     # "auto" = kernel on TPU, materialized path elsewhere; tests force
     # "pallas" to exercise the kernel (interpret mode) on the CPU mesh.
     flash_impl: str = "auto"
+    # GQA/MQA: fewer kv heads than query heads (must divide num_heads);
+    # the serving KV-cache shrinks by the group factor. None = MHA.
+    num_kv_heads: Optional[int] = None
+    # Sliding-window (local) attention: with causal=True each position
+    # attends to the last `window` steps (== the streaming ring cache's
+    # max_steps, models/streaming.py); without causal the symmetric band
+    # |i-j| < window. None = full attention.
+    window: Optional[int] = None
     # Ring (context-parallel) attention: the mesh axis the token axis is
     # sharded over, the mesh itself, and the axis batch dims shard over
     # (None when the batch is replicated w.r.t. the mesh).
@@ -92,13 +100,20 @@ class MHA(nn.Module):
         d_model = x.shape[-1]
         assert d_model % self.num_heads == 0, (d_model, self.num_heads)
         head_dim = d_model // self.num_heads
+        kv_heads = self.num_kv_heads or self.num_heads
+        if self.num_heads % kv_heads:
+            raise ValueError(f"num_kv_heads {kv_heads} must divide "
+                             f"num_heads {self.num_heads}")
         dense = partial(nn.DenseGeneral, dtype=self.compute_dtype,
                         param_dtype=jnp.float32)
         q = dense(features=(self.num_heads, head_dim), name="query")(x)
-        k = dense(features=(self.num_heads, head_dim), name="key")(x)
-        v = dense(features=(self.num_heads, head_dim), name="value")(x)
+        k = dense(features=(kv_heads, head_dim), name="key")(x)
+        v = dense(features=(kv_heads, head_dim), name="value")(x)
         scale = head_dim ** -0.5
         if self.ring_axis is not None:
+            if kv_heads != self.num_heads or self.window is not None:
+                raise ValueError("ring attention does not compose with "
+                                 "num_kv_heads/window")
             from jax.sharding import PartitionSpec
 
             from ..ops.ring_attention import ring_attention
@@ -147,15 +162,30 @@ class MHA(nn.Module):
             def bhsd(t):   # [..., S, H, dh] -> [prod(lead), H, S, dh]
                 return t.reshape((-1, s) + t.shape[-2:]).transpose(0, 2, 1, 3)
             o = flash_attention(bhsd(q), bhsd(k), bhsd(v),
-                                causal=self.causal, sm_scale=scale,
-                                impl=self.flash_impl)
+                                causal=self.causal, window=self.window,
+                                sm_scale=scale, impl=self.flash_impl)
             o = o.transpose(0, 2, 1, 3).reshape(
                 lead + (s, self.num_heads, head_dim))
         else:
+            if kv_heads != self.num_heads:
+                # Materialized GQA: repeat the shared kv heads (the flash
+                # kernel streams them without the repeat).
+                rep = self.num_heads // kv_heads
+                k = jnp.repeat(k, rep, axis=-2)
+                v = jnp.repeat(v, rep, axis=-2)
             logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
                                 preferred_element_type=jnp.float32) * scale
+            s = x.shape[-2]
+            mask = None
             if self.causal:
-                mask = jnp.tril(jnp.ones((x.shape[-2],) * 2, bool))
+                mask = jnp.tril(jnp.ones((s, s), bool))
+            if self.window is not None:
+                row = jnp.arange(s)[:, None]
+                col = jnp.arange(s)[None, :]
+                band = (col > row - self.window) if self.causal \
+                    else (jnp.abs(col - row) < self.window)
+                mask = band if mask is None else jnp.logical_and(mask, band)
+            if mask is not None:
                 logits = jnp.where(mask, logits, -jnp.inf)
             probs = jax.nn.softmax(logits, axis=-1).astype(self.compute_dtype)
             o = jnp.einsum("...hqk,...khd->...qhd", probs, v)
@@ -199,6 +229,14 @@ class FactorizedBlock(nn.Module):
     causal: bool = False
     use_flash: bool = False
     flash_impl: str = "auto"
+    # GQA/MQA head grouping for BOTH pathways (shrinks the streaming
+    # KV cache by num_heads/num_kv_heads). With tensor parallelism,
+    # num_kv_heads must stay divisible by the tp axis size.
+    num_kv_heads: Optional[int] = None
+    # Sliding window for the TEMPORAL pathway only (requires causal):
+    # each step attends to the last `temporal_window` steps — the exact
+    # batch twin of the streaming ring cache with max_steps=window.
+    temporal_window: Optional[int] = None
     ring_axis: Optional[str] = None
     mesh: Any = None
     ring_batch_axis: Optional[str] = "dp"
@@ -214,7 +252,8 @@ class FactorizedBlock(nn.Module):
         mha = partial(MHA, num_heads=self.num_heads,
                       compute_dtype=self.compute_dtype,
                       use_flash=self.use_flash,
-                      flash_impl=self.flash_impl)
+                      flash_impl=self.flash_impl,
+                      num_kv_heads=self.num_kv_heads)
         # Spatial: tokens within a frame attend; (B, T) are batch axes.
         y = ln(name="ln_s")(x).astype(self.compute_dtype)
         x = self._pin(x + mha(name="attn_s", ring_axis=self.ring_axis,
@@ -225,7 +264,8 @@ class FactorizedBlock(nn.Module):
         # Temporal: same patch position across frames; (B, N) are batch.
         y = ln(name="ln_t")(x).astype(self.compute_dtype)
         y = jnp.swapaxes(y, 1, 2)                       # [B, N, T, D]
-        y = mha(name="attn_t", causal=self.causal)(y)
+        y = mha(name="attn_t", causal=self.causal,
+                window=self.temporal_window)(y)
         x = self._pin(x + jnp.swapaxes(y, 1, 2).astype(x.dtype))
         y = ln(name="ln_m")(x).astype(self.compute_dtype)
         return self._pin(x + MLP(self.hidden_mult, self.compute_dtype,
@@ -247,6 +287,7 @@ class JointBlock(nn.Module):
     act_sharding: Optional[Callable] = None
     use_flash: bool = False
     flash_impl: str = "auto"
+    num_kv_heads: Optional[int] = None
     ring_axis: Optional[str] = None
     mesh: Any = None
     ring_batch_axis: Optional[str] = "dp"
@@ -262,6 +303,7 @@ class JointBlock(nn.Module):
         y = ln(name="ln_a")(x).astype(self.compute_dtype)
         y = MHA(num_heads=self.num_heads, compute_dtype=self.compute_dtype,
                 use_flash=self.use_flash, flash_impl=self.flash_impl,
+                num_kv_heads=self.num_kv_heads,
                 ring_axis=self.ring_axis, mesh=self.mesh,
                 ring_batch_axis=self.ring_batch_axis,
                 ring_head_axis=self.ring_head_axis, name="attn")(y)
@@ -323,6 +365,16 @@ class VideoViT(nn.Module):
     # use_flash=True: Pallas flash-attention core (long token axes).
     use_flash: bool = False
     flash_impl: str = "auto"
+    # GQA/MQA: fewer kv heads (must divide num_heads) in every
+    # attention — the streaming KV cache (models/streaming.py) shrinks
+    # by the group factor. None = MHA. Not composable with ring_axis.
+    num_kv_heads: Optional[int] = None
+    # Sliding-window temporal attention (requires causal=True,
+    # factorized): each step attends to the last `temporal_window`
+    # steps. With temporal_window == the streaming cache's max_steps,
+    # the batch forward reproduces stream_step EXACTLY at every t,
+    # including beyond the ring wrap. None = full causal attention.
+    temporal_window: Optional[int] = None
     # ring_axis + mesh: context parallelism — spatial attention rings
     # over the sp-sharded token axis instead of gathering it (combine
     # with act_sharding=make_act_sharding(mesh, ring_axis)).
@@ -355,6 +407,8 @@ class VideoViT(nn.Module):
         block = JointBlock if joint else FactorizedBlock
         if self.remat:
             block = nn.remat(block)
+        if self.temporal_window is not None and not self.causal:
+            raise ValueError("temporal_window requires causal=True")
         common = dict(num_heads=self.num_heads,
                       hidden_mult=self.hidden_mult,
                       compute_dtype=self.compute_dtype,
@@ -363,8 +417,10 @@ class VideoViT(nn.Module):
                       ring_axis=self.ring_axis, mesh=self.mesh,
                       ring_batch_axis=self.ring_batch_axis,
                       ring_head_axis=self.ring_head_axis)
+        common["num_kv_heads"] = self.num_kv_heads
         if not joint:
             common["causal"] = self.causal
+            common["temporal_window"] = self.temporal_window
         for i in range(self.depth):
             x = block(name=f"block{i}", **common)(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)

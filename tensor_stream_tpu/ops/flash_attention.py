@@ -58,7 +58,7 @@ def _cdiv(a, b):
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
-            m_scr, l_scr, acc_scr, *, sm_scale, causal,
+            m_scr, l_scr, acc_scr, *, sm_scale, causal, window,
             q_len, kv_len, block_q, block_k, save_residuals):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -71,10 +71,21 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     # Whole-tile skips: above the causal diagonal (first kv row of this
-    # tile > last q row of this q tile) or entirely inside kv padding.
+    # tile > last q row of this q tile), entirely inside kv padding, or
+    # entirely outside the sliding-window band (tiles on BOTH sides skip
+    # — per-query cost is O(window), not O(S), for long streams).
     run = ki * block_k < kv_len
     if causal:
         run = jnp.logical_and(run, ki * block_k <= (qi + 1) * block_q - 1)
+    if window is not None:
+        # Band lower edge: the tile's last kv col must reach
+        # first_q_row - window + 1.
+        run = jnp.logical_and(
+            run, (ki + 1) * block_k - 1 >= qi * block_q - window + 1)
+        if not causal:
+            # Symmetric band |row - col| < window: upper edge too.
+            run = jnp.logical_and(
+                run, ki * block_k <= (qi + 1) * block_q - 1 + window - 1)
 
     @pl.when(run)
     def _tile():
@@ -94,10 +105,16 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
         # corner of the tile above the diagonal?).
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
         mask = col < kv_len
-        if causal:
+        if causal or window is not None:
             row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                    + qi * block_q)
+        if causal:
             mask = jnp.logical_and(mask, col <= row)
+        if window is not None:
+            if causal:
+                mask = jnp.logical_and(mask, col > row - window)
+            else:
+                mask = jnp.logical_and(mask, jnp.abs(col - row) < window)
         # jnp.float32(...): a bare Python float weak-types to f64 under
         # jax.enable_x64 and Mosaic cannot lower the f64->f32 truncf.
         s = jnp.where(mask, s, jnp.float32(_MASK_VALUE))
@@ -133,14 +150,18 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
             m_ref[0, 0] = m_scr[...]
 
 
-def _flash_fwd_pallas(q, k, v, causal, sm_scale, block_q, block_k,
+def _flash_fwd_pallas(q, k, v, causal, window, sm_scale, block_q, block_k,
                       q_len, kv_len, save_residuals, interpret):
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    # GQA: kv heads may be a divisor of q heads — the grid iterates q
+    # heads and the k/v index maps fold each group onto its kv head (no
+    # materialized jnp.repeat; the kernel streams the SHARED kv tiles).
+    group = h // k.shape[1]
     grid = (b, h, sq // block_q, sk // block_k)
     kernel = functools.partial(
-        _kernel, sm_scale=sm_scale, causal=causal, q_len=q_len,
-        kv_len=kv_len, block_q=block_q, block_k=block_k,
+        _kernel, sm_scale=sm_scale, causal=causal, window=window,
+        q_len=q_len, kv_len=kv_len, block_q=block_q, block_k=block_k,
         save_residuals=save_residuals)
     out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
                  jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
@@ -159,9 +180,9 @@ def _flash_fwd_pallas(q, k, v, causal, sm_scale, block_q, block_k,
             pl.BlockSpec((1, 1, block_q, d),
                          lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda b_, h_, q_, k_: (b_, h_, k_, 0)),
+                         lambda b_, h_, q_, k_: (b_, h_ // group, k_, 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda b_, h_, q_, k_: (b_, h_, k_, 0)),
+                         lambda b_, h_, q_, k_: (b_, h_ // group, k_, 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -187,28 +208,42 @@ def _pad_axis(x, axis, to):
     return jnp.pad(x, widths)
 
 
-def _reference(q, k, v, causal, sm_scale):
+def _reference(q, k, v, causal, sm_scale, window=None):
     """Materialized-logits attention, identical numerics contract
     (f32 logits/softmax, input-dtype P@V) — the `impl="xla"` path and
-    the oracle the kernel is asserted against."""
+    the oracle the kernel is asserted against. GQA kv (fewer kv heads)
+    is materialized by repeating heads; `window` masks the band."""
+    if k.shape[1] != q.shape[1]:
+        rep = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * sm_scale
+    sq, sk = q.shape[2], k.shape[2]
+    mask = None
     if causal:
-        sq, sk = q.shape[2], k.shape[2]
         mask = jnp.tril(jnp.ones((sq, sk), bool), k=sk - sq)
+    if window is not None:
+        row = jnp.arange(sq)[:, None]
+        col = jnp.arange(sk)[None, :]
+        band = (col > row - window) if causal else \
+            (jnp.abs(col - row) < window)
+        mask = band if mask is None else jnp.logical_and(mask, band)
+    if mask is not None:
         s = jnp.where(mask, s, jnp.float32(_MASK_VALUE))
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash(q, k, v, causal, sm_scale, block_q, block_k, interpret):
-    o, _, _ = _fwd_padded(q, k, v, causal, sm_scale, block_q, block_k,
-                          interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash(q, k, v, causal, window, sm_scale, block_q, block_k, interpret):
+    o, _, _ = _fwd_padded(q, k, v, causal, window, sm_scale, block_q,
+                          block_k, interpret)
     return o
 
 
-def _fwd_padded(q, k, v, causal, sm_scale, block_q, block_k, interpret):
+def _fwd_padded(q, k, v, causal, window, sm_scale, block_q, block_k,
+                interpret):
     """Pad sequences to tile multiples, run the kernel, slice back.
     Returns (o, l, m) with l/m at the PADDED q length (the backward
     scan re-pads its tensors to match)."""
@@ -218,18 +253,20 @@ def _fwd_padded(q, k, v, causal, sm_scale, block_q, block_k, interpret):
     qp = _pad_axis(q, 2, sq_pad)
     kp = _pad_axis(k, 2, sk_pad)
     vp = _pad_axis(v, 2, sk_pad)
-    o, l, m = _flash_fwd_pallas(qp, kp, vp, causal, sm_scale, block_q,
-                                block_k, sq, sk, True, interpret)
+    o, l, m = _flash_fwd_pallas(qp, kp, vp, causal, window, sm_scale,
+                                block_q, block_k, sq, sk, True, interpret)
     return o[:, :, :sq], l, m
 
 
-def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k, interpret):
-    o, l, m = _fwd_padded(q, k, v, causal, sm_scale, block_q, block_k,
-                          interpret)
+def _flash_fwd(q, k, v, causal, window, sm_scale, block_q, block_k,
+               interpret):
+    o, l, m = _fwd_padded(q, k, v, causal, window, sm_scale, block_q,
+                          block_k, interpret)
     return o, (q, k, v, o, l, m)
 
 
-def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
+def _flash_bwd(causal, window, sm_scale, block_q, block_k, interpret, res,
+               do):
     """Tile-recomputing backward: for each kv tile, rebuild P from the
     saved softmax stats, then
         dv_j = P^T @ dO        dP = dO @ V_j^T
@@ -244,6 +281,8 @@ def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
     kernel."""
     q, k, v, o, l, m = res
     b, h, sq, d = q.shape
+    hk = k.shape[1]
+    g = h // hk
     sk = k.shape[2]
     sk_pad = _cdiv(sk, block_k) * block_k
     nk = sk_pad // block_k
@@ -256,47 +295,61 @@ def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
     m_q = m[:, :, :sq]
     l_inv = jnp.where(l_q == 0.0, 1.0, 1.0 / l_q)
 
+    # Group the q-side tensors by kv head — [b, hk, g, sq, ...]: every
+    # kv tile interacts with its whole query-head group (GQA; g=1 is
+    # plain MHA and the einsums degenerate to the ungrouped ones).
+    qg = q.reshape(b, hk, g, sq, d)
+    dofg = dof.reshape(b, hk, g, sq, d)
+    deltag = delta.reshape(b, hk, g, sq)
+    m_g = m_q.reshape(b, hk, g, sq)
+    l_invg = l_inv.reshape(b, hk, g, sq)
+
     # kv tensors reshaped to per-tile blocks for the scan.
     kb = _pad_axis(k, 2, sk_pad).reshape(
-        b, h, nk, block_k, d).transpose(2, 0, 1, 3, 4)
+        b, hk, nk, block_k, d).transpose(2, 0, 1, 3, 4)
     vb = _pad_axis(v, 2, sk_pad).reshape(
-        b, h, nk, block_k, d).transpose(2, 0, 1, 3, 4)
+        b, hk, nk, block_k, d).transpose(2, 0, 1, 3, 4)
 
     row = jnp.arange(sq, dtype=jnp.int32)
     prec = jax.lax.Precision.DEFAULT
 
     def step(dq_acc, xs):
         j, kj, vj = xs
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, kj,
+        s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, kj,
                        preferred_element_type=jnp.float32,
                        precision=prec) * sm_scale
         col = j * block_k + jnp.arange(block_k, dtype=jnp.int32)
-        mask = col[None, :] < sk
+        mask = jnp.broadcast_to(col[None, :] < sk, (sq, block_k))
         if causal:
             mask = jnp.logical_and(mask, col[None, :] <= row[:, None])
-        s = jnp.where(mask[None, None], s, jnp.float32(_MASK_VALUE))
-        p = jnp.exp(s - m_q[..., None]) * l_inv[..., None]
+        if window is not None:
+            band = (col[None, :] > row[:, None] - window) if causal \
+                else (jnp.abs(col[None, :] - row[:, None]) < window)
+            mask = jnp.logical_and(mask, band)
+        s = jnp.where(mask[None, None, None], s, jnp.float32(_MASK_VALUE))
+        p = jnp.exp(s - m_g[..., None]) * l_invg[..., None]
         pc = p.astype(dt)
-        dv_j = jnp.einsum("bhqk,bhqd->bhkd", pc, dof,
+        dv_j = jnp.einsum("bhgqk,bhgqd->bhkd", pc, dofg,
                           preferred_element_type=jnp.float32,
                           precision=prec)
-        dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vj,
+        dp = jnp.einsum("bhgqd,bhkd->bhgqk", dofg, vj,
                         preferred_element_type=jnp.float32,
                         precision=prec)
-        ds = (p * (dp - delta[..., None]) * sm_scale).astype(dt)
-        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, kj,
+        ds = (p * (dp - deltag[..., None]) * sm_scale).astype(dt)
+        dq_acc = dq_acc + jnp.einsum("bhgqk,bhkd->bhgqd", ds, kj,
                                      preferred_element_type=jnp.float32,
                                      precision=prec)
-        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, q,
+        dk_j = jnp.einsum("bhgqk,bhgqd->bhkd", ds, qg,
                           preferred_element_type=jnp.float32,
                           precision=prec)
         return dq_acc, (dk_j, dv_j)
 
-    dq0 = jnp.zeros((b, h, sq, d), jnp.float32)
+    dq0 = jnp.zeros((b, hk, g, sq, d), jnp.float32)
     dq, (dk_b, dv_b) = jax.lax.scan(
         step, dq0, (jnp.arange(nk, dtype=jnp.int32), kb, vb))
-    dk = dk_b.transpose(1, 2, 0, 3, 4).reshape(b, h, sk_pad, d)[:, :, :sk]
-    dv = dv_b.transpose(1, 2, 0, 3, 4).reshape(b, h, sk_pad, d)[:, :, :sk]
+    dq = dq.reshape(b, h, sq, d)
+    dk = dk_b.transpose(1, 2, 0, 3, 4).reshape(b, hk, sk_pad, d)[:, :, :sk]
+    dv = dv_b.transpose(1, 2, 0, 3, 4).reshape(b, hk, sk_pad, d)[:, :, :sk]
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
 
 
@@ -304,6 +357,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q, k, v, *, causal: bool = False,
+                    window: Optional[int] = None,
                     sm_scale: Optional[float] = None,
                     block_q: int = 256, block_k: int = 512,
                     impl: str = "auto"):
@@ -311,6 +365,21 @@ def flash_attention(q, k, v, *, causal: bool = False,
     the [S, S] logits. Shapes [batch, heads, seq, head_dim]; kv seq may
     differ from q seq (cross-attention) unless `causal=True` (which
     requires equal lengths). Differentiable (tile-recomputing VJP).
+
+    GQA/MQA: k/v may carry FEWER heads than q (q heads must be a
+    multiple) — each group of q heads attends to its shared kv head;
+    the kernel streams the shared kv tiles without materializing a
+    repeat, and the VJP accumulates dk/dv over the group. This is the
+    KV-cache memory lever for serving (kv state shrinks by the group
+    factor).
+
+    window=W: sliding-window (local) attention. With causal=True each
+    query attends to the last W positions (col in (row-W, row]) — the
+    batch twin of the streaming ring cache (models/streaming.py, whose
+    max_steps IS this window). Without causal it is the symmetric band
+    |row-col| < W. Tiles entirely outside the band are skipped at the
+    grid level, so long-stream cost is O(S·W), not O(S²). Requires
+    equal q/kv lengths.
 
     impl: "auto" → Pallas kernel on TPU, materialized path elsewhere
     (interpret mode serializes the grid — a silent perf cliff, reserved
@@ -324,13 +393,23 @@ def flash_attention(q, k, v, *, causal: bool = False,
     slower than this shape. Tiles clamp to the padded sequence, so
     short-sequence calls are unaffected.
     """
-    if q.ndim != 4 or k.shape[:2] != q.shape[:2] or v.shape != k.shape:
+    if (q.ndim != 4 or k.shape[0] != q.shape[0] or v.shape != k.shape
+            or q.shape[-1] != k.shape[-1]):
         raise ValueError(f"bad attention shapes {q.shape} {k.shape} "
                          f"{v.shape}")
+    if q.shape[1] % k.shape[1]:
+        raise ValueError(f"q heads {q.shape[1]} must be a multiple of kv "
+                         f"heads {k.shape[1]} (GQA)")
     if sm_scale is None:
         sm_scale = float(q.shape[-1]) ** -0.5
     if causal and q.shape[2] != k.shape[2]:
         raise ValueError("causal=True requires equal q/kv lengths")
+    if window is not None:
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        if q.shape[2] != k.shape[2]:
+            raise ValueError("window requires equal q/kv lengths")
+        window = int(window)
     on_tpu = jax.devices()[0].platform == "tpu"
     # x64 mode: gridded pallas_call index maps fail Mosaic legalization
     # on current toolchains (verified: even a trivial 2-block grid dies
@@ -340,7 +419,7 @@ def flash_attention(q, k, v, *, causal: bool = False,
     # testable under x64.
     x64 = bool(jax.config.jax_enable_x64)
     if impl == "xla" or (impl == "auto" and not on_tpu) or (on_tpu and x64):
-        return _reference(q, k, v, causal, sm_scale)
+        return _reference(q, k, v, causal, sm_scale, window)
     if impl not in ("auto", "pallas"):
         raise ValueError(f"unknown impl {impl!r}")
     interpret = not on_tpu
@@ -350,5 +429,5 @@ def flash_attention(q, k, v, *, causal: bool = False,
     block_k = min(block_k, _cdiv(k.shape[2], _LANES) * _LANES)
     if block_q % _LANES or block_k % _LANES:
         raise ValueError("block sizes must be multiples of 128")
-    return _flash(q, k, v, causal, float(sm_scale), int(block_q),
+    return _flash(q, k, v, causal, window, float(sm_scale), int(block_q),
                   int(block_k), interpret)

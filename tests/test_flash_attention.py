@@ -138,6 +138,117 @@ def test_matmul_precision_highest_config():
     _assert_close(got, want, jnp.bfloat16)
 
 
+# --------------------------------------------------- GQA / sliding window
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("kv_heads,causal", [(1, False), (2, True),
+                                             (4, False)])
+def test_gqa_forward_matches_oracle(dtype, kv_heads, causal):
+    """k/v with fewer heads than q (GQA; kv_heads=1 is MQA, =num_heads
+    is plain MHA) — the kernel streams the SHARED kv tiles via its
+    index maps; the oracle materializes the head repeat."""
+    q, _, _ = _qkv(1, 4, 256, 256, 64, dtype, seed=11)
+    _, k, v = _qkv(1, kv_heads, 256, 256, 64, dtype, seed=12)
+    got = flash_attention(q, k, v, causal=causal, impl="pallas")
+    want = _reference(q, k, v, causal, 64 ** -0.5)
+    assert got.shape == q.shape
+    _assert_close(got, want, dtype)
+
+
+def test_gqa_grads_match_oracle():
+    """VJP accumulates dk/dv over the query-head group: dk/dv keep the
+    kv head count, dq the q head count."""
+    q, _, _ = _qkv(1, 4, 200, 200, 64, jnp.float32, seed=13)
+    _, k, v = _qkv(1, 2, 200, 200, 64, jnp.float32, seed=14)
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+        return f
+
+    flash = loss(lambda q, k, v: flash_attention(
+        q, k, v, causal=True, impl="pallas"))
+    ref = loss(lambda q, k, v: _reference(q, k, v, True, 64 ** -0.5))
+    g_flash = jax.grad(flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    assert g_flash[0].shape == q.shape
+    assert g_flash[1].shape == k.shape and g_flash[2].shape == v.shape
+    for gf, gr in zip(g_flash, g_ref):
+        _assert_close(gf, gr, jnp.float32, scale=10.0)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("causal,window,seq",
+                         [(True, 64, 256), (True, 200, 300),
+                          (False, 64, 256), (False, 50, 200)])
+def test_window_forward_matches_oracle(dtype, causal, window, seq):
+    """Sliding-window band: causal = last `window` positions, else the
+    symmetric |row-col| < window band; small block sizes force actual
+    grid-level tile skips on BOTH sides of the band."""
+    q, k, v = _qkv(1, 2, seq, seq, 64, dtype, seed=15)
+    got = flash_attention(q, k, v, causal=causal, window=window,
+                          block_q=128, block_k=128, impl="pallas")
+    want = _reference(q, k, v, causal, 64 ** -0.5, window)
+    _assert_close(got, want, dtype)
+
+
+def test_window_wider_than_seq_is_full_attention():
+    q, k, v = _qkv(1, 2, 128, 128, 64, jnp.float32, seed=16)
+    banded = flash_attention(q, k, v, window=1000, impl="pallas")
+    full = flash_attention(q, k, v, impl="pallas")
+    _assert_close(banded, full, jnp.float32)
+
+
+def test_window_grads_match_oracle():
+    """VJP re-applies the band mask in the tile-recomputed P."""
+    q, k, v = _qkv(1, 2, 256, 256, 64, jnp.float32, seed=17)
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+        return f
+
+    flash = loss(lambda q, k, v: flash_attention(
+        q, k, v, causal=True, window=64, block_q=128, block_k=128,
+        impl="pallas"))
+    ref = loss(lambda q, k, v: _reference(q, k, v, True, 64 ** -0.5, 64))
+    g_flash = jax.grad(flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        _assert_close(gf, gr, jnp.float32, scale=10.0)
+
+
+def test_gqa_window_compose():
+    """GQA and the sliding window together (the serving shape: MQA
+    KV-cache + bounded look-back)."""
+    q, _, _ = _qkv(1, 4, 256, 256, 64, jnp.bfloat16, seed=18)
+    _, k, v = _qkv(1, 1, 256, 256, 64, jnp.bfloat16, seed=19)
+    got = flash_attention(q, k, v, causal=True, window=96,
+                          block_q=128, block_k=128, impl="pallas")
+    want = _reference(q, k, v, True, 64 ** -0.5, 96)
+    _assert_close(got, want, jnp.bfloat16)
+
+
+def test_mha_gqa_window_parity():
+    """MHA(num_kv_heads, window): flash and materialized paths agree
+    with identical params; GQA shrinks the k/v projection params."""
+    from tensor_stream_tpu.models.video_vit import MHA
+
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.normal(rng, (2, 160, 128), jnp.float32)
+    kw = dict(num_heads=4, num_kv_heads=2, window=48, causal=True,
+              compute_dtype=jnp.float32)
+    plain = MHA(**kw)
+    flash = MHA(use_flash=True, flash_impl="pallas", **kw)
+    params = plain.init(rng, x)
+    # GQA halves the key/value projection heads.
+    assert params["params"]["key"]["kernel"].shape == (128, 2, 32)
+    assert params["params"]["query"]["kernel"].shape == (128, 4, 32)
+    out_p = plain.apply(params, x)
+    out_f = flash.apply(params, x)
+    _assert_close(out_f, out_p, jnp.float32, scale=4.0)
+
+
 # ------------------------------------------------------------ backward
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
@@ -255,13 +366,34 @@ def test_auto_falls_back_off_tpu():
 
 def test_bad_shapes_raise():
     q = jnp.zeros((1, 2, 128, 64))
-    k = jnp.zeros((1, 3, 128, 64))
     with pytest.raises(ValueError, match="bad attention shapes"):
-        flash_attention(q, k, k)
+        flash_attention(q, jnp.zeros((2, 2, 128, 64)),
+                        jnp.zeros((2, 2, 128, 64)))
+    with pytest.raises(ValueError, match="multiple of kv"):
+        flash_attention(q, jnp.zeros((1, 3, 128, 64)),
+                        jnp.zeros((1, 3, 128, 64)))
     with pytest.raises(ValueError, match="equal q/kv lengths"):
         flash_attention(q, jnp.zeros((1, 2, 256, 64)),
                         jnp.zeros((1, 2, 256, 64)), causal=True)
+    with pytest.raises(ValueError, match="equal q/kv lengths"):
+        flash_attention(q, jnp.zeros((1, 2, 256, 64)),
+                        jnp.zeros((1, 2, 256, 64)), window=32)
+    with pytest.raises(ValueError, match="window must be"):
+        flash_attention(q, q, q, window=0)
     with pytest.raises(ValueError, match="unknown impl"):
         flash_attention(q, q, q, impl="cuda")
     with pytest.raises(ValueError, match="multiples of 128"):
         flash_attention(q, q, q, block_q=96, impl="pallas")
+
+
+def test_mha_ring_rejects_gqa_and_window():
+    """Ring attention shards the token axis; it composes with neither
+    GQA nor the window band (documented constraint, explicit error)."""
+    from tensor_stream_tpu.models.video_vit import MHA
+    x = jnp.zeros((2, 128, 64))
+    for kw in (dict(num_kv_heads=1), dict(window=16)):
+        m = MHA(num_heads=2, ring_axis="sp", **kw)
+        with pytest.raises(ValueError, match="ring attention"):
+            m.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="must divide"):
+        MHA(num_heads=2, num_kv_heads=3).init(jax.random.PRNGKey(0), x)

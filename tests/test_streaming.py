@@ -166,3 +166,65 @@ def test_ring_slides_over_recent_steps():
             np.asarray(ring["blocks"][0]["k"][:, :, t % S]),
             np.asarray(big["blocks"][0]["k"][:, :, t]),
             rtol=1e-5, atol=1e-6, err_msg=f"step {t}")
+
+
+def test_stream_gqa_shrinks_cache_and_matches_batch():
+    """GQA (num_kv_heads < num_heads): the cache carries only the kv
+    heads — here half the memory — and streaming still reproduces the
+    batch causal forward exactly."""
+    with jax.default_matmul_precision("highest"):
+        model = causal_vit(num_heads=4, num_kv_heads=2)
+        params = init_vit(jax.random.PRNGKey(0), model, (B, T, H, W, 3))
+        # kv projections (and therefore the cache) carry 2 heads, q 4.
+        blk = params["params"]["block0"]["attn_t"]
+        assert blk["key"]["kernel"].shape[1] == 2
+        assert blk["query"]["kernel"].shape[1] == 4
+        clips = jax.random.uniform(jax.random.PRNGKey(1), (B, T, H, W, 3))
+        want = np.asarray(jax.jit(model.apply)(params, clips))
+
+        cache = init_stream_cache(model, params, batch=B, max_steps=STEPS)
+        assert cache["blocks"][0]["k"].shape[-2] == 2   # kv heads only
+        step = jax.jit(partial(stream_step, model, params))
+        for t in range(STEPS):
+            cache, logits = step(cache, clips[:, t * TUB:(t + 1) * TUB])
+            np.testing.assert_allclose(np.asarray(logits), want[:, t],
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=f"step {t}")
+
+
+def test_windowed_batch_matches_ring_beyond_wrap():
+    """temporal_window=S is the exact batch twin of a max_steps=S ring
+    cache: per-step logits agree at EVERY t — including past the wrap,
+    where the plain causal batch model diverges from the ring."""
+    S = 2
+    assert S < STEPS
+    with jax.default_matmul_precision("highest"):
+        plain = causal_vit()
+        windowed = causal_vit(temporal_window=S)
+        params = init_vit(jax.random.PRNGKey(0), plain, (B, T, H, W, 3))
+        clips = jax.random.uniform(jax.random.PRNGKey(1), (B, T, H, W, 3))
+        want_w = np.asarray(jax.jit(windowed.apply)(params, clips))
+        want_full = np.asarray(jax.jit(plain.apply)(params, clips))
+
+        cache = init_stream_cache(plain, params, batch=B, max_steps=S)
+        step = jax.jit(partial(stream_step, plain, params))
+        diverged = False
+        for t in range(STEPS):
+            cache, logits = step(cache, clips[:, t * TUB:(t + 1) * TUB])
+            got = np.asarray(logits)
+            np.testing.assert_allclose(got, want_w[:, t],
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=f"step {t}")
+            if t >= S and not np.allclose(got, want_full[:, t],
+                                          rtol=1e-3, atol=1e-3):
+                diverged = True
+        # Sanity: the window genuinely bit — the full-attention batch
+        # model does NOT track the ring after the wrap.
+        assert diverged
+
+
+def test_windowed_model_requires_causal():
+    with pytest.raises(ValueError, match="temporal_window"):
+        causal_vit(causal=False, temporal_window=2).init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, T, H, W, 3), jnp.float32))
