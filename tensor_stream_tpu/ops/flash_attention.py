@@ -57,14 +57,34 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _band_lo(qi, window, block_q, block_k):
+    """First kv tile intersecting q tile `qi`'s sliding-window band: the
+    earliest tile whose last column reaches first_q_row - window + 1.
+    Works on both traced int32 (inside kernels / index maps) and Python
+    ints (static grid sizing)."""
+    if isinstance(qi, int):
+        return max(qi * block_q - (window - 1), 0) // block_k
+    return jnp.maximum(qi * block_q - (window - 1), 0) // block_k
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
             m_scr, l_scr, acc_scr, *, sm_scale, causal, window,
-            q_len, kv_len, block_q, block_k, save_residuals):
+            q_len, kv_len, block_q, block_k, save_residuals, banded):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
+    if banded:
+        # Band-restricted kv grid (window set): the grid's kv dimension
+        # covers only the live band of this q tile, so out-of-band tiles
+        # never become grid steps at all — per-query cost is O(window)
+        # in grid steps, DMAs AND matmuls (r04 measured grid-level
+        # `pl.when` skips alone buying 1.4x where the live-tile ratio
+        # implies ~4x: thousands of skipped steps still paid their
+        # per-step overhead). `ki` here is band-relative; rebase it on
+        # the q tile's first live kv tile.
+        ki = _band_lo(qi, window, block_q, block_k) + ki
 
-    @pl.when(ki == 0)
+    @pl.when(pl.program_id(3) == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[...] = jnp.zeros_like(l_scr)
@@ -72,14 +92,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
 
     # Whole-tile skips: above the causal diagonal (first kv row of this
     # tile > last q row of this q tile), entirely inside kv padding, or
-    # entirely outside the sliding-window band (tiles on BOTH sides skip
-    # — per-query cost is O(window), not O(S), for long streams).
+    # (banded grid) past the band's trailing edge when this q tile's
+    # band is narrower than the static band width.
     run = ki * block_k < kv_len
     if causal:
         run = jnp.logical_and(run, ki * block_k <= (qi + 1) * block_q - 1)
     if window is not None:
         # Band lower edge: the tile's last kv col must reach
-        # first_q_row - window + 1.
+        # first_q_row - window + 1. (Banded grids start at the band's
+        # first tile by construction; kept for the non-banded path.)
         run = jnp.logical_and(
             run, (ki + 1) * block_k - 1 >= qi * block_q - window + 1)
         if not causal:
@@ -87,8 +108,24 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
             run = jnp.logical_and(
                 run, ki * block_k <= (qi + 1) * block_q - 1 + window - 1)
 
-    @pl.when(run)
-    def _tile():
+    # Elementwise masking is the largest VPU cost after exp (two iotas,
+    # compares and a select over the whole [block_q, block_k] tile) and
+    # only EDGE tiles need it: the one the causal diagonal straddles,
+    # the ones a window edge crosses, and the kv-padding tile. Interior
+    # tiles run a mask-free body; the two variants live under exclusive
+    # pl.when predicates.
+    needs_mask = (ki + 1) * block_k > kv_len
+    if causal:
+        needs_mask = jnp.logical_or(
+            needs_mask, (ki + 1) * block_k - 1 > qi * block_q)
+    if window is not None:
+        needs_mask = jnp.logical_or(
+            needs_mask, ki * block_k <= (qi + 1) * block_q - 1 - window)
+        if not causal:
+            needs_mask = jnp.logical_or(
+                needs_mask, (ki + 1) * block_k - 1 >= qi * block_q + window)
+
+    def _tile_body(masked):
         q = q_ref[0, 0]                       # [block_q, d]
         k = k_ref[0, 0]                       # [block_k, d]
         # Explicit DEFAULT precision: the kernel must be insensitive to a
@@ -100,24 +137,24 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
             precision=jax.lax.Precision.DEFAULT)      # [block_q, block_k]
         s *= sm_scale
 
-        # Elementwise masks: kv padding always; causal only in the one
-        # tile the diagonal straddles (cheap test: is the top-right
-        # corner of the tile above the diagonal?).
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-        mask = col < kv_len
-        if causal or window is not None:
-            row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                   + qi * block_q)
-        if causal:
-            mask = jnp.logical_and(mask, col <= row)
-        if window is not None:
+        if masked:
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + ki * block_k)
+            mask = col < kv_len
+            if causal or window is not None:
+                row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                       + qi * block_q)
             if causal:
-                mask = jnp.logical_and(mask, col > row - window)
-            else:
-                mask = jnp.logical_and(mask, jnp.abs(col - row) < window)
-        # jnp.float32(...): a bare Python float weak-types to f64 under
-        # jax.enable_x64 and Mosaic cannot lower the f64->f32 truncf.
-        s = jnp.where(mask, s, jnp.float32(_MASK_VALUE))
+                mask = jnp.logical_and(mask, col <= row)
+            if window is not None:
+                if causal:
+                    mask = jnp.logical_and(mask, col > row - window)
+                else:
+                    mask = jnp.logical_and(mask, jnp.abs(col - row) < window)
+            # jnp.float32(...): a bare Python float weak-types to f64
+            # under jax.enable_x64 and Mosaic cannot lower the f64->f32
+            # truncf.
+            s = jnp.where(mask, s, jnp.float32(_MASK_VALUE))
 
         m_prev = m_scr[...]                           # [block_q, 128]
         l_prev = l_scr[...]
@@ -140,7 +177,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
         # (a [:, :d] slice breaks the moment d > 128 lanes).
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
 
-    @pl.when(ki == nk - 1)
+    @pl.when(jnp.logical_and(run, needs_mask))
+    def _tile_masked():
+        _tile_body(True)
+
+    @pl.when(jnp.logical_and(run, jnp.logical_not(needs_mask)))
+    def _tile_plain():
+        _tile_body(False)
+
+    @pl.when(pl.program_id(3) == nk - 1)
     def _store():
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -148,6 +193,127 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
         if save_residuals:
             l_ref[0, 0] = l
             m_ref[0, 0] = m_scr[...]
+
+
+def _band_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *, sm_scale,
+                 causal, window, kv_len, block_q, band, sk_pad,
+                 save_residuals):
+    """Sliding-window forward, band-as-one-block: the q tile's whole live
+    band is fetched as a single kv block (Element/unblocked indexing, the
+    band start is not tile-aligned), so the softmax is one plain pass —
+    no online (m, l) accumulation, no inner kv grid, no per-step pipeline
+    overhead. r04's grid-level `pl.when` skip measured 1.4x at
+    S=8192/W=1024 (skipped steps still cost ~0.3 us each and live steps
+    never amortize their q-boundary pipeline flushes over a 3-step band);
+    this shape measures ~3.5x on the same point."""
+    qi = pl.program_id(2)
+    base = _band_base(qi, causal, window, block_q, band, sk_pad)
+    q = q_ref[0, 0]                                   # [block_q, d]
+    k = k_ref[0, 0]                                   # [band, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)          # [block_q, band]
+    s *= sm_scale
+
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+    mask = col < kv_len
+    if causal:
+        mask = jnp.logical_and(mask, col <= row)
+        mask = jnp.logical_and(mask, col > row - window)
+    else:
+        mask = jnp.logical_and(mask, jnp.abs(col - row) < window)
+    s = jnp.where(mask, s, jnp.float32(_MASK_VALUE))
+
+    m = jnp.max(s, axis=1, keepdims=True)             # [block_q, 1]
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    v_ = v_ref[0, 0]                                  # [band, d]
+    o = jax.lax.dot(p.astype(v_.dtype), v_,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+    o_ref[0, 0] = (o * l_inv).astype(o_ref.dtype)
+    if save_residuals:
+        l_ref[0, 0] = jnp.broadcast_to(l, l_ref[0, 0].shape)
+        m_ref[0, 0] = jnp.broadcast_to(m, m_ref[0, 0].shape)
+
+
+def _band_base(qi, causal, window, block_q, band, sk_pad):
+    """Element (not block) offset of q tile `qi`'s kv band: low edge of
+    the window, aligned down to the 128-lane grain, clamped in-bounds.
+    `band` is sized (in _band_sizes) so the aligned-down start still
+    covers the tile's last live column."""
+    raw = qi * block_q - (window - 1)  # symmetric and causal share the low edge
+    hi = sk_pad - band
+    if isinstance(raw, int):
+        return (min(max(raw, 0), hi) // _LANES) * _LANES
+    # The //128*128 must be the LAST op: Mosaic's layout prover needs to
+    # see the returned element offset as provably lane-aligned.
+    return (jnp.clip(raw, 0, hi) // _LANES) * _LANES
+
+
+def _band_sizes(causal, window, block_q):
+    """Static band width covering every live column of a q tile plus the
+    128-lane alignment slack of the band start."""
+    span = block_q + window - 1 if causal else block_q + 2 * (window - 1)
+    return _cdiv(span + _LANES - 1, _LANES) * _LANES
+
+
+# Above this many band columns the one-block kernel's VMEM working set
+# (f32 logits [block_q, band] + double-buffered kv blocks) stops fitting
+# comfortably; wider windows fall back to the banded-grid kernel.
+_BAND_COLS_MAX = 4608
+
+
+def _flash_fwd_band_pallas(q, k, v, causal, window, sm_scale, block_q,
+                           q_len, kv_len, save_residuals, interpret):
+    from jax._src.pallas.core import Element  # no public alias yet
+
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    group = h // k.shape[1]
+    nq = sq // block_q
+    band = _band_sizes(causal, window, block_q)
+    grid = (b, h, nq)
+    kernel = functools.partial(
+        _band_kernel, sm_scale=sm_scale, causal=causal, window=window,
+        kv_len=kv_len, block_q=block_q, band=band, sk_pad=sk,
+        save_residuals=save_residuals)
+    out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+                 jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
+                 jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, q_: (b_, h_, q_, 0)),
+        pl.BlockSpec((1, 1, block_q, _LANES),
+                     lambda b_, h_, q_: (b_, h_, q_, 0)),
+        pl.BlockSpec((1, 1, block_q, _LANES),
+                     lambda b_, h_, q_: (b_, h_, q_, 0)),
+    ]
+
+    def kv_map(b_, h_, q_):
+        return (b_, h_ // group,
+                _band_base(q_, causal, window, block_q, band, sk), 0)
+
+    kv_spec = pl.BlockSpec(
+        (Element(1), Element(1), Element(band), Element(d)), kv_map)
+    o, l, m = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, q_: (b_, h_, q_, 0)),
+            kv_spec,
+            kv_spec,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(q, k, v)
+    return o, l[..., 0], m[..., 0]
 
 
 def _flash_fwd_pallas(q, k, v, causal, window, sm_scale, block_q, block_k,
@@ -158,11 +324,54 @@ def _flash_fwd_pallas(q, k, v, causal, window, sm_scale, block_q, block_k,
     # heads and the k/v index maps fold each group onto its kv head (no
     # materialized jnp.repeat; the kernel streams the SHARED kv tiles).
     group = h // k.shape[1]
-    grid = (b, h, sq // block_q, sk // block_k)
+    nq = sq // block_q
+    nk = sk // block_k
+
+    # Sliding window: restrict the kv grid dimension to the band itself.
+    # The widest per-q-tile band (in tiles) is computed statically over
+    # all q tiles; the kernel and the index maps rebase the band-relative
+    # kv step onto the q tile's first live tile. Out-of-band kv tiles are
+    # then not skipped grid steps — they don't exist, so neither their
+    # DMAs nor their per-step grid overhead is paid (r04: `pl.when`
+    # skips alone measured 1.4x at S=8192/W=1024 where the live ratio
+    # implies ~4x — the ~2k skipped steps' overhead ate the win).
+    banded = window is not None
+    if banded:
+        def _hi(q_):
+            if causal:
+                e = ((q_ + 1) * block_q - 1) // block_k
+            else:
+                e = ((q_ + 1) * block_q + window - 2) // block_k
+            return min(e, nk - 1)
+        nk_grid = max(_hi(q_) - _band_lo(q_, window, block_q, block_k) + 1
+                      for q_ in range(nq))
+    else:
+        nk_grid = nk
+    grid = (b, h, nq, nk_grid)
+
+    # Bandwidth twin of the kernel's grid-level skip, for the non-banded
+    # (plain causal / padded) grid: clamp the kv BLOCK index into the
+    # live range for this q tile. Skipped grid steps then request the
+    # block already resident in VMEM and the pipeline elides the
+    # HBM->VMEM copy (Mosaic only issues the DMA when the computed index
+    # changes between steps). The in-kernel `run` predicate keeps the
+    # clamped (aliased) tiles from contributing to the accumulator.
+    last_kv_tile = (kv_len - 1) // block_k  # never fetch all-padding tiles
+
+    def _kv_block(q_, k_):
+        if banded:
+            k_ = _band_lo(q_, window, block_q, block_k) + k_
+        ki = jnp.minimum(k_, last_kv_tile)
+        if causal:
+            ki = jnp.minimum(ki, ((q_ + 1) * block_q - 1) // block_k)
+        elif window is not None:
+            ki = jnp.minimum(
+                ki, ((q_ + 1) * block_q + window - 2) // block_k)
+        return ki
     kernel = functools.partial(
         _kernel, sm_scale=sm_scale, causal=causal, window=window,
         q_len=q_len, kv_len=kv_len, block_q=block_q, block_k=block_k,
-        save_residuals=save_residuals)
+        save_residuals=save_residuals, banded=banded)
     out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
                  jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
                  jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32)]
@@ -180,9 +389,11 @@ def _flash_fwd_pallas(q, k, v, causal, window, sm_scale, block_q, block_k,
             pl.BlockSpec((1, 1, block_q, d),
                          lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda b_, h_, q_, k_: (b_, h_ // group, k_, 0)),
+                         lambda b_, h_, q_, k_:
+                         (b_, h_ // group, _kv_block(q_, k_), 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda b_, h_, q_, k_: (b_, h_ // group, k_, 0)),
+                         lambda b_, h_, q_, k_:
+                         (b_, h_ // group, _kv_block(q_, k_), 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -253,8 +464,16 @@ def _fwd_padded(q, k, v, causal, window, sm_scale, block_q, block_k,
     qp = _pad_axis(q, 2, sq_pad)
     kp = _pad_axis(k, 2, sk_pad)
     vp = _pad_axis(v, 2, sk_pad)
-    o, l, m = _flash_fwd_pallas(qp, kp, vp, causal, window, sm_scale,
-                                block_q, block_k, sq, sk, True, interpret)
+    if (window is not None
+            and _band_sizes(causal, window, block_q)
+            <= min(sk_pad, _BAND_COLS_MAX)):
+        o, l, m = _flash_fwd_band_pallas(qp, kp, vp, causal, window,
+                                         sm_scale, block_q, sq, sk, True,
+                                         interpret)
+    else:
+        o, l, m = _flash_fwd_pallas(qp, kp, vp, causal, window, sm_scale,
+                                    block_q, block_k, sq, sk, True,
+                                    interpret)
     return o[:, :, :sq], l, m
 
 
