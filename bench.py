@@ -322,8 +322,18 @@ def bench_pool_aggregate(lib, seconds, n_streams=4, workers=0):
         idx = lib.ts_pool_add_stream(pool, VIDEO.encode(), 16, 1, 0)
         assert idx >= 0
     assert lib.ts_pool_start(pool) == 0
-    time.sleep(0.3)
     handles = [lib.ts_pool_stream(pool, k) for k in range(n_streams)]
+    # State-based warm-up: a fresh pool first-touches ~190 MB of ring +
+    # DPB pages (rings x streams), and on this virtualized host a fault
+    # can cost ~25 us once the page was returned to the hypervisor — the
+    # r04 artifact's 6.3 fps was this spin-up, not steady state (traced:
+    # fault storm ends after ~1 s, then 0 faults/s at 500+ fps). Wait
+    # until every stream is past its ring fill (or 10 s), THEN measure.
+    warm_deadline = time.perf_counter() + 10.0
+    while time.perf_counter() < warm_deadline:
+        if min(lib.ts_pipeline_frame_index(h) for h in handles) >= 32:
+            break
+        time.sleep(0.1)
     f0 = sum(lib.ts_pipeline_frame_index(h) for h in handles)
     t0 = time.perf_counter()
     time.sleep(seconds)
@@ -992,12 +1002,42 @@ def main():
         "link": link,
         "scaling": bench_scaling(lib),
     }
+    regressions = _stage_regressions(stages)
+    if regressions:
+        result["regressions"] = regressions
     if _FALLBACK or os.environ.get("TS_BENCH_FALLBACK"):
         result["backend_fallback"] = (_FALLBACK or
                                       os.environ["TS_BENCH_FALLBACK"])
     _persist_best(result)
     print(json.dumps(result))
     return result
+
+
+def _stage_regressions(stages, floor=0.2):
+    """Regression tripwire (r04 verdict item 1): any throughput stage
+    below `floor` x its BENCH_BEST counterpart gets an explicit entry in
+    the artifact, so a collapse (pool_aggregate 571 -> 6.3 in r04) can
+    never ship silently again. Latency stages (_ms) and booleans are
+    skipped — lower/flag semantics don't fit a 'fraction of best'
+    floor; ratios and fps both do."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_BEST.json")
+    try:
+        with open(path) as f:
+            best = json.load(f).get("stages", {})
+    except (OSError, ValueError):
+        return []
+    out = []
+    for key, val in stages.items():
+        ref = best.get(key)
+        if (not isinstance(val, (int, float)) or isinstance(val, bool)
+                or not isinstance(ref, (int, float)) or isinstance(ref, bool)
+                or key.endswith("_ms") or ref <= 0):
+            continue
+        if val < floor * ref:
+            out.append({"stage": key, "value": val, "best": ref,
+                        "ratio": round(val / ref, 4)})
+    return out
 
 
 def _persist_best(result):

@@ -7,9 +7,14 @@
 // GIL for every call, which gives the same concurrency behavior as the
 // reference's py::gil_scoped_release on start/get/dump.
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
+
+#if defined(__GLIBC__)
+#include <malloc.h>
+#endif
 
 #include "bitreader.h"
 #include "analyzer.h"
@@ -28,6 +33,34 @@ using ts::StreamPool;
 using ts::H264Analyzer;
 using ts::Parser;
 using ts::Pipeline;
+
+#if defined(__GLIBC__)
+// Keep frame-sized allocations on the reusable heap. Decoded 1080p NV12
+// frame buffers (~3 MB) sit above glibc's default mmap threshold, so by
+// default EVERY decoded frame mmap()s a fresh buffer and munmap()s it on
+// release: ~800 kernel page faults per frame, forever. Fault cost on
+// shared/virtualized hosts is erratic (zone-lock and hypervisor
+// interference) — measured here as intermittent 50x decode slowdowns
+// (aggregate pool throughput 580 -> 20 fps) with 87% of the core in
+// system time. Raising the thresholds makes frame buffers heap-recycled:
+// the faults disappear after warm-up and decode becomes immune to that
+// weather. 64 MB covers NV12 frames up to 8K; trim keeps a freed working
+// set resident instead of returning it per tick. Process-wide by nature
+// (glibc has no per-arena knob) — TS_NO_MALLOC_TUNE=1 opts out.
+__attribute__((constructor)) static void ts_malloc_tune() {
+  const char* off = std::getenv("TS_NO_MALLOC_TUNE");
+  if (off && off[0] == '1') return;
+  mallopt(M_MMAP_THRESHOLD, 64 << 20);
+  mallopt(M_TRIM_THRESHOLD, 32 << 20);
+  // One arena: every decoder/pool/loader thread shares the same free
+  // lists, so a re-created pipeline re-uses the previous one's frame
+  // pages instead of first-touching a fresh per-thread heap (~190 MB of
+  // faults per pool spin-up otherwise). Allocation rate after warm-up
+  // is ~1 alloc+free per decoded frame per stream — thousands/s, far
+  // below any arena-lock contention regime.
+  mallopt(M_ARENA_MAX, 1);
+}
+#endif
 
 extern "C" {
 
@@ -331,6 +364,11 @@ int ts_pipeline_reconnect_count(void* p) {
 }
 int ts_pipeline_slept_ms(void* p) {
   return static_cast<int>(static_cast<Pipeline*>(p)->sleptMs());
+}
+// Cumulative producer/Step phase wall time: which = 0 read (demux),
+// 1 analyze, 2 decode (+ring store), 3 iteration count (not ns).
+long long ts_pipeline_stat_ns(void* p, int which) {
+  return static_cast<Pipeline*>(p)->statNs(which);
 }
 int ts_pipeline_keeps_buffer(void* p) {
   return static_cast<Pipeline*>(p)->keepsBuffer() ? 1 : 0;

@@ -276,7 +276,13 @@ int ClipReader::GetClipBatch(const int64_t* starts, int n_clips, int clip_len,
     run(0);
   } else {
     std::vector<std::thread> threads;
-    for (int i = 0; i < nw; i++) threads.emplace_back(run, i);
+    for (int i = 0; i < nw; i++)
+      threads.emplace_back([&run, i] {
+        char name[16];
+        std::snprintf(name, sizeof(name), "ts-clip-w%d", i);
+        setThreadName(name);
+        run(i);
+      });
     for (auto& t : threads) t.join();
   }
   const int rc = error.load();

@@ -1,8 +1,15 @@
 #include "parser.h"
 
+#include <pthread.h>
+
 namespace ts {
 
 std::atomic<int> g_timeout_ms{-1};
+
+void setThreadName(const char* name) {
+  // Linux truncates at 15 chars + NUL; ignore errors (purely cosmetic).
+  pthread_setname_np(pthread_self(), name);
+}
 
 int Parser::interruptCallback(void* opaque) {
   auto* self = static_cast<Parser*>(opaque);

@@ -82,7 +82,13 @@ int Pipeline::loopIteration(
     std::pair<std::chrono::steady_clock::time_point, bool>& start_time,
     int framerate_mode) {
   auto wait_time = std::chrono::steady_clock::now();
+  stat_iters_.fetch_add(1, std::memory_order_relaxed);
   int sts = parser_->Read();
+  auto t_read = std::chrono::steady_clock::now();
+  stat_read_ns_.fetch_add(
+      std::chrono::duration_cast<std::chrono::nanoseconds>(t_read - wait_time)
+          .count(),
+      std::memory_order_relaxed);
   if (sts == AVERROR(EAGAIN)) return TS_REPEAT;
   if (sts == TS_EOF) {
     if (decoder_->Drain() > 0) return TS_EOF;  // drained frames still reach consumers
@@ -98,11 +104,23 @@ int Pipeline::loopIteration(
   }
 
   if (!skip_analyze_) {
+    auto t0 = std::chrono::steady_clock::now();
     int mask = parser_->Analyze(parsed_);
+    stat_analyze_ns_.fetch_add(
+        std::chrono::duration_cast<std::chrono::nanoseconds>(
+            std::chrono::steady_clock::now() - t0)
+            .count(),
+        std::memory_order_relaxed);
     if (mask > 0) analyze_errors_.fetch_or(mask);
   }
 
+  auto t_dec = std::chrono::steady_clock::now();
   sts = decoder_->Decode(parsed_);
+  stat_decode_ns_.fetch_add(
+      std::chrono::duration_cast<std::chrono::nanoseconds>(
+          std::chrono::steady_clock::now() - t_dec)
+          .count(),
+      std::memory_order_relaxed);
   if (sts == AVERROR(EAGAIN)) return TS_REPEAT;
   if (sts == AVERROR_EOF) return TS_EOF;
   if (sts != TS_OK) return TS_DECODE_ERROR;
@@ -160,6 +178,7 @@ bool Pipeline::checkGetComplete() {
 }
 
 void Pipeline::processingLoop() {
+  setThreadName("ts-producer");
   std::unique_lock<std::mutex> lk(close_sync_);
   std::pair<int64_t, bool> start_dts{0, false};
   std::pair<std::chrono::steady_clock::time_point, bool> start_time{

@@ -157,6 +157,17 @@ class Pipeline {
   // lets tests assert NATIVE/NATIVE_SIMPLE pacing on the pipeline's own
   // accounting instead of flaky wall-clock reads.
   int64_t sleptMs() const { return slept_ms_.load(std::memory_order_relaxed); }
+  // Cumulative producer/Step phase times: {read, analyze, decode} ns
+  // plus the iteration count (see stat_*_ members).
+  int64_t statNs(int which) const {
+    switch (which) {
+      case 0: return stat_read_ns_.load(std::memory_order_relaxed);
+      case 1: return stat_analyze_ns_.load(std::memory_order_relaxed);
+      case 2: return stat_decode_ns_.load(std::memory_order_relaxed);
+      case 3: return stat_iters_.load(std::memory_order_relaxed);
+    }
+    return 0;
+  }
   // False iff NATIVE_LOW_DELAY dropped the demuxer buffer
   // (reference: WrapperC.cpp:44-47, Parser.cpp:320-321).
   bool keepsBuffer() const { return parser_ ? parser_->keepsBuffer() : true; }
@@ -203,6 +214,14 @@ class Pipeline {
   std::atomic<int> analyze_errors_{0};
   std::atomic<int> reconnects_{0};
   std::atomic<int64_t> slept_ms_{0};
+  // Per-phase wall time accumulators (ns) + iteration count for the
+  // producer/Step hot loop — cheap observability for attributing where
+  // a slow pipeline spends its time (read = demux, analyze = bitstream
+  // walk, decode = codec + ring store).
+  std::atomic<int64_t> stat_read_ns_{0};
+  std::atomic<int64_t> stat_analyze_ns_{0};
+  std::atomic<int64_t> stat_decode_ns_{0};
+  std::atomic<int64_t> stat_iters_{0};
 
   std::atomic<bool> should_work_{false};
   std::thread producer_;

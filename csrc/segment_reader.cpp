@@ -350,6 +350,9 @@ int SegmentedReader::Start() {
 }
 
 void SegmentedReader::worker(int id) {
+  char name[16];
+  std::snprintf(name, sizeof(name), "ts-seg-w%d", id);
+  setThreadName(name);
   WorkerDecoder dec;
   SegScratch scratch;
   int rc = OpenWorkerDecoder(params_.input, codec_id_, codecpar_,

@@ -34,6 +34,9 @@ int StreamPool::Start() {
 }
 
 void StreamPool::workerLoop(int worker_id) {
+  char name[16];
+  std::snprintf(name, sizeof(name), "ts-pool-w%d", worker_id);
+  setThreadName(name);
   const size_t count = streams_.size();
   size_t cursor = static_cast<size_t>(worker_id);  // stagger start points
   while (running_) {

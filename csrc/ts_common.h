@@ -70,6 +70,11 @@ enum FrameRateMode {
 
 constexpr int kFrameRateConstraint = 240;  // max supported input fps
 
+// Names the calling thread for /proc/<pid>/task and profilers. Native
+// threads otherwise inherit the process name ("python"), which makes
+// per-thread CPU attribution on a shared host impossible.
+void setThreadName(const char* name);
+
 // Process-global read timeout in ms, shared by all instances exactly like
 // the reference's `timeoutFrame` (src/Common.cpp:4). <0 disables.
 extern std::atomic<int> g_timeout_ms;

@@ -165,6 +165,7 @@ def load():
                      "frame_index", "analyze_errors", "keeps_buffer",
                      "slept_ms", "reconnect_count"):
             sig(f"ts_pipeline_{name}", c_int, [c_void_p])
+        sig("ts_pipeline_stat_ns", ctypes.c_longlong, [c_void_p, c_int])
         sig("ts_pipeline_skip_analyze", None, [c_void_p])
         sig("ts_pipeline_enable_logs", None, [c_void_p, c_int])
         sig("ts_pipeline_enable_trace", None, [c_void_p])
