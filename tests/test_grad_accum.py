@@ -32,10 +32,15 @@ def test_matches_full_batch_grads(n_accum):
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, y).mean()
 
-    (want_loss, _), want_g = jax.value_and_grad(
-        lambda p: (loss_fn(p, clips, labels), 0.0), has_aux=True)(params)
-    grad_fn = jax.jit(accumulate_gradients(loss_fn, n_accum))
-    (loss, _), grads = grad_fn(params, clips, labels)
+    # Pin full matmul precision: the assertion compares two REDUCTION
+    # ORDERS of the same math, and the TPU MXU's default f32 precision
+    # (bf16 passes) adds ~1e-3 noise between them that has nothing to do
+    # with the accumulation logic (same pattern as test_streaming.py).
+    with jax.default_matmul_precision("highest"):
+        (want_loss, _), want_g = jax.value_and_grad(
+            lambda p: (loss_fn(p, clips, labels), 0.0), has_aux=True)(params)
+        grad_fn = jax.jit(accumulate_gradients(loss_fn, n_accum))
+        (loss, _), grads = grad_fn(params, clips, labels)
     np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(grads),
                     jax.tree_util.tree_leaves(want_g)):
