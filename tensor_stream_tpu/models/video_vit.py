@@ -438,19 +438,37 @@ class VideoViT(nn.Module):
 # Sharding: Megatron tensor parallelism + dp batch parallelism.
 # ---------------------------------------------------------------------------
 
-def vit_param_specs(params, tp_axis: str = "mp"):
+def vit_param_specs(params, tp_axis: str = "mp", mesh=None):
     """PartitionSpec pytree for VideoViT params (Megatron schedule).
 
     q/k/v kernels (D, H, dh): heads column-sharded → P(None, tp, None);
     out kernel (H, dh, D): row-sharded → P(tp, None, None) (GSPMD inserts
     the psum); MLP fc1 (D, F) column- / fc2 (F, D) row-sharded; matching
     bias shards; everything else replicated.
+
+    Pass `mesh` to validate the head axes up front: with GQA/MQA the
+    key/value head axis is `num_kv_heads`, and sharding it over a tp
+    axis it doesn't divide fails deep inside GSPMD with an opaque
+    divisibility error — here it raises a ValueError naming the counts.
     """
+    tp_size = None
+    if mesh is not None:
+        tp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(tp_axis)
+
     def spec(path, x):
         names = [getattr(k, "key", None) for k in path]
         leaf = names[-1]
         if any(n in ("query", "key", "value") for n in names):
             if leaf == "kernel":
+                if tp_size and x.shape[1] % tp_size:
+                    proj = next(n for n in names
+                                if n in ("query", "key", "value"))
+                    raise ValueError(
+                        f"{proj} projection has {x.shape[1]} heads "
+                        f"(num_kv_heads for key/value under GQA/MQA), not "
+                        f"divisible by mesh axis '{tp_axis}' of size "
+                        f"{tp_size}; pick num_kv_heads as a multiple of "
+                        f"the tp axis size, or shrink the tp axis.")
                 return P(None, tp_axis, None)
             if leaf == "bias":
                 return P(tp_axis, None)
@@ -498,7 +516,7 @@ def make_vit_train_step(mesh, model: VideoViT, tx, tp_axis: str = "mp"):
     data_s = NamedSharding(mesh, P("dp"))
 
     def shard_params(params):
-        specs = vit_param_specs(params, tp_axis)
+        specs = vit_param_specs(params, tp_axis, mesh=mesh)
         return jax.tree_util.tree_map(
             lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
             params, specs)

@@ -116,6 +116,24 @@ def test_param_spec_shapes_cover_tree():
 
 
 @needs_mesh
+def test_param_specs_reject_indivisible_kv_heads():
+    """MQA (1 kv head) under tp=2 must fail up front with an error that
+    names the head count and the axis — not deep inside GSPMD
+    (ADVICE r4: the constraint used to live only in a comment)."""
+    mesh = make_mesh(8, axes=("dp", "mp"))  # mp=2
+    model = tiny(num_kv_heads=1)
+    params = init_vit(jax.random.PRNGKey(0), model, CLIP)
+    with pytest.raises(ValueError, match=r"key.*1 heads.*'mp'.*2"):
+        vit_param_specs(params, mesh=mesh)
+    # Divisible configs still produce specs with the mesh passed.
+    ok = vit_param_specs(init_vit(jax.random.PRNGKey(0), tiny(), CLIP),
+                         mesh=mesh)
+    assert any(ax is not None
+               for s in jax.tree_util.tree_leaves(
+                   ok, is_leaf=lambda x: isinstance(x, P)) for ax in s)
+
+
+@needs_mesh
 def test_sharded_step_matches_single_device():
     """dp=4 x mp=2 sharded train step computes the same loss/acc/params
     as the unsharded step (f32 compute; tp reduction reorder only).
