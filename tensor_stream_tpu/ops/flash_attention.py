@@ -491,7 +491,10 @@ def _flash_bwd(causal, window, sm_scale, block_q, block_k, interpret, res,
         dv_j = P^T @ dO        dP = dO @ V_j^T
         dS = P * (dP - delta)  (delta = rowsum(dO * O))
         dq += dS @ K_j * scale dk_j = dS^T @ Q * scale
-    One lax.scan step per kv tile: O(S·block_k) live memory.
+    One lax.scan step per kv tile: O(S·block_k) live memory. With a
+    sliding window each step additionally slices the q side down to the
+    kv tile's live row band, so windowed training cost is O(S·W) like
+    the forward (see the banded_bwd block below).
 
     Matmul OPERANDS stay in the input dtype (bf16 inputs hit the MXU at
     bf16 rate — an all-f32 recompute measured 3x slower for the whole
@@ -506,6 +509,24 @@ def _flash_bwd(causal, window, sm_scale, block_q, block_k, interpret, res,
     sk_pad = _cdiv(sk, block_k) * block_k
     nk = sk_pad // block_k
     dt = q.dtype
+
+    # Sliding window: each kv tile only interacts with a band of q rows
+    # (block_k + window - 1 rows for causal, + 2*(window-1) symmetric).
+    # Slice exactly that band out of the q-side tensors per scan step
+    # (dynamic_slice at the tile's first live row) so the per-step
+    # matmuls are O(band·block_k), not O(S·block_k) — the backward twin
+    # of the forward's band-restricted kv grid; total fwd+bwd cost with
+    # a window is O(S·W). Rows inside the slice but outside the band
+    # contribute exactly 0 (their logits are masked to _MASK_VALUE and
+    # exp underflows to 0.0 in f32), so gradients stay exact.
+    if window is not None:
+        bwd_off = 0 if causal else window - 1
+        span = (block_k + window - 1 if causal
+                else block_k + 2 * (window - 1))
+        bwd_span = min(_cdiv(span, _LANES) * _LANES, sq)
+        banded_bwd = bwd_span < sq
+    else:
+        banded_bwd = False
 
     dof = do.astype(dt)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
@@ -534,31 +555,47 @@ def _flash_bwd(causal, window, sm_scale, block_q, block_k, interpret, res,
 
     def step(dq_acc, xs):
         j, kj, vj = xs
-        s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, kj,
+        if banded_bwd:
+            start = jnp.clip(j * block_k - bwd_off, 0, sq - bwd_span)
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, bwd_span,
+                                                        axis=3)
+            qs, dofs = sl(qg), sl(dofg)
+            deltas, ms, lis = sl(deltag), sl(m_g), sl(l_invg)
+            rows = start + jnp.arange(bwd_span, dtype=jnp.int32)
+        else:
+            qs, dofs, deltas, ms, lis, rows = (qg, dofg, deltag, m_g,
+                                               l_invg, row)
+        s = jnp.einsum("bhgqd,bhkd->bhgqk", qs, kj,
                        preferred_element_type=jnp.float32,
                        precision=prec) * sm_scale
         col = j * block_k + jnp.arange(block_k, dtype=jnp.int32)
-        mask = jnp.broadcast_to(col[None, :] < sk, (sq, block_k))
+        mask = jnp.broadcast_to(col[None, :] < sk,
+                                (rows.shape[0], block_k))
         if causal:
-            mask = jnp.logical_and(mask, col[None, :] <= row[:, None])
+            mask = jnp.logical_and(mask, col[None, :] <= rows[:, None])
         if window is not None:
-            band = (col[None, :] > row[:, None] - window) if causal \
-                else (jnp.abs(col[None, :] - row[:, None]) < window)
+            band = (col[None, :] > rows[:, None] - window) if causal \
+                else (jnp.abs(col[None, :] - rows[:, None]) < window)
             mask = jnp.logical_and(mask, band)
         s = jnp.where(mask[None, None, None], s, jnp.float32(_MASK_VALUE))
-        p = jnp.exp(s - m_g[..., None]) * l_invg[..., None]
+        p = jnp.exp(s - ms[..., None]) * lis[..., None]
         pc = p.astype(dt)
-        dv_j = jnp.einsum("bhgqk,bhgqd->bhkd", pc, dofg,
+        dv_j = jnp.einsum("bhgqk,bhgqd->bhkd", pc, dofs,
                           preferred_element_type=jnp.float32,
                           precision=prec)
-        dp = jnp.einsum("bhgqd,bhkd->bhgqk", dofg, vj,
+        dp = jnp.einsum("bhgqd,bhkd->bhgqk", dofs, vj,
                         preferred_element_type=jnp.float32,
                         precision=prec)
-        ds = (p * (dp - deltag[..., None]) * sm_scale).astype(dt)
-        dq_acc = dq_acc + jnp.einsum("bhgqk,bhkd->bhgqd", ds, kj,
-                                     preferred_element_type=jnp.float32,
-                                     precision=prec)
-        dk_j = jnp.einsum("bhgqk,bhgqd->bhkd", ds, qg,
+        ds = (p * (dp - deltas[..., None]) * sm_scale).astype(dt)
+        dq_part = jnp.einsum("bhgqk,bhkd->bhgqd", ds, kj,
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+        if banded_bwd:
+            dq_acc = jax.lax.dynamic_update_slice_in_dim(
+                dq_acc, sl(dq_acc) + dq_part, start, axis=3)
+        else:
+            dq_acc = dq_acc + dq_part
+        dk_j = jnp.einsum("bhgqk,bhgqd->bhkd", ds, qs,
                           preferred_element_type=jnp.float32,
                           precision=prec)
         return dq_acc, (dk_j, dv_j)
@@ -596,9 +633,11 @@ def flash_attention(q, k, v, *, causal: bool = False,
     query attends to the last W positions (col in (row-W, row]) — the
     batch twin of the streaming ring cache (models/streaming.py, whose
     max_steps IS this window). Without causal it is the symmetric band
-    |row-col| < W. Tiles entirely outside the band are skipped at the
-    grid level, so long-stream cost is O(S·W), not O(S²). Requires
-    equal q/kv lengths.
+    |row-col| < W. Out-of-band kv tiles never become forward grid
+    steps (the kv grid dimension is band-restricted) and the backward
+    scan slices each kv tile's live q-row band, so long-stream cost —
+    DMAs and matmuls, forward AND backward — is O(S·W), not O(S²).
+    Requires equal q/kv lengths.
 
     impl: "auto" → Pallas kernel on TPU, materialized path elsewhere
     (interpret mode serializes the grid — a silent perf cliff, reserved

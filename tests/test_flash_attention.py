@@ -218,6 +218,33 @@ def test_window_grads_match_oracle():
         _assert_close(gf, gr, jnp.float32, scale=10.0)
 
 
+@pytest.mark.parametrize("causal,kv_heads", [(True, 2), (False, 2),
+                                             (True, 1)])
+def test_window_banded_backward_matches_oracle(causal, kv_heads):
+    """Long-S windowed VJP: with seq >> block_k + window the backward
+    scan slices each kv tile's live q-row band (banded_bwd engages —
+    seq=512, window=64, block_k=128 puts the 256-row band well under
+    S), so windowed training is O(S·W) end to end. Gradients must stay
+    exact vs the materialized oracle, including GQA accumulation."""
+    q, _, _ = _qkv(1, 2, 512, 512, 64, jnp.float32, seed=23)
+    _, k, v = _qkv(1, kv_heads, 512, 512, 64, jnp.float32, seed=24)
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+        return f
+
+    flash = loss(lambda q, k, v: flash_attention(
+        q, k, v, causal=causal, window=64, block_q=128, block_k=128,
+        impl="pallas"))
+    ref = loss(lambda q, k, v: _reference(q, k, v, causal, 64 ** -0.5, 64))
+    g_flash = jax.grad(flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    assert g_flash[1].shape == k.shape and g_flash[2].shape == v.shape
+    for gf, gr in zip(g_flash, g_ref):
+        _assert_close(gf, gr, jnp.float32, scale=10.0)
+
+
 def test_gqa_window_compose():
     """GQA and the sliding window together (the serving shape: MQA
     KV-cache + bounded look-back)."""
