@@ -111,9 +111,9 @@ class MHA(nn.Module):
         v = dense(features=(kv_heads, head_dim), name="value")(x)
         scale = head_dim ** -0.5
         if self.ring_axis is not None:
-            if kv_heads != self.num_heads or self.window is not None:
+            if kv_heads != self.num_heads:
                 raise ValueError("ring attention does not compose with "
-                                 "num_kv_heads/window")
+                                 "num_kv_heads")
             from jax.sharding import PartitionSpec
 
             from ..ops.ring_attention import ring_attention
@@ -150,7 +150,8 @@ class MHA(nn.Module):
                         0, 2, 1, 3)
                 ob = ring_attention(bhsd(qb), bhsd(kb), bhsd(vb),
                                     axis_name=self.ring_axis,
-                                    causal=self.causal, sm_scale=scale)
+                                    causal=self.causal, window=self.window,
+                                    sm_scale=scale)
                 return ob.transpose(0, 2, 1, 3).reshape(qb.shape)
 
             o = jax.shard_map(body, mesh=self.mesh,

@@ -60,6 +60,7 @@ _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
+                   window: Optional[int] = None,
                    sm_scale: Optional[float] = None):
     """Per-device ring attention body (call inside `jax.shard_map`).
 
@@ -67,7 +68,12 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
     of sequences sharded over `axis_name`. Global semantics equal full
     softmax(Q Kᵀ·scale) V over the gathered sequence; `causal=True`
     masks by GLOBAL position (requires equal global q/kv lengths, i.e.
-    equal local lengths on every device).
+    equal local lengths on every device). `window=W` is the same
+    sliding band as `flash_attention` — GLOBAL col in (row-W, row]
+    when causal, |row-col| < W symmetric — masked per ring block (the
+    SPMD lockstep still rotates out-of-band blocks through every slot,
+    so a window saves no ring steps; it exists for semantic parity
+    with the single-chip kernel, models and KV cache).
     """
     n = jax.lax.psum(1, axis_name)           # static ring length
     idx = jax.lax.axis_index(axis_name)      # this device's slot
@@ -88,13 +94,20 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
         blk = jax.lax.rem(idx - i + n, n)
         s = jnp.einsum("bhqd,bhkd->bhqk", q, kc,
                        preferred_element_type=jnp.float32) * scale
-        if causal:
+        mask = None
+        if causal or window is not None:
             k_pos = blk * sk + jnp.arange(sk, dtype=jnp.int32)
-            mask = q_pos[:, None] >= k_pos[None, :]
+            rel = q_pos[:, None] - k_pos[None, :]     # row - col, global
+            if causal:
+                mask = rel >= 0
+                if window is not None:
+                    mask = jnp.logical_and(mask, rel < window)
+            else:
+                mask = jnp.abs(rel) < window
             s = jnp.where(mask[None, None], s, neg)
         m_new = jnp.maximum(m, s.max(axis=-1))
         p = jnp.exp(s - m_new[..., None])
-        if causal:
+        if mask is not None:
             # An all-masked block leaves m_new at the init sentinel and
             # exp(neg - neg) = 1 — zero those lanes explicitly.
             p = jnp.where(mask[None, None], p, 0.0)
@@ -119,6 +132,7 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
 def ring_attention_sharded(mesh, q, k, v, *, seq_axis: str,
                            batch_axis: Optional[str] = None,
                            causal: bool = False,
+                           window: Optional[int] = None,
                            sm_scale: Optional[float] = None):
     """Ring attention on GLOBAL [b, h, S, d] arrays.
 
@@ -138,12 +152,18 @@ def ring_attention_sharded(mesh, q, k, v, *, seq_axis: str,
             f"ring size {n} (mesh axis {seq_axis!r})")
     if causal and q.shape[2] != k.shape[2]:
         raise ValueError("causal=True requires equal q/kv lengths")
+    if window is not None:
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        if q.shape[2] != k.shape[2]:
+            raise ValueError("window requires equal q/kv lengths")
+        window = int(window)
     if batch_axis is not None and q.shape[0] % mesh.shape[batch_axis]:
         raise ValueError(
             f"batch {q.shape[0]} must divide mesh axis "
             f"{batch_axis!r}={mesh.shape[batch_axis]}")
     spec = P(batch_axis, None, seq_axis, None)
     body = partial(ring_attention, axis_name=seq_axis, causal=causal,
-                   sm_scale=sm_scale)
+                   window=window, sm_scale=sm_scale)
     return jax.shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
                          out_specs=spec, check_vma=False)(q, k, v)

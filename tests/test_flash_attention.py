@@ -413,14 +413,15 @@ def test_bad_shapes_raise():
         flash_attention(q, q, q, block_q=96, impl="pallas")
 
 
-def test_mha_ring_rejects_gqa_and_window():
-    """Ring attention shards the token axis; it composes with neither
-    GQA nor the window band (documented constraint, explicit error)."""
+def test_mha_ring_rejects_gqa():
+    """Ring attention shards the token axis; it does not compose with
+    GQA (documented constraint, explicit error). The window band DOES
+    compose — masked by global position per ring block
+    (tests/test_ring_attention.py::test_ring_window_matches_full)."""
     from tensor_stream_tpu.models.video_vit import MHA
     x = jnp.zeros((2, 128, 64))
-    for kw in (dict(num_kv_heads=1), dict(window=16)):
-        m = MHA(num_heads=2, ring_axis="sp", **kw)
-        with pytest.raises(ValueError, match="ring attention"):
-            m.init(jax.random.PRNGKey(0), x)
+    m = MHA(num_heads=2, ring_axis="sp", num_kv_heads=1)
+    with pytest.raises(ValueError, match="ring attention"):
+        m.init(jax.random.PRNGKey(0), x)
     with pytest.raises(ValueError, match="must divide"):
         MHA(num_heads=2, num_kv_heads=3).init(jax.random.PRNGKey(0), x)

@@ -95,6 +95,47 @@ def test_ring_single_device():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), **tol)
 
 
+@needs_mesh
+@pytest.mark.parametrize("causal,window", [(True, 12), (False, 20),
+                                           (True, 64)])
+def test_ring_window_matches_full(causal, window):
+    """Sliding window through the ring: the band is masked by GLOBAL
+    position per rotating block (including windows narrower than one
+    block — whole ring steps then contribute nothing; and wider than
+    the sequence — full attention)."""
+    mesh = _mesh(("cp",))
+    q, k, v = _qkv(2, 2, 64, 16, seed=7)
+    got = ring_attention_sharded(mesh, q, k, v, seq_axis="cp",
+                                 causal=causal, window=window)
+    want = _reference(q, k, v, causal, 16 ** -0.5, window)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
+
+
+@needs_mesh
+def test_ring_window_grads_match_full():
+    """Windowed ring gradients == windowed full attention's (the band
+    mask is inside the scan; its transpose rides the reverse ring)."""
+    mesh = _mesh(("cp",))
+    q, k, v = _qkv(2, 2, 64, 16, seed=8)
+    cot = jnp.asarray(
+        np.random.default_rng(9).standard_normal(q.shape) * 0.1,
+        jnp.float32)
+
+    def loss_ring(q, k, v):
+        out = ring_attention_sharded(mesh, q, k, v, seq_axis="cp",
+                                     causal=True, window=24)
+        return jnp.sum(out * cot)
+
+    def loss_full(q, k, v):
+        return jnp.sum(_reference(q, k, v, True, 16 ** -0.5, 24) * cot)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_full = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip(g_ring, g_full, "qkv"):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   err_msg=f"d{name}", **TOL)
+
+
 # ------------------------------------------------------------ gradients
 
 @needs_mesh
@@ -154,6 +195,26 @@ def test_mha_ring_parity():
     want = base.apply(params, x)
     ringed = MHA(num_heads=2, compute_dtype=jnp.float32,
                  ring_axis="sp", mesh=mesh, ring_batch_axis="dp")
+    got = ringed.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
+
+
+@needs_mesh
+def test_mha_ring_window_parity():
+    """MHA(window, ring_axis) == plain MHA(window) with the same params
+    — the sliding band composes through the ring path (r04 item 8)."""
+    from tensor_stream_tpu.models.video_vit import MHA
+
+    mesh = _mesh(("dp", "sp"), (2, 4))
+    x = jnp.asarray(
+        np.random.default_rng(10).standard_normal((2, 3, 16, 32)) * 0.5,
+        jnp.float32)
+    kw = dict(num_heads=2, compute_dtype=jnp.float32, causal=True,
+              window=5)
+    base = MHA(**kw)
+    params = base.init(jax.random.PRNGKey(0), x)
+    want = base.apply(params, x)
+    ringed = MHA(ring_axis="sp", mesh=mesh, ring_batch_axis="dp", **kw)
     got = ringed.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
 
