@@ -491,6 +491,77 @@ def bench_serving(seconds, n_streams=2, per_stream=8,
         eng.close()
 
 
+def bench_serving_stream_model(seconds, n_streams=2):
+    """Serving with a REAL temporal model in the dispatch (r04 verdict
+    items 2/7 — the serving numbers must not be toy-mean artifacts):
+    the streaming KV-cache VideoViT rides the StreamInferencer carry
+    path. N streams decode through native producers, each tick feeds
+    one tubelet per stream to stream_step and the cache chains
+    device-side (dispatch stays async, inflight=2). Measured twice —
+    MHA (6 kv heads) and GQA (2 kv heads), same ring window
+    (max_steps=16 == the batch model's temporal_window) — so the
+    artifact shows the KV-cache memory lever (bytes shrink by the
+    group factor) and that GQA costs no throughput (>= ~1x)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from tensor_stream_tpu.enums import FourCC, Planes
+    from tensor_stream_tpu.models.streaming import (init_stream_cache,
+                                                    stream_step)
+    from tensor_stream_tpu.models.video_vit import VideoViT
+    from tensor_stream_tpu.serving import StreamInferencer
+
+    depth, dim, heads, tub, max_steps = 4, 384, 6, 2, 16
+
+    def run(kv_heads):
+        model = VideoViT(num_classes=400, depth=depth, dim=dim,
+                         num_heads=heads, num_kv_heads=kv_heads,
+                         patch=16, tubelet_t=tub, causal=True,
+                         compute_dtype=jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+        clips = jnp.zeros((1, tub * max_steps, 224, 224, 3), jnp.float32)
+        params = model.init(rng, clips)
+        cache = init_stream_cache(model, params, batch=n_streams,
+                                  max_steps=max_steps)
+        kv_bytes = sum(x.size * x.dtype.itemsize
+                       for blk in cache["blocks"] for x in blk.values())
+        step = jax.jit(functools.partial(stream_step, model, params))
+        eng = StreamInferencer(
+            [VIDEO] * n_streams, step, per_stream=tub, carry=cache,
+            width=224, height=224, host_resize=True,
+            pixel_format=FourCC.RGB24, planes_pos=Planes.MERGED,
+            normalization=True, loop=True)
+        try:
+            it = eng.stream(inflight=2)
+            for _ in range(3 * n_streams):  # compile + fill the pipeline
+                next(it)
+            t0 = time.perf_counter()
+            results = 0
+            while time.perf_counter() - t0 < seconds:
+                next(it)
+                results += 1
+            dt = time.perf_counter() - t0
+        finally:
+            eng.close()
+        # One result per stream per tick; each tick advances every
+        # stream by one tubelet (tub frames).
+        return results / n_streams / dt, kv_bytes
+
+    gqa_rate, gqa_bytes = run(2)
+    mha_rate, mha_bytes = run(None)
+    return {
+        "serving_model_steps_per_s": round(gqa_rate, 2),
+        "serving_model_fps": round(gqa_rate * n_streams * tub, 1),
+        "serving_model_kv_mb": round(gqa_bytes / 2 ** 20, 2),
+        "serving_model_kv_mb_mha": round(mha_bytes / 2 ** 20, 2),
+        "serving_model_kv_ratio": round(mha_bytes / gqa_bytes, 2),
+        "serving_model_gqa_vs_mha": round(
+            gqa_rate / max(mha_rate, 1e-9), 3),
+    }
+
+
 def bench_fast_read_latency(lib, n_reads=200, windows=2):
     """p50/p95 per-read latency of STEADY-STATE FAST-mode latest-frame
     reads (NV12, no VPP): the quantitative counterpart of the
@@ -742,7 +813,7 @@ def bench_flash_attention(heads=8, d=64):
 
     from tensor_stream_tpu.ops.flash_attention import flash_attention
 
-    def timed(impl, seq, iters):
+    def timed(impl, seq, iters, window=None):
         rng = jax.random.PRNGKey(0)
         q, k, v = (jax.random.normal(jax.random.fold_in(rng, i),
                                      (1, heads, seq, d), jnp.bfloat16)
@@ -750,7 +821,8 @@ def bench_flash_attention(heads=8, d=64):
 
         @jax.jit
         def loss(q, k, v):
-            o = flash_attention(q, k, v, causal=True, impl=impl)
+            o = flash_attention(q, k, v, causal=True, window=window,
+                                impl=impl)
             return jnp.sum(o.astype(jnp.float32) ** 2)
 
         g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
@@ -769,6 +841,12 @@ def bench_flash_attention(heads=8, d=64):
         out[f"flash_fwdbwd_ms_s{seq}"] = round(1e3 * t_flash, 3)
         out[f"xla_attn_fwdbwd_ms_s{seq}"] = round(1e3 * t_xla, 3)
         out[f"flash_speedup_s{seq}"] = round(t_xla / t_flash, 3)
+    # Windowed fwd+bwd at long S: the banded backward (band-sliced scan
+    # steps) makes TRAINING with a window O(S·W) — compare against the
+    # full-causal fwd+bwd at the same S (t_flash still holds s8192).
+    t_wtrain = timed("pallas", 8192, 10, window=1024)
+    out["flash_window_fwdbwd_ms_s8192_w1024"] = round(1e3 * t_wtrain, 3)
+    out["flash_window_fwdbwd_speedup"] = round(t_flash / t_wtrain, 3)
 
     # Sliding-window forward at long S: tiles outside the band never
     # issue a matmul (grid-level skip), so cost is O(S·W) not O(S²) —
@@ -797,6 +875,21 @@ def bench_flash_attention(heads=8, d=64):
     out["flash_fwd_ms_s8192"] = round(1e3 * t_full, 3)
     out["flash_fwd_ms_s8192_w1024"] = round(1e3 * t_win, 3)
     out["flash_window_speedup_s8192_w1024"] = round(t_full / t_win, 3)
+    # Achieved / peak FLOP/s of the forward kernels (r04 verdict item
+    # 3: quantify kernel utilization every round). USEFUL matmul FLOPs
+    # only — 4·d per live (q, kv) pair (QK^T + PV, 2 matmuls); causal
+    # halves the pairs, a window keeps W·S - W(W-1)/2 of them — so
+    # block-padding and masked work count against utilization, which is
+    # the point: this is the headroom meter vs the chip's bf16 peak.
+    peak = _PEAK_BF16.get(jax.devices()[0].device_kind)
+    if peak:
+        s, w = 8192, 1024
+        full_pairs = heads * s * (s + 1) // 2
+        win_pairs = heads * (w * s - w * (w - 1) // 2)
+        out["flash_kernel_flops_util"] = round(
+            4 * d * full_pairs / t_full / peak, 4)
+        out["flash_window_flops_util"] = round(
+            4 * d * win_pairs / t_win / peak, 4)
     return out
 
 
@@ -879,13 +972,13 @@ def bench_headline_and_decode(lib):
 
     from tensor_stream_tpu import FourCC, FrameLoader, Planes, ResizeType
 
-    best_h, best_d = 0.0, 0.0
-    rounds = 3
-    try:  # degraded tunnel: one more window (stalls only subtract)
-        rounds += int(probe_link(0.5) > 6.0)
-    except Exception:
-        pass
-    for i in range(rounds):
+    def _probe():
+        try:
+            return round(probe_link(0.5), 3)
+        except Exception:
+            return None
+
+    def _window(first):
         # Ring of 32 regardless of BATCH (bulk cursors drain with
         # back-pressure): measured on the 1-core host, ring 64 costs
         # ~40 fps of headline vs ring 32 — outsized rings pay
@@ -896,13 +989,39 @@ def bench_headline_and_decode(lib):
                              resize_type=ResizeType.BILINEAR,
                              pixel_format=FourCC.RGB24,
                              planes_pos=Planes.PLANAR, normalization=True)
-        if i == 0:  # warm the jit cache before the first timed window
+        if first:  # warm the jit cache before the first timed window
             out, _ = next(loader)
             jax.block_until_ready(out)
-        best_h = max(best_h, _headline_window(loader, TARGET_SECONDS / 2))
+        h = _headline_window(loader, TARGET_SECONDS / 2)
         loader.close()
-        best_d = max(best_d, bench_decode_only(lib, STAGE_SECONDS))
-    return best_h, best_d
+        d = bench_decode_only(lib, STAGE_SECONDS)
+        return h, d
+
+    # Every window is recorded WITH its link probe (r04 verdict item 5:
+    # the artifact must show the distribution, not one draw) and the
+    # headline retries when the tunnel was degraded throughout the
+    # planned windows but a later probe clears — a committed artifact
+    # should only read degraded if the box never offered a clean window.
+    windows = []
+    for i in range(3):
+        p = _probe()
+        h, d = _window(first=(i == 0))
+        windows.append({"headline_fps": round(h, 2),
+                        "decode_fps": round(d, 1), "probe_ms": p})
+    for _ in range(2):  # degraded-throughout: retry on a cleared probe
+        probes = [w["probe_ms"] for w in windows if w["probe_ms"]]
+        if probes and min(probes) <= 6.0:
+            break
+        time.sleep(5.0)
+        p = _probe()
+        if p is None or p > 6.0:
+            continue
+        h, d = _window(first=False)
+        windows.append({"headline_fps": round(h, 2),
+                        "decode_fps": round(d, 1), "probe_ms": p})
+    best_h = max(w["headline_fps"] for w in windows)
+    best_d = max(w["decode_fps"] for w in windows)
+    return best_h, best_d, windows
 
 
 def _best_of(n, fn, *args):
@@ -916,7 +1035,7 @@ def main():
     from tensor_stream_tpu import _native
 
     lib = _native.load()
-    fps, decode_fps = bench_headline_and_decode(lib)
+    fps, decode_fps, headline_windows = bench_headline_and_decode(lib)
     transfer_gbps, transfer_fps = bench_transfer(STAGE_SECONDS / 2)
     half = STAGE_SECONDS / 2
     stages = {
@@ -971,6 +1090,10 @@ def main():
     stages["serving_perstream_fps"] = round(
         bench_serving(half / 2, pipeline="per-stream")[0], 1)
     try:
+        stages.update(bench_serving_stream_model(half))
+    except Exception as e:  # never lose the artifact to the model stage
+        stages["serving_model_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
         stages.update(bench_vit_train())
     except Exception as e:  # never lose the artifact to the model stage
         stages["vit_train_error"] = f"{type(e).__name__}: {e}"[:200]
@@ -1000,6 +1123,7 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 4),
         "stages": stages,
         "link": link,
+        "windows": headline_windows,
         "scaling": bench_scaling(lib),
     }
     regressions = _stage_regressions(stages)
