@@ -799,6 +799,84 @@ def bench_vit_train_joint(steps=12):
     }
 
 
+def bench_vit_train_joint_long(steps=3):
+    """Long-S joint train step: 448² frames, T=16 → S = 8·784 = 6272
+    joint tokens — the regime the flash kernel exists for, in a FULL
+    production train step (r04 verdict item 4's long-S point). Both
+    paths run remat=True: the materialized path's [S, S] f32 logits are
+    1.9 GB/layer and cannot live across the backward at this S (that is
+    the point), and remat must match for a fair speedup. Reports the
+    flash-path step time/MFU and the speedup over the materialized
+    path; the XLA path is its own try (it may legitimately OOM — that
+    outcome is recorded, not hidden)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tensor_stream_tpu.models.video_vit import VideoViT
+
+    B, T, H, W = 1, 16, 448, 448
+    dim, depth, heads, patch, tub, mult = 768, 12, 12, 16, 2, 4
+    rng = jax.random.PRNGKey(0)
+    clips = jax.random.normal(rng, (B, T, H, W, 3), jnp.float32)
+    labels = jax.random.randint(rng, (B,), 0, 1000)
+    tx = optax.sgd(1e-3, momentum=0.9)
+    t_tok, s_tok = T // tub, (H // patch) * (W // patch)
+    s_joint = t_tok * s_tok                     # 6272
+    n_tok = B * s_joint
+
+    def run(use_flash):
+        model = VideoViT(num_classes=1000, depth=depth, dim=dim,
+                         num_heads=heads, patch=patch, tubelet_t=tub,
+                         hidden_mult=mult, compute_dtype=jnp.bfloat16,
+                         residual_dtype=jnp.bfloat16, attention="joint",
+                         remat=True, use_flash=use_flash)
+        params = model.init(rng, clips)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt, clips, labels):
+            def loss_fn(p):
+                logits = model.apply(p, clips)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels).mean()
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, updates), opt, loss
+
+        @jax.jit
+        def digest(params):
+            return sum(jnp.sum(x.astype(jnp.float32))
+                       for x in jax.tree_util.tree_leaves(params))
+
+        params, opt, _ = step(params, opt, clips, labels)  # compile
+        float(jax.device_get(digest(params)))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, opt, _ = step(params, opt, clips, labels)
+        float(jax.device_get(digest(params)))   # chain-dependent sync
+        return (time.perf_counter() - t0) / steps
+
+    dt_flash = run(True)
+    per_block = (8 * dim * dim + 4 * mult * dim * dim) * n_tok \
+        + 4 * n_tok * s_joint * dim
+    embed = 2 * n_tok * (patch * patch * 3 * tub) * dim
+    flops = 3 * (depth * per_block + embed)
+    peak = _PEAK_BF16.get(jax.devices()[0].device_kind)
+    out = {
+        "vit_joint_long_step_ms": round(1e3 * dt_flash, 2),
+        "vit_joint_long_tokens_per_s": round(n_tok / dt_flash, 1),
+        "vit_joint_long_mfu": round(flops / dt_flash / peak, 4) if peak
+        else None,
+    }
+    try:
+        dt_xla = run(False)
+        out["vit_joint_long_flash_speedup"] = round(dt_xla / dt_flash, 3)
+    except Exception as e:
+        out["vit_joint_long_xla_error"] = f"{type(e).__name__}: {e}"[:160]
+    return out
+
+
 def bench_flash_attention(heads=8, d=64):
     """Flash-attention kernel vs the materialized XLA path, fwd+bwd at
     long sequences ([1, 8, S, 64] bf16, causal) — the regime the kernel
@@ -813,29 +891,42 @@ def bench_flash_attention(heads=8, d=64):
 
     from tensor_stream_tpu.ops.flash_attention import flash_attention
 
-    def timed(impl, seq, iters, window=None):
+    # Scan-based timing: `inner` kernel calls chained inside ONE jit
+    # dispatch (data-dependent through q), so the remote tunnel's
+    # per-dispatch floor (~2 ms on this rig — comparable to the kernel
+    # itself at these shapes) divides out instead of polluting the
+    # number. r04's per-call timings recorded dispatch weather: the
+    # same kernels measure 4.75 -> 1.9 ms (full) under scan timing.
+    def timed(impl, seq, iters, window=None, inner=4):
         rng = jax.random.PRNGKey(0)
         q, k, v = (jax.random.normal(jax.random.fold_in(rng, i),
                                      (1, heads, seq, d), jnp.bfloat16)
                    for i in range(3))
 
-        @jax.jit
         def loss(q, k, v):
             o = flash_attention(q, k, v, causal=True, window=window,
                                 impl=impl)
             return jnp.sum(o.astype(jnp.float32) ** 2)
 
-        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-        out = g(q, k, v)
-        float(jax.device_get(jnp.sum(out[0].astype(jnp.float32))))
+        g = jax.grad(loss, argnums=(0, 1, 2))
+
+        @jax.jit
+        def loop(q, k, v):
+            def body(qc, _):
+                return g(qc, k, v)[0].astype(qc.dtype), ()
+            out, _ = jax.lax.scan(body, q, None, length=inner)
+            return out
+
+        out = loop(q, k, v)
+        float(jax.device_get(jnp.sum(out.astype(jnp.float32))))
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = g(out[0].astype(q.dtype), k, v)  # chain through dq
-        float(jax.device_get(jnp.sum(out[0].astype(jnp.float32))))
-        return (time.perf_counter() - t0) / iters
+            out = loop(out, k, v)  # chain through dq
+        float(jax.device_get(jnp.sum(out.astype(jnp.float32))))
+        return (time.perf_counter() - t0) / (iters * inner)
 
     out = {}
-    for seq, iters in ((2048, 30), (8192, 6)):
+    for seq, iters in ((2048, 8), (8192, 2)):
         t_flash = timed("pallas", seq, iters)
         t_xla = timed("xla", seq, iters)
         out[f"flash_fwdbwd_ms_s{seq}"] = round(1e3 * t_flash, 3)
@@ -844,34 +935,44 @@ def bench_flash_attention(heads=8, d=64):
     # Windowed fwd+bwd at long S: the banded backward (band-sliced scan
     # steps) makes TRAINING with a window O(S·W) — compare against the
     # full-causal fwd+bwd at the same S (t_flash still holds s8192).
-    t_wtrain = timed("pallas", 8192, 10, window=1024)
+    t_wtrain = timed("pallas", 8192, 3, window=1024)
     out["flash_window_fwdbwd_ms_s8192_w1024"] = round(1e3 * t_wtrain, 3)
     out["flash_window_fwdbwd_speedup"] = round(t_flash / t_wtrain, 3)
 
-    # Sliding-window forward at long S: tiles outside the band never
-    # issue a matmul (grid-level skip), so cost is O(S·W) not O(S²) —
-    # the long-stream serving regime (window == the ring cache's
-    # max_steps).
-    def timed_fwd(seq, window, iters):
+    # Sliding-window forward at long S: the band kernel fetches each q
+    # tile's whole live band as one kv block — out-of-band tiles cost
+    # neither DMA nor matmul, so cost is O(S·W) not O(S²) — the
+    # long-stream serving regime (window == the ring cache's
+    # max_steps). The measured ratio vs full causal sits BELOW the
+    # live-pair ratio (4.3x at S=8192/W=1024): at d=64 both kernels
+    # are VPU/softmax-bound, and the padded band (block_q + W + lane
+    # alignment ≈ 1.4·W) keeps ~2.9x of the exp work ratio; see
+    # docs/PERF.md for the sweep.
+    def timed_fwd(seq, window, iters, inner=8):
         rng = jax.random.PRNGKey(1)
         q, k, v = (jax.random.normal(jax.random.fold_in(rng, i),
                                      (1, heads, seq, d), jnp.bfloat16)
                    for i in range(3))
 
         @jax.jit
-        def f(q, k, v):
-            return flash_attention(q, k, v, causal=True, window=window,
-                                   impl="pallas")
-        o = f(q, k, v)
+        def loop(q, k, v):
+            def body(qc, _):
+                o = flash_attention(qc, k, v, causal=True, window=window,
+                                    impl="pallas")
+                return o.astype(qc.dtype), ()
+            out, _ = jax.lax.scan(body, q, None, length=inner)
+            return out
+
+        o = loop(q, k, v)
         float(jax.device_get(jnp.sum(o.astype(jnp.float32))))
         t0 = time.perf_counter()
         for _ in range(iters):
-            o = f(o.astype(q.dtype), k, v)      # chain through q
+            o = loop(o, k, v)                   # chain through q
         float(jax.device_get(jnp.sum(o.astype(jnp.float32))))
-        return (time.perf_counter() - t0) / iters
+        return (time.perf_counter() - t0) / (iters * inner)
 
-    t_full = timed_fwd(8192, None, 10)
-    t_win = timed_fwd(8192, 1024, 10)
+    t_full = timed_fwd(8192, None, 3)
+    t_win = timed_fwd(8192, 1024, 3)
     out["flash_fwd_ms_s8192"] = round(1e3 * t_full, 3)
     out["flash_fwd_ms_s8192_w1024"] = round(1e3 * t_win, 3)
     out["flash_window_speedup_s8192_w1024"] = round(t_full / t_win, 3)
@@ -1101,6 +1202,12 @@ def main():
         stages.update(bench_vit_train_joint())
     except Exception as e:
         stages["vit_joint_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        import jax
+        if jax.devices()[0].platform == "tpu":  # 6k-token step: chip only
+            stages.update(bench_vit_train_joint_long())
+    except Exception as e:
+        stages["vit_joint_long_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         import jax
         if jax.devices()[0].platform == "tpu":  # kernel path is TPU-only

@@ -238,6 +238,10 @@ class FactorizedBlock(nn.Module):
     # each step attends to the last `temporal_window` steps — the exact
     # batch twin of the streaming ring cache with max_steps=window.
     temporal_window: Optional[int] = None
+    # Symmetric band |i-j| < spatial_window over the SPATIAL token axis
+    # (patch locality). Composes with ring_axis: the band is masked by
+    # global position per rotating K/V block.
+    spatial_window: Optional[int] = None
     ring_axis: Optional[str] = None
     mesh: Any = None
     ring_batch_axis: Optional[str] = "dp"
@@ -259,6 +263,7 @@ class FactorizedBlock(nn.Module):
         y = ln(name="ln_s")(x).astype(self.compute_dtype)
         x = self._pin(x + mha(name="attn_s", ring_axis=self.ring_axis,
                               mesh=self.mesh,
+                              window=self.spatial_window,
                               ring_batch_axis=self.ring_batch_axis,
                               ring_head_axis=self.ring_head_axis,
                               )(y).astype(x.dtype))
@@ -376,6 +381,9 @@ class VideoViT(nn.Module):
     # the batch forward reproduces stream_step EXACTLY at every t,
     # including beyond the ring wrap. None = full causal attention.
     temporal_window: Optional[int] = None
+    # Symmetric spatial locality band |i-j| < spatial_window over the
+    # patch token axis (factorized only); composes with ring_axis.
+    spatial_window: Optional[int] = None
     # ring_axis + mesh: context parallelism — spatial attention rings
     # over the sp-sharded token axis instead of gathering it (combine
     # with act_sharding=make_act_sharding(mesh, ring_axis)).
@@ -422,6 +430,11 @@ class VideoViT(nn.Module):
         if not joint:
             common["causal"] = self.causal
             common["temporal_window"] = self.temporal_window
+            common["spatial_window"] = self.spatial_window
+        elif self.spatial_window is not None:
+            raise ValueError("spatial_window requires factorized "
+                             "attention (the joint token axis mixes "
+                             "space and time)")
         for i in range(self.depth):
             x = block(name=f"block{i}", **common)(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)

@@ -615,7 +615,8 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def flash_attention(q, k, v, *, causal: bool = False,
                     window: Optional[int] = None,
                     sm_scale: Optional[float] = None,
-                    block_q: int = 256, block_k: int = 512,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
                     impl: str = "auto"):
     """Tiled attention: softmax(Q K^T / sqrt(d)) V without materializing
     the [S, S] logits. Shapes [batch, heads, seq, head_dim]; kv seq may
@@ -644,12 +645,16 @@ def flash_attention(q, k, v, *, causal: bool = False,
     for the explicit impl="pallas" the tests use); "pallas" forces the
     kernel (interpret mode off-TPU), "xla" the materialized path.
 
-    Default tiles (block_q=256, block_k=512) are the measured optimum
-    on v5e at [1, 8, S, 64] bf16: fwd+bwd 2.0x the materialized path at
-    S=2048 causal, 2.4x at 4096, 15x at 8192 (where the [S, S] logits
-    blow the XLA path's HBM working set); 128x128 tiles measure ~35%
-    slower than this shape. Tiles clamp to the padded sequence, so
-    short-sequence calls are unaffected.
+    Default tiles adapt to the sequence (measured on v5e at
+    [1, 8, S, 64] bf16, scan-timed so the remote-dispatch floor is
+    excluded): 256x512 up to S<4096 (the measured optimum at S=2048;
+    128x128 is ~35% slower), 512x1024 at S>=4096 full attention
+    (2.94 -> 1.96 ms forward at S=8192 causal — at this d the kernel
+    is VPU/softmax-bound, and larger tiles amortize the cross-lane
+    reductions; 1024x1024 measures the same within noise at 2x the
+    VMEM). Windowed calls keep block_q=256: the band width (block_q +
+    window) sets their cost, so smaller q tiles win. Tiles clamp to
+    the padded sequence, so short-sequence calls are unaffected.
     """
     if (q.ndim != 4 or k.shape[0] != q.shape[0] or v.shape != k.shape
             or q.shape[-1] != k.shape[-1]):
@@ -681,6 +686,10 @@ def flash_attention(q, k, v, *, causal: bool = False,
     if impl not in ("auto", "pallas"):
         raise ValueError(f"unknown impl {impl!r}")
     interpret = not on_tpu
+    if block_q is None:
+        block_q = 512 if (window is None and q.shape[2] >= 4096) else 256
+    if block_k is None:
+        block_k = 1024 if (window is None and k.shape[2] >= 4096) else 512
     # Clamp tiles to the padded sequence (short sequences -> one tile,
     # still lane-aligned).
     block_q = min(block_q, _cdiv(q.shape[2], _LANES) * _LANES)

@@ -261,6 +261,35 @@ def test_vit_ring_forward_and_grads():
 
 
 @needs_mesh
+def test_vit_spatial_window_through_ring():
+    """VideoViT(spatial_window) — patch-locality band on the spatial
+    pathway — produces identical logits ringed over sp vs unsharded
+    (r04 item 8: window through the ring path at model level)."""
+    from tensor_stream_tpu.models.video_vit import (VideoViT,
+                                                    make_act_sharding)
+
+    mesh = _mesh(("dp", "sp"), (2, 4))
+    patch = 8
+    clip = (2, 4, patch * 4, patch * 4, 3)   # N = 16 tokens, sp=4
+    kw = dict(num_classes=5, depth=2, dim=32, num_heads=2, patch=patch,
+              tubelet_t=2, compute_dtype=jnp.float32, spatial_window=5)
+    base = VideoViT(**kw)
+    ringed = VideoViT(act_sharding=make_act_sharding(mesh, "sp"),
+                      ring_axis="sp", mesh=mesh, ring_batch_axis="dp",
+                      **kw)
+    clips = jnp.asarray(
+        np.random.default_rng(11).uniform(0, 1, clip), jnp.float32)
+    params = base.init(jax.random.PRNGKey(1), clips)
+    want = base.apply(params, clips)
+    got = jax.jit(ringed.apply)(params, clips)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
+    # The band actually bites: full attention differs.
+    full = VideoViT(**{**kw, "spatial_window": None})
+    assert not np.allclose(np.asarray(want),
+                           np.asarray(full.apply(params, clips)))
+
+
+@needs_mesh
 def test_mha_ring_composes_with_tp():
     """dp x tp x cp: Megatron head-sharded q/k/v params + the ring over
     the token axis, heads named in the shard_map specs (ring_head_axis)

@@ -50,7 +50,8 @@ def main():
     env = dict(os.environ, TS_TEST_TPU="1")
     t0 = time.time()
     p = subprocess.run(
-        [sys.executable, "-m", "pytest", *SUITES, "-q", "--tb=line"],
+        [sys.executable, "-m", "pytest", *SUITES, "-q", "-rs",
+         "--tb=line"],
         capture_output=True, text=True, env=env, cwd=REPO)
     wall = round(time.time() - t0, 1)
     lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
@@ -58,12 +59,21 @@ def main():
                     if re.search(r"\d+ (passed|failed)", ln)), "")
     counts = {k: int(v) for v, k in
               re.findall(r"(\d+) (passed|failed|skipped|error)", summary)}
+    # Skip REASONS in the artifact (r04 verdict item 6): a reader must
+    # be able to tell gated-by-hardware (e.g. the 8-device mesh proofs,
+    # which can never run on 1 chip) from quietly-not-running.
+    skip_reasons = {}
+    for n, reason in re.findall(r"^SKIPPED \[(\d+)\] [^:]+:\d+: (.+)$",
+                                p.stdout, re.M):
+        key = reason.strip()
+        skip_reasons[key] = skip_reasons.get(key, 0) + int(n)
     out = {
         "round": tag,
         "ok": p.returncode == 0,
         "suites": SUITES,
         "wall_s": wall,
         **counts,
+        "skip_reasons": skip_reasons,
         "summary": summary.strip("= "),
         "note": ("oracle subset on the hardware backend: every committed "
                  "CRC/golden-raster oracle, incl. the 19 resize CRCs "
