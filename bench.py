@@ -126,7 +126,11 @@ def _supervised_run():
         return False
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return False  # CPU already: no supervision needed
-    deadline = float(os.environ.get("TS_BENCH_TPU_TIMEOUT_S", "1800"))
+    # 3300 s: the r05 stage list adds ~6 remote compiles (serving model
+    # MHA+GQA, long-S joint flash+xla, scan-timed flash loops) on top of
+    # r04's ~25 min — the deadline exists to catch a HUNG tunnel, not to
+    # truncate a slow-but-progressing run.
+    deadline = float(os.environ.get("TS_BENCH_TPU_TIMEOUT_S", "3300"))
     env = dict(os.environ, TS_BENCH_CHILD="1")
     argv = [sys.executable] + sys.argv
     import time as _t
