@@ -176,6 +176,11 @@ BATCH = int(os.environ.get("TS_BENCH_BATCH", "128"))
 TARGET_SECONDS = float(os.environ.get("TS_BENCH_SECONDS", "12"))
 STAGE_SECONDS = float(os.environ.get("TS_BENCH_STAGE_SECONDS", "4"))
 BASELINE_FPS = 2000.0
+# The tunnel's HONEST per-dispatch round-trip floor (device_get-synced,
+# see probe_link) measures ~28 ms steady on this rig — it is a network
+# tunnel RTT, not a local PCIe hop, and async-dispatch throughput paths
+# never pay it per batch. Degraded = well above that norm.
+DEGRADED_DISPATCH_MS = 80.0
 
 
 def _make_pipeline(lib, decode_threads=0, video=None):
@@ -483,8 +488,12 @@ def bench_serving(seconds, n_streams=2, per_stream=8,
         pixel_format=FourCC.RGB24, planes_pos=Planes.MERGED, loop=True)
     try:
         it = eng.stream(inflight=2 if pipeline == "fused" else 1)
-        for _ in range(n_streams):   # drain batch 1 fully: pay all
-            next(it)                 # compiles before the timed window
+        # Warm 3 full ticks, not 1: the first pays the jit compile, and
+        # the shared pool's decode workers ramp over the next few (r05
+        # trial: a 1-tick warm + 1 s window recorded 114 fps where 3 s
+        # steady-state windows measure 320-430 — spin-up, not serving).
+        for _ in range(3 * n_streams):
+            next(it)
         t0 = time.perf_counter()
         frames = 0
         while time.perf_counter() - t0 < seconds:
@@ -619,17 +628,24 @@ def probe_link(seconds=1.0):
     (jit of a 128-float add, round-tripped) on the device tunnel. With
     stages.transfer_gbps this explains any headline residual — r03's
     headline recorded tunnel weather (0.193 GB/s vs r02's 1.37) with
-    nothing in the artifact saying so."""
+    nothing in the artifact saying so.
+
+    Synced per dispatch via `device_get` of the result: on the remote
+    plugin `block_until_ready` sometimes returns before execution (the
+    same quirk bench_vit_train documents) — r05's trial run recorded
+    0.04 ms window probes next to a 27 ms end-of-run floor, two
+    readings of the SAME tunnel, one of them a lie. A host round-trip
+    of the value cannot lie."""
     import jax
     import numpy as np
 
     dev = jax.devices()[0]
     x = jax.device_put(np.zeros(128, np.float32), dev)
     f = jax.jit(lambda a: a + 1.0)
-    jax.block_until_ready(f(x))
+    float(jax.device_get(f(x)[0]))
     n, t0 = 0, time.perf_counter()
     while time.perf_counter() - t0 < seconds:
-        jax.block_until_ready(f(x))
+        float(jax.device_get(f(x)[0]))
         n += 1
     return 1e3 * (time.perf_counter() - t0) / max(n, 1)
 
@@ -1115,11 +1131,11 @@ def bench_headline_and_decode(lib):
                         "decode_fps": round(d, 1), "probe_ms": p})
     for _ in range(2):  # degraded-throughout: retry on a cleared probe
         probes = [w["probe_ms"] for w in windows if w["probe_ms"]]
-        if probes and min(probes) <= 6.0:
+        if probes and min(probes) <= DEGRADED_DISPATCH_MS:
             break
         time.sleep(5.0)
         p = _probe()
-        if p is None or p > 6.0:
+        if p is None or p > DEGRADED_DISPATCH_MS:
             continue
         h, d = _window(first=False)
         windows.append({"headline_fps": round(h, 2),
@@ -1182,10 +1198,10 @@ def main():
     # adjacently the fused engine sits at the multi-stream decode wall.
     serving_fps, serving_lat, loader_adj = 0.0, {"p50": None}, 0.0
     for _ in range(2):
-        s_fps, s_lat = bench_serving(half / 2)
+        s_fps, s_lat = bench_serving(half)
         if s_fps > serving_fps:
             serving_fps, serving_lat = s_fps, s_lat
-        loader_adj = max(loader_adj, _loader_window(half / 2))
+        loader_adj = max(loader_adj, _loader_window(half))
     stages["serving_fps"] = round(serving_fps, 1)
     stages["serving_vs_adjacent_loader"] = round(
         serving_fps / max(loader_adj, 1e-9), 3)
@@ -1222,11 +1238,13 @@ def main():
         "transfer_gbps": stages["transfer_gbps"],
         "dispatch_floor_ms": round(probe_link(), 3),
     }
-    # Healthy-tunnel reference points measured on this rig: ~1.4 GB/s
-    # transfer, ~2 ms dispatch floor. Below/above these the headline is
+    # Healthy-tunnel reference points measured on this rig: ~0.7-1.4
+    # GB/s transfer, ~28 ms honest dispatch round-trip (the tunnel RTT;
+    # see DEGRADED_DISPATCH_MS). Outside these the headline is
     # recording tunnel weather — say so in the artifact of record.
     link["degraded"] = bool(link["transfer_gbps"] < 0.5
-                            or link["dispatch_floor_ms"] > 6.0)
+                            or link["dispatch_floor_ms"]
+                            > DEGRADED_DISPATCH_MS)
     result = {
         "metric": "1080p_decode_to_224px_rgb_planar_f32_fps_per_chip",
         "value": round(fps, 2),
