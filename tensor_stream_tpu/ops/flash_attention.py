@@ -27,6 +27,10 @@ Design notes (the kernel playbook, not a port of any implementation):
     straddling tile; fully-padded kv tiles are skipped the same way.
   * logits/stats accumulate in f32 (preferred_element_type); the P@V
     matmul runs in the input dtype (bf16 feeds the MXU at full rate).
+    For bf16/f16 inputs the normalizer l rides that matmul as a
+    ones-augmented V column (the kernel is VPU-bound at d=64; the l
+    error is subsumed by the output's own quantization); f32 inputs
+    keep an exact f32 VPU sum for l.
   * masked logits get -0.7*f32max, not -inf: exp(-inf - (-inf)) is NaN
     for rows that a mask empties.
 
@@ -77,7 +81,7 @@ def _band_lo(qi, window, block_q, block_k):
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
-            m_scr, acc_scr, *, sm_scale, causal, window,
+            m_scr, acc_scr, l_scr=None, *, sm_scale, causal, window,
             q_len, kv_len, block_q, block_k, save_residuals, banded):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -97,6 +101,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
     def _init():
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+        if l_scr is not None:
+            l_scr[...] = jnp.zeros_like(l_scr)
 
     # Whole-tile skips: above the causal diagonal (first kv row of this
     # tile > last q row of this q tile), entirely inside kv padding, or
@@ -180,7 +186,16 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
         # recurrence is exactly the online-softmax l recurrence — the
         # normalizer rides the MXU matmul instead of paying a VPU
         # cross-lane sum pass over every [block_q, block_k] tile (the
-        # kernel is VPU-bound at d=64; measured ~10% whole-kernel win).
+        # kernel is VPU-bound at d=64; 2.94 -> 2.32 ms at 256x512,
+        # S=8192 causal). bf16/f16 inputs only: DEFAULT-precision MXU
+        # passes truncate operands to bf16, and p is already
+        # bf16-rounded for the P@V product there (the l error is
+        # subsumed by the output's own quantization) — but f32 inputs
+        # promise f32 softmax stats, so they keep the exact VPU sum
+        # (l_scr) and ignore the augmented column.
+        if l_scr is not None:
+            l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1,
+                                                      keepdims=True)
         v = v_ref[0, 0]                               # [block_k, d+1]
         o_curr = jax.lax.dot(p.astype(v.dtype), v,
                              preferred_element_type=jnp.float32,
@@ -201,7 +216,10 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
     def _store():
         acc = acc_scr[...]                            # [block_q, d+1]
         d = acc.shape[1] - 1
-        l = acc[:, d:]                                # sum(p), via MXU
+        if l_scr is not None:
+            l = l_scr[...][:, :1]                     # exact f32 VPU sum
+        else:
+            l = acc[:, d:]                            # sum(p), via MXU
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc[:, :d] * l_inv).astype(o_ref.dtype)
         if save_residuals:
@@ -247,7 +265,12 @@ def _band_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref, *, sm_scale,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
     d = o.shape[1] - 1
-    l = o[:, d:]                                      # sum(p), via MXU
+    if v_.dtype == jnp.float32:
+        # f32 contract: exact VPU normalizer (DEFAULT MXU passes
+        # truncate to bf16 — fine for bf16 inputs, not for f32 stats).
+        l = jnp.sum(p, axis=1, keepdims=True)
+    else:
+        l = o[:, d:]                                  # sum(p), via MXU
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[0, 0] = (o[:, :d] * l_inv).astype(o_ref.dtype)
     if save_residuals:
@@ -421,7 +444,9 @@ def _flash_fwd_pallas(q, k, v, causal, window, sm_scale, block_q, block_k,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),   # running max
             pltpu.VMEM((block_q, d + 1), jnp.float32),    # unnorm. o | l
-        ],
+        ] + ([] if q.dtype != jnp.float32 else [
+            pltpu.VMEM((block_q, _LANES), jnp.float32),   # f32 exact l
+        ]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
