@@ -50,7 +50,7 @@ def main():
     env = dict(os.environ, TS_TEST_TPU="1")
     t0 = time.time()
     p = subprocess.run(
-        [sys.executable, "-m", "pytest", *SUITES, "-q", "-rs",
+        [sys.executable, "-m", "pytest", *SUITES, "-q", "-rsf",
          "--tb=line"],
         capture_output=True, text=True, env=env, cwd=REPO)
     wall = round(time.time() - t0, 1)
@@ -59,6 +59,10 @@ def main():
                     if re.search(r"\d+ (passed|failed)", ln)), "")
     counts = {k: int(v) for v, k in
               re.findall(r"(\d+) (passed|failed|skipped|error)", summary)}
+    # Name the failures (r05: the r05-initial artifact said "failed: 1"
+    # with no way to tell WHICH test without rerunning 48 min of chip
+    # time). --tb=line prints one "FAILED path::test - reason" per fail.
+    failed_tests = re.findall(r"^FAILED (\S+)", p.stdout, re.M)
     # Skip REASONS in the artifact (r04 verdict item 6): a reader must
     # be able to tell gated-by-hardware (e.g. the 8-device mesh proofs,
     # which can never run on 1 chip) from quietly-not-running.
@@ -73,6 +77,7 @@ def main():
         "suites": SUITES,
         "wall_s": wall,
         **counts,
+        **({"failed_tests": failed_tests} if failed_tests else {}),
         "skip_reasons": skip_reasons,
         "summary": summary.strip("= "),
         "note": ("oracle subset on the hardware backend: every committed "
